@@ -1,0 +1,53 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes, so this executes at conftest import time.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# Full-precision matmuls so golden-value parity tests are meaningful.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_PATH)
+
+
+@pytest.fixture
+def reference_modules():
+    """Import the upstream reference implementation (read-only) for golden-value
+    parity tests.  Skips if unavailable."""
+    if not reference_available():
+        pytest.skip("reference implementation not available")
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import common.camera as ref_camera
+    import common.loss as ref_loss
+    import common.model as ref_model
+    import common.quaternion as ref_quaternion
+    import common.skeleton as ref_skeleton
+    import common.generators as ref_generators
+
+    class Ref:
+        camera = ref_camera
+        loss = ref_loss
+        model = ref_model
+        quaternion = ref_quaternion
+        skeleton = ref_skeleton
+        generators = ref_generators
+
+    return Ref

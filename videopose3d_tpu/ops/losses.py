@@ -1,0 +1,129 @@
+"""Pose-estimation losses and evaluation protocols.
+
+Functional parity target: ``/root/reference/common/loss.py:11-88``.
+
+Split by execution site, mirroring the reference's own design decision:
+
+* **In-graph (differentiable, jnp)** — :func:`mpjpe`, :func:`weighted_mpjpe`,
+  :func:`n_mpjpe`: these run inside jitted train/eval steps on TPU.
+* **Host-side (numpy)** — :func:`p_mpjpe` (Procrustes alignment via SVD) and
+  :func:`mean_velocity_error`: evaluation-only protocols the reference also computes
+  on host (``/root/reference/run.py:698-704``).  Tiny 3x3 SVDs batched over frames are
+  a poor fit for the MXU and run once per evaluation, so they stay on host by design.
+
+All in-graph losses optionally take a ``mask`` over frames so that bucket-padded
+whole-sequence evaluation (static XLA shapes) can exclude padding frames without a
+host round-trip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _masked_mean(per_frame, mask):
+    """Mean of ``per_frame`` (B, T, ...) with optional (B, T) frame validity mask."""
+    if mask is None:
+        return jnp.mean(per_frame)
+    # Broadcast mask over trailing (joint) dims.
+    m = mask.astype(per_frame.dtype)
+    while m.ndim < per_frame.ndim:
+        m = m[..., None]
+    m = jnp.broadcast_to(m, per_frame.shape)
+    return jnp.sum(per_frame * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def mpjpe(predicted, target, mask=None):
+    """Protocol #1: mean per-joint position error (mean Euclidean distance).
+
+    Parity: ``/root/reference/common/loss.py:11-17``.  Differentiable.
+
+    Args:
+      predicted, target: (..., J, 3) poses.
+      mask: optional (B, T) validity mask (1 = real frame) for padded batches.
+    """
+    assert predicted.shape == target.shape, (predicted.shape, target.shape)
+    dist = jnp.linalg.norm(predicted - target, axis=-1)
+    return _masked_mean(dist, mask)
+
+
+def weighted_mpjpe(predicted, target, w):
+    """Per-sample weighted MPJPE, used for the trajectory model's inverse-depth loss.
+
+    Parity: ``/root/reference/common/loss.py:19-25``.
+    """
+    assert predicted.shape == target.shape, (predicted.shape, target.shape)
+    assert w.shape[0] == predicted.shape[0]
+    return jnp.mean(w * jnp.linalg.norm(predicted - target, axis=-1))
+
+
+def n_mpjpe(predicted, target, mask=None):
+    """Protocol #3: MPJPE after optimal per-sequence scale alignment.
+
+    Parity: ``/root/reference/common/loss.py:68-78``.  The optimal scale is
+    ``<target, predicted> / ||predicted||^2`` averaged over joints per frame.
+    """
+    assert predicted.shape == target.shape, (predicted.shape, target.shape)
+    norm_predicted = jnp.mean(
+        jnp.sum(predicted**2, axis=3, keepdims=True), axis=2, keepdims=True
+    )
+    norm_target = jnp.mean(
+        jnp.sum(target * predicted, axis=3, keepdims=True), axis=2, keepdims=True
+    )
+    scale = norm_target / norm_predicted
+    return mpjpe(scale * predicted, target, mask=mask)
+
+
+def p_mpjpe(predicted, target):
+    """Protocol #2: MPJPE after rigid (Procrustes) alignment — host-side numpy.
+
+    Parity: ``/root/reference/common/loss.py:27-66`` including the reflection fix
+    (flip the sign of the last singular vector when det(R) < 0).
+
+    Args:
+      predicted, target: (N, J, 3) numpy arrays (one row per frame).
+    """
+    assert predicted.shape == target.shape, (predicted.shape, target.shape)
+    predicted = np.asarray(predicted)
+    target = np.asarray(target)
+
+    muX = np.mean(target, axis=1, keepdims=True)
+    muY = np.mean(predicted, axis=1, keepdims=True)
+
+    X0 = target - muX
+    Y0 = predicted - muY
+
+    normX = np.sqrt(np.sum(X0**2, axis=(1, 2), keepdims=True))
+    normY = np.sqrt(np.sum(Y0**2, axis=(1, 2), keepdims=True))
+    X0 = X0 / normX
+    Y0 = Y0 / normY
+
+    H = np.matmul(X0.transpose(0, 2, 1), Y0)
+    U, s, Vt = np.linalg.svd(H)
+    V = Vt.transpose(0, 2, 1)
+    R = np.matmul(V, U.transpose(0, 2, 1))
+
+    # Avoid improper rotations (reflections): det(R) must be +1.
+    sign_detR = np.sign(np.expand_dims(np.linalg.det(R), axis=1))
+    V[:, :, -1] *= sign_detR
+    s[:, -1] *= sign_detR.flatten()
+    R = np.matmul(V, U.transpose(0, 2, 1))
+
+    tr = np.expand_dims(np.sum(s, axis=1, keepdims=True), axis=2)
+    a = tr * normX / normY                  # optimal scale
+    t = muX - a * np.matmul(muY, R)         # optimal translation
+
+    predicted_aligned = a * np.matmul(predicted, R) + t
+    return np.mean(np.linalg.norm(predicted_aligned - target, axis=-1))
+
+
+def mean_velocity_error(predicted, target):
+    """MPJVE: mean Euclidean distance of first temporal derivatives — host-side numpy.
+
+    Parity: ``/root/reference/common/loss.py:80-88``.
+    """
+    assert predicted.shape == target.shape, (predicted.shape, target.shape)
+    velocity_predicted = np.diff(np.asarray(predicted), axis=0)
+    velocity_target = np.diff(np.asarray(target), axis=0)
+    return np.mean(np.linalg.norm(velocity_predicted - velocity_target, axis=-1))

@@ -1,0 +1,46 @@
+"""Batched quaternion operations as pure JAX functions.
+
+Functional parity target: the reference quaternion ops
+(``/root/reference/common/quaternion.py:10-35``), re-expressed as jit-friendly
+``jax.numpy`` code.  All functions broadcast over arbitrary leading batch dims, so
+callers never need the reference's host-side ``np.tile`` trick
+(``/root/reference/common/camera.py:30``) — broadcasting happens inside XLA for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def qrot(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vector(s) ``v`` by unit quaternion(s) ``q``.
+
+    Uses the double-cross-product form ``v' = v + 2*(w*(u x v) + u x (u x v))`` with
+    ``q = (w, u)``, which costs two cross products instead of a quaternion sandwich —
+    pure VPU element-wise work, fused by XLA.
+
+    Args:
+      q: (..., 4) quaternions in (w, x, y, z) order.  Need not have the same batch
+         shape as ``v``: standard broadcasting applies.
+      v: (..., 3) vectors.
+
+    Returns:
+      (..., 3) rotated vectors, in the broadcasted batch shape.
+    """
+    assert q.shape[-1] == 4, f"expected (...,4) quaternions, got {q.shape}"
+    assert v.shape[-1] == 3, f"expected (...,3) vectors, got {v.shape}"
+
+    w = q[..., :1]
+    u = q[..., 1:]
+    uv = jnp.cross(u, v)
+    uuv = jnp.cross(u, uv)
+    return v + 2.0 * (w * uv + uuv)
+
+
+def qinverse(q: jnp.ndarray) -> jnp.ndarray:
+    """Inverse (conjugate) of unit quaternion(s): negate the vector part.
+
+    Assumes normalized input, matching the reference semantics.
+    """
+    assert q.shape[-1] == 4, f"expected (...,4) quaternions, got {q.shape}"
+    return jnp.concatenate([q[..., :1], -q[..., 1:]], axis=-1)
