@@ -1,0 +1,423 @@
+"""Dilated temporal convolution model for 2D->3D pose lifting, TPU-native.
+
+Capability parity target: ``/root/reference/common/model.py`` —
+``TemporalModelBase`` (:10-77), ``TemporalModel`` (:79-138, the dilated/eval form)
+and ``TemporalModelOptimized1f`` (:140-197, the strided/train form).  The two forms
+are **weight-interchangeable**: one parameter pytree serves both, exactly as the
+reference documents at ``model.py:146-148``.
+
+TPU-first design
+----------------
+The reference runs cuDNN ``nn.Conv1d``.  Here every temporal convolution is lowered
+explicitly to MXU matmuls:
+
+* A width-``k`` conv with dilation ``d`` over channels-last ``(B, T, C)`` is ``k``
+  statically-shifted slices concatenated on the feature axis, followed by one
+  ``(B*T_out, k*C) @ (k*C, C_out)`` matmul — XLA tiles this straight onto the
+  128x128 systolic array, and fuses the BatchNorm/ReLU/residual element-wise tail
+  into the matmul epilogue.
+* The strided training form (input length = receptive field, output length = chunk)
+  is pure ``reshape`` + matmul: ``(B, T, C) -> (B, T/k, k*C)`` — zero wasted FLOPs,
+  the TPU equivalent of the reference's strided-conv trick.
+
+Everything is a pure function over explicit pytrees:
+
+* ``params``: convolution weights (layout ``(k, C_in, C_out)``) + shrink bias +
+  BatchNorm affine terms.  Trainable.
+* ``state``: BatchNorm running statistics.  Mutated functionally (returned).
+
+BatchNorm reproduces PyTorch ``nn.BatchNorm1d`` semantics bit-for-bit (biased batch
+variance for normalization, *unbiased* variance folded into the running estimate,
+``running = (1-m)*running + m*batch``), with ``momentum`` supplied at call time so
+the reference's per-epoch exponential momentum decay (``run.py:589-593``) is a plain
+scalar argument — no graph retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+BN_EPS = 1e-5  # PyTorch BatchNorm1d default
+
+
+@dataclasses.dataclass(frozen=True)
+class TemporalModelConfig:
+    """Static architecture hyperparameters (CLI surface parity:
+    ``/root/reference/common/arguments.py:35-55``)."""
+
+    num_joints_in: int
+    in_features: int
+    num_joints_out: int
+    filter_widths: Tuple[int, ...]
+    causal: bool = False
+    dropout: float = 0.25
+    channels: int = 1024
+    dense: bool = False
+    # TPU knob (no reference equivalent): compute in bfloat16 on the MXU while
+    # keeping parameters and BN statistics in float32.
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        object.__setattr__(self, "filter_widths", tuple(int(f) for f in self.filter_widths))
+        for fw in self.filter_widths:
+            if fw % 2 == 0:
+                raise ValueError("Only odd filter widths are supported")
+
+    # --- derived static geometry (parity: model.py:31, :107-121) ---
+
+    @property
+    def dilations(self) -> Tuple[int, ...]:
+        """dilations[i] = product of filter widths before block i."""
+        d = [1]
+        for fw in self.filter_widths[:-1]:
+            d.append(d[-1] * fw)
+        return tuple(d)
+
+    @property
+    def pads(self) -> Tuple[int, ...]:
+        fws, dils = self.filter_widths, self.dilations
+        return tuple((fw - 1) * d // 2 for fw, d in zip(fws, dils))
+
+    @property
+    def causal_shifts_dilated(self) -> Tuple[int, ...]:
+        """Per-block asymmetric shift in *input frames* (dilated form)."""
+        if not self.causal:
+            return tuple(0 for _ in self.filter_widths)
+        fws, dils = self.filter_widths, self.dilations
+        return tuple((fw // 2) * d for fw, d in zip(fws, dils))
+
+    @property
+    def causal_shifts_strided(self) -> Tuple[int, ...]:
+        """Per-block shift in *post-stride frames* (strided form)."""
+        if not self.causal:
+            return tuple(0 for _ in self.filter_widths)
+        return tuple(fw // 2 for fw in self.filter_widths)
+
+
+def receptive_field(config: TemporalModelConfig) -> int:
+    """Total receptive field in frames: ``1 + 2*sum(pads)``
+    (parity: ``model.py:41-48``)."""
+    return 1 + 2 * sum(config.pads)
+
+
+def total_causal_shift(config: TemporalModelConfig, form: str = "dilated") -> int:
+    """Asymmetric padding offset for causal mode (parity: ``model.py:50-61``).
+
+    Note the reference computes this from ``self.causal_shift``, whose entries
+    already include the dilation factor in the dilated class but not in the strided
+    class — so the two classes return different values (e.g. 91 vs 13 for causal
+    ``3,3,3``).  ``run.py`` never calls it (it uses ``causal_shift = pad``,
+    ``run.py:189-193``); we mirror both behaviours for checkable parity.
+    """
+    shifts = (config.causal_shifts_dilated if form == "dilated"
+              else config.causal_shifts_strided)
+    frames = shifts[0]
+    next_dilation = config.filter_widths[0]
+    for i in range(1, len(config.filter_widths)):
+        frames += shifts[i] * next_dilation
+        next_dilation *= config.filter_widths[i]
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(rng, k: int, c_in: int, c_out: int, bias: bool = False):
+    """PyTorch Conv1d default init (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)))
+    so that training dynamics match the reference.  Weight layout: (k, C_in, C_out)."""
+    fan_in = c_in * k
+    bound = 1.0 / math.sqrt(fan_in)
+    w_key, b_key = jax.random.split(rng)
+    out = {"weight": jax.random.uniform(
+        w_key, (k, c_in, c_out), jnp.float32, minval=-bound, maxval=bound)}
+    if bias:
+        out["bias"] = jax.random.uniform(
+            b_key, (c_out,), jnp.float32, minval=-bound, maxval=bound)
+    return out
+
+
+def _bn_init(channels: int):
+    params = {"scale": jnp.ones((channels,), jnp.float32),
+              "bias": jnp.zeros((channels,), jnp.float32)}
+    state = {"mean": jnp.zeros((channels,), jnp.float32),
+             "var": jnp.ones((channels,), jnp.float32)}
+    return params, state
+
+
+def init_temporal_model(config: TemporalModelConfig, rng) -> Tuple[Params, State]:
+    """Create the (params, state) pytrees.
+
+    Layer inventory (parity: ``model.py:102-124``): ``expand_conv`` (width fw[0]),
+    then per block ``i`` in 1..n-1 a dilated/strided conv of width fw[i] and a 1x1
+    conv, each followed by BatchNorm; finally the 1x1 ``shrink`` projection to
+    ``num_joints_out*3`` (the only biased conv).
+    """
+    c = config.channels
+    n_in = config.num_joints_in * config.in_features
+    keys = jax.random.split(rng, 2 * len(config.filter_widths) + 2)
+
+    params: Params = {}
+    state: State = {}
+
+    params["expand_conv"] = _conv_init(keys[0], config.filter_widths[0], n_in, c)
+    params["expand_bn"], state["expand_bn"] = _bn_init(c)
+
+    layers_conv: List[Params] = []
+    layers_bn_p: List[Params] = []
+    layers_bn_s: List[State] = []
+    for i in range(1, len(config.filter_widths)):
+        if config.dense:
+            width = 2 * config.pads[i] + 1
+        else:
+            width = config.filter_widths[i]
+        layers_conv.append(_conv_init(keys[2 * i], width, c, c))
+        bn_p, bn_s = _bn_init(c)
+        layers_bn_p.append(bn_p)
+        layers_bn_s.append(bn_s)
+        layers_conv.append(_conv_init(keys[2 * i + 1], 1, c, c))
+        bn_p, bn_s = _bn_init(c)
+        layers_bn_p.append(bn_p)
+        layers_bn_s.append(bn_s)
+
+    params["layers_conv"] = layers_conv
+    params["layers_bn"] = layers_bn_p
+    state["layers_bn"] = layers_bn_s
+
+    params["shrink"] = _conv_init(
+        keys[-1], 1, c, config.num_joints_out * 3, bias=True)
+    return params, state
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
+    """PyTorch-semantics BatchNorm over (B, T, C), normalizing per channel.
+
+    Returns (y, new_bn_state).  Statistics are always accumulated in float32.
+    """
+    if train:
+        xf = x.astype(jnp.float32)
+        n = xf.shape[0] * xf.shape[1]
+        mean = jnp.mean(xf, axis=(0, 1))
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1))  # biased, for normalization
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1.0 - momentum) * bn_state["mean"] + momentum * mean,
+            "var": (1.0 - momentum) * bn_state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = bn_state["mean"], bn_state["var"]
+        new_state = bn_state
+
+    inv = jax.lax.rsqrt(var + BN_EPS) * bn_params["scale"]
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bn_params["bias"].astype(x.dtype)
+    return y, new_state
+
+
+def _dropout(x, rate: float, rng):
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _conv_matmul(x, weight, dilation: int = 1, compute_dtype=jnp.float32):
+    """Valid temporal conv as one MXU matmul over stacked shifted slices.
+
+    x: (B, T, C_in); weight: (k, C_in, C_out).
+    Output: (B, T - (k-1)*dilation, C_out).
+    """
+    k = weight.shape[0]
+    t_out = x.shape[1] - (k - 1) * dilation
+    if k == 1:
+        taps = x
+    else:
+        taps = jnp.concatenate(
+            [x[:, j * dilation: j * dilation + t_out] for j in range(k)], axis=-1
+        )
+    w = weight.reshape(k * weight.shape[1], weight.shape[2])
+    return jnp.dot(
+        taps.astype(compute_dtype),
+        w.astype(compute_dtype),
+        preferred_element_type=compute_dtype,
+    )
+
+
+def _conv_strided(x, weight, compute_dtype=jnp.float32):
+    """Stride == width conv as reshape + matmul (zero-waste training form).
+
+    x: (B, T, C_in) with T divisible by k; weight: (k, C_in, C_out).
+    Output: (B, T/k, C_out).
+    """
+    k = weight.shape[0]
+    b, t, c_in = x.shape
+    assert t % k == 0, f"sequence length {t} not divisible by stride {k}"
+    taps = x.reshape(b, t // k, k * c_in)
+    w = weight.reshape(k * c_in, weight.shape[2])
+    return jnp.dot(
+        taps.astype(compute_dtype),
+        w.astype(compute_dtype),
+        preferred_element_type=compute_dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+def _prep_input(config: TemporalModelConfig, x):
+    assert x.ndim == 4, f"expected (B, T, J, F), got {x.shape}"
+    assert x.shape[-2] == config.num_joints_in, (x.shape, config.num_joints_in)
+    assert x.shape[-1] == config.in_features, (x.shape, config.in_features)
+    return x.reshape(x.shape[0], x.shape[1], -1)
+
+
+def _finish_output(config: TemporalModelConfig, x):
+    return x.reshape(x.shape[0], x.shape[1], config.num_joints_out, 3)
+
+
+def _split_rngs(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+def forward_dilated(
+    config: TemporalModelConfig,
+    params: Params,
+    state: State,
+    x,
+    *,
+    train: bool = False,
+    momentum=0.1,
+    rng=None,
+) -> Tuple[jnp.ndarray, State]:
+    """Reference (dilated) form: arbitrary input length T, output length
+    ``T - receptive_field + 1``.  Parity: ``model.py:126-138``.
+
+    Args:
+      x: (B, T, J_in, F) input keypoints.
+      train: use batch statistics + dropout; otherwise running stats, no dropout.
+      momentum: BatchNorm running-stat update rate (traced scalar OK).
+      rng: dropout PRNG key (required iff train and dropout > 0).
+
+    Returns:
+      ((B, T_out, J_out, 3) poses, new BN state).
+    """
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    x = _prep_input(config, x)
+    n_blocks = len(config.filter_widths) - 1
+    rngs = _split_rngs(rng if train else None, 2 * n_blocks + 1)
+    new_state: State = {"layers_bn": [None] * (2 * n_blocks)}
+
+    x = _conv_matmul(x, params["expand_conv"]["weight"], 1, compute_dtype)
+    x, new_state["expand_bn"] = _batchnorm(
+        x, params["expand_bn"], state["expand_bn"], train=train, momentum=momentum)
+    x = _dropout(jax.nn.relu(x), config.dropout if train else 0.0, rngs[0])
+
+    for i in range(n_blocks):
+        pad = config.pads[i + 1]
+        shift = config.causal_shifts_dilated[i + 1]
+        res = x[:, pad + shift: x.shape[1] - pad + shift]
+
+        dilation = 1 if config.dense else config.dilations[i + 1]
+        y = _conv_matmul(x, params["layers_conv"][2 * i]["weight"], dilation, compute_dtype)
+        y, new_state["layers_bn"][2 * i] = _batchnorm(
+            y, params["layers_bn"][2 * i], state["layers_bn"][2 * i],
+            train=train, momentum=momentum)
+        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 1])
+
+        y = _conv_matmul(y, params["layers_conv"][2 * i + 1]["weight"], 1, compute_dtype)
+        y, new_state["layers_bn"][2 * i + 1] = _batchnorm(
+            y, params["layers_bn"][2 * i + 1], state["layers_bn"][2 * i + 1],
+            train=train, momentum=momentum)
+        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 2])
+        x = res + y
+
+    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
+    x = x + params["shrink"]["bias"].astype(x.dtype)
+    return _finish_output(config, x.astype(jnp.float32)), new_state
+
+
+def forward_strided(
+    config: TemporalModelConfig,
+    params: Params,
+    state: State,
+    x,
+    *,
+    train: bool = True,
+    momentum=0.1,
+    rng=None,
+) -> Tuple[jnp.ndarray, State]:
+    """Optimized single-frame training form: input length must be exactly the
+    receptive field (times nothing — output length 1).  Strided convs become pure
+    reshapes, so no wasted intermediate frames.  Weight-interchangeable with
+    :func:`forward_dilated`.  Parity: ``model.py:140-197``.
+    """
+    if config.dense:
+        raise ValueError("strided form is incompatible with dense convolutions")
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    x = _prep_input(config, x)
+    assert x.shape[1] == receptive_field(config), (
+        f"strided form expects input length == receptive field "
+        f"({receptive_field(config)}), got {x.shape[1]}")
+
+    n_blocks = len(config.filter_widths) - 1
+    rngs = _split_rngs(rng if train else None, 2 * n_blocks + 1)
+    new_state: State = {"layers_bn": [None] * (2 * n_blocks)}
+
+    x = _conv_strided(x, params["expand_conv"]["weight"], compute_dtype)
+    x, new_state["expand_bn"] = _batchnorm(
+        x, params["expand_bn"], state["expand_bn"], train=train, momentum=momentum)
+    x = _dropout(jax.nn.relu(x), config.dropout if train else 0.0, rngs[0])
+
+    for i in range(n_blocks):
+        fw = config.filter_widths[i + 1]
+        shift = config.causal_shifts_strided[i + 1]
+        res = x[:, shift + fw // 2:: fw]
+
+        y = _conv_strided(x, params["layers_conv"][2 * i]["weight"], compute_dtype)
+        y, new_state["layers_bn"][2 * i] = _batchnorm(
+            y, params["layers_bn"][2 * i], state["layers_bn"][2 * i],
+            train=train, momentum=momentum)
+        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 1])
+
+        y = _conv_matmul(y, params["layers_conv"][2 * i + 1]["weight"], 1, compute_dtype)
+        y, new_state["layers_bn"][2 * i + 1] = _batchnorm(
+            y, params["layers_bn"][2 * i + 1], state["layers_bn"][2 * i + 1],
+            train=train, momentum=momentum)
+        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 2])
+        x = res + y
+
+    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
+    x = x + params["shrink"]["bias"].astype(x.dtype)
+    return _finish_output(config, x.astype(jnp.float32)), new_state
+
+
+def forward(config, params, state, x, *, mode: str = "dilated", **kwargs):
+    """Dispatch to the dilated (reference/eval) or strided (train) form."""
+    if mode == "dilated":
+        return forward_dilated(config, params, state, x, **kwargs)
+    elif mode == "strided":
+        return forward_strided(config, params, state, x, **kwargs)
+    raise ValueError(f"unknown mode {mode!r}")
