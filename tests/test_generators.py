@@ -1,0 +1,165 @@
+"""Data-pipeline parity tests: the host-side pair sampler + on-device batch assembly
+must reproduce the reference ChunkedGenerator/UnchunkedGenerator outputs bit-for-bit
+(same seed => same shuffled chunk order => same padded/flipped batches)."""
+
+import numpy as np
+import pytest
+
+from videopose3d_tpu.data import (
+    FlatSequenceDataset,
+    ChunkedPairSampler,
+    assemble_chunked_batch,
+    UnchunkedBatcher,
+)
+
+KPS_LEFT = [1, 3, 5]
+KPS_RIGHT = [2, 4, 6]
+J = 8  # joints
+
+
+def _flip_perm():
+    perm = np.arange(J)
+    perm[KPS_LEFT] = KPS_RIGHT
+    perm[KPS_RIGHT] = KPS_LEFT
+    return perm
+
+
+def _make_data(seed=0, n_seqs=5, with_3d=True, with_cams=True):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(10, 60, n_seqs)
+    poses_2d = [rng.standard_normal((l, J, 2)).astype(np.float32) for l in lengths]
+    poses_3d = ([rng.standard_normal((l, J, 3)).astype(np.float32) for l in lengths]
+                if with_3d else None)
+    cams = ([rng.standard_normal(9).astype(np.float32) for _ in lengths]
+            if with_cams else None)
+    return poses_2d, poses_3d, cams
+
+
+def _assemble(ds, dev, meta, pad, causal_shift, chunk, with_3d=True, with_cams=True):
+    perm = tuple(_flip_perm().tolist())
+    cam, b3, b2 = assemble_chunked_batch(
+        dev.flat_2d, dev.flat_3d, dev.cameras, dev.seq_bounds, meta,
+        pad=pad, causal_shift=causal_shift, chunk_length=chunk,
+        kps_flip_perm=perm, joints_flip_perm=perm,
+        with_3d=with_3d, with_cameras=with_cams)
+    return (None if cam is None else np.asarray(cam),
+            None if b3 is None else np.asarray(b3),
+            np.asarray(b2))
+
+
+@pytest.mark.parametrize("pad,causal_shift,chunk,augment", [
+    (3, 0, 1, False),
+    (13, 0, 1, True),
+    (13, 13, 1, True),
+    (4, 0, 5, True),
+])
+def test_chunked_parity(reference_modules, pad, causal_shift, chunk, augment):
+    poses_2d, poses_3d, cams = _make_data()
+    batch_size = 16
+
+    ref_gen = reference_modules.generators.ChunkedGenerator(
+        batch_size, list(cams), [p.copy() for p in poses_3d],
+        [p.copy() for p in poses_2d],
+        chunk, pad=pad, causal_shift=causal_shift, shuffle=True, random_seed=1234,
+        augment=augment, kps_left=KPS_LEFT, kps_right=KPS_RIGHT,
+        joints_left=KPS_LEFT, joints_right=KPS_RIGHT)
+
+    ds = FlatSequenceDataset(poses_2d, poses_3d, cams)
+    dev = ds.to_device()
+    sampler = ChunkedPairSampler(
+        [p.shape[0] for p in poses_2d], batch_size, chunk,
+        shuffle=True, random_seed=1234, augment=augment)
+
+    assert sampler.num_batches == ref_gen.num_batches
+    assert sampler.num_frames() == ref_gen.num_frames()
+
+    ours_iter = sampler.next_epoch()
+    for ref_cam, ref_3d, ref_2d in ref_gen.next_epoch():
+        meta, n_valid = next(ours_iter)
+        assert n_valid == ref_2d.shape[0]
+        cam, b3, b2 = _assemble(ds, dev, meta, pad, causal_shift, chunk)
+        np.testing.assert_allclose(
+            b2[:n_valid], ref_2d.astype(np.float32), atol=0, rtol=0)
+        np.testing.assert_allclose(
+            b3[:n_valid], ref_3d.astype(np.float32), atol=0, rtol=0)
+        np.testing.assert_allclose(
+            cam[:n_valid], ref_cam.astype(np.float32), atol=0, rtol=0)
+    with pytest.raises(StopIteration):
+        next(ours_iter)
+
+
+def test_chunked_no_3d_no_cam(reference_modules):
+    poses_2d, _, _ = _make_data(with_3d=False, with_cams=False)
+    batch_size = 8
+    ref_gen = reference_modules.generators.ChunkedGenerator(
+        batch_size, None, None, [p.copy() for p in poses_2d], 1, pad=2,
+        causal_shift=0, shuffle=True, random_seed=4321, augment=False)
+    ds = FlatSequenceDataset(poses_2d)
+    dev = ds.to_device()
+    sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], batch_size, 1,
+                                 shuffle=True, random_seed=4321, augment=False)
+    ours_iter = sampler.next_epoch()
+    for _, _, ref_2d in ref_gen.next_epoch():
+        meta, n_valid = next(ours_iter)
+        _, _, b2 = _assemble(ds, dev, meta, 2, 0, 1, with_3d=False, with_cams=False)
+        np.testing.assert_array_equal(b2[:n_valid], ref_2d.astype(np.float32))
+
+
+def test_endless_state_and_resume(reference_modules):
+    """The endless semi-supervised stream keeps mid-epoch state; RNG state
+    save/restore must reproduce the exact upcoming chunk order."""
+    poses_2d, _, _ = _make_data(n_seqs=3, with_3d=False, with_cams=False)
+    lengths = [p.shape[0] for p in poses_2d]
+
+    s1 = ChunkedPairSampler(lengths, 4, 1, random_seed=4321, augment=True,
+                            endless=True)
+    it1 = s1.next_epoch()
+    seen = [next(it1)[0] for _ in range(2 * s1.num_batches + 3)]  # crosses epochs
+
+    # Restore a fresh sampler from saved RNG state: must replay identically.
+    s2 = ChunkedPairSampler(lengths, 4, 1, random_seed=9999, augment=True,
+                            endless=True)
+    s3 = ChunkedPairSampler(lengths, 4, 1, random_seed=4321, augment=True,
+                            endless=True)
+    s2.set_random_state(s3.random_state())
+    it2 = s2.next_epoch()
+    for want in seen:
+        got, _ = next(it2)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("pad,causal_shift,augment", [
+    (13, 0, False), (13, 0, True), (13, 13, True), (0, 0, True),
+])
+def test_unchunked_parity(reference_modules, pad, causal_shift, augment):
+    poses_2d, poses_3d, cams = _make_data(seed=1)
+    perm = _flip_perm()
+
+    ref_gen = reference_modules.generators.UnchunkedGenerator(
+        list(cams), [p.copy() for p in poses_3d], [p.copy() for p in poses_2d],
+        pad=pad, causal_shift=causal_shift, augment=augment,
+        kps_left=KPS_LEFT, kps_right=KPS_RIGHT,
+        joints_left=KPS_LEFT, joints_right=KPS_RIGHT)
+
+    ours = UnchunkedBatcher(
+        cams, poses_3d, poses_2d, pad=pad, causal_shift=causal_shift,
+        augment=augment, kps_flip_perm=perm, joints_flip_perm=perm, bucket=16)
+    assert ours.num_frames() == ref_gen.num_frames()
+
+    it = ours.next_epoch()
+    for ref_cam, ref_3d, ref_2d in ref_gen.next_epoch():
+        cam, b3, b2, n = next(it)
+        # Our 2D is right-padded to a bucket multiple; the reference window is a
+        # prefix of it (bucket padding replicates the final edge frame).
+        t_ref = ref_2d.shape[1]
+        np.testing.assert_array_equal(b2[:1, :t_ref], ref_2d.astype(np.float32)[:1])
+        if augment:
+            np.testing.assert_array_equal(
+                b2[1:2, :t_ref], ref_2d.astype(np.float32)[1:2])
+        # Bucket padding region replicates the last padded frame.
+        np.testing.assert_array_equal(
+            b2[:, t_ref:], np.repeat(b2[:, t_ref - 1:t_ref], b2.shape[1] - t_ref,
+                                     axis=1))
+        assert n == ref_3d.shape[1]
+        np.testing.assert_array_equal(b3, ref_3d[:1].astype(np.float32))
+        np.testing.assert_array_equal(cam, ref_cam[:1].astype(np.float32))

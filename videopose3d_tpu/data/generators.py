@@ -1,0 +1,321 @@
+"""On-device batch generation for training and evaluation.
+
+Capability parity target: ``/root/reference/common/generators.py`` —
+``ChunkedGenerator`` (:11-165, train) and ``UnchunkedGenerator`` (:168-239, eval).
+
+TPU-first redesign
+------------------
+The reference's hot-loop bottleneck is re-building every batch on host (window copy +
+``np.pad`` + fancy-index flip) and re-uploading it each step
+(``/root/reference/run.py:402-406``).  Here the pipeline is split so everything big
+lives on device:
+
+* **FlatSequenceDataset** — all videos concatenated into single HBM-resident arrays
+  ``(total_frames, J, C)`` plus a tiny ``(num_seqs, 2)`` bounds table.  Uploaded once.
+* **ChunkedPairSampler** (host) — reproduces the reference's chunk enumeration,
+  per-epoch ``RandomState`` shuffle, ``endless`` mid-epoch state, and
+  RNG-state-in-checkpoint resume semantics *bit-for-bit*; but it only manipulates a
+  ``(num_pairs, 4)`` int64 metadata array.  Per step it emits a ``(B, 4)`` int32
+  descriptor — the only host->device transfer in the training loop.
+* **assemble_chunked_batch** (device, inside jit) — turns descriptors into batches
+  with gathers: edge-replication padding is an index *clamp*, horizontal flip is an
+  x-sign mask + static joint permutation, camera flip negates intrinsics 2 and 7.
+  XLA fuses all of it into the training step.
+
+Shapes are fully static: the final partial batch is padded with repeated rows and a
+``(B,)`` validity mask is returned for masked losses (the reference instead yields a
+smaller final batch, ``generators.py:154-160``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FlatSequenceDataset:
+    """Concatenates per-video arrays into flat device-resident arrays.
+
+    Args:
+      poses_2d: list of (N_i, J, C) float arrays (C = 2 or 3 when detections carry
+        confidence scores; the model consumes whatever C the archive provides,
+        matching the reference which feeds ``poses_2d[0].shape[-1]`` as
+        ``in_features``, ``run.py:174``).
+      poses_3d: optional list of (N_i, J3, 3) arrays, same count/lengths.
+      cameras: optional list of (9,) intrinsic vectors, one per video.
+    """
+
+    def __init__(self, poses_2d: Sequence[np.ndarray],
+                 poses_3d: Optional[Sequence[np.ndarray]] = None,
+                 cameras: Optional[Sequence[np.ndarray]] = None):
+        assert poses_3d is None or len(poses_3d) == len(poses_2d)
+        assert cameras is None or len(cameras) == len(poses_2d)
+
+        lengths = np.array([p.shape[0] for p in poses_2d], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        self.seq_bounds = np.stack([starts, starts + lengths], axis=1).astype(np.int32)
+        self.lengths = lengths
+
+        self.flat_2d = np.concatenate(poses_2d, axis=0).astype(np.float32)
+        self.flat_3d = (np.concatenate(poses_3d, axis=0).astype(np.float32)
+                        if poses_3d is not None else None)
+        self.cameras = (np.stack(cameras, axis=0).astype(np.float32)
+                        if cameras is not None else None)
+
+    @property
+    def num_sequences(self) -> int:
+        return len(self.lengths)
+
+    @property
+    def num_frames(self) -> int:
+        return int(self.lengths.sum())
+
+    def to_device(self, sharding=None):
+        """Upload the flat arrays once (optionally with an explicit sharding —
+        replicated for data-parallel training)."""
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+            else jax.device_put
+        return DeviceArrays(
+            flat_2d=put(self.flat_2d),
+            flat_3d=put(self.flat_3d) if self.flat_3d is not None else None,
+            cameras=put(self.cameras) if self.cameras is not None else None,
+            seq_bounds=put(self.seq_bounds),
+        )
+
+
+class DeviceArrays:
+    """Handle to the device-resident dataset arrays."""
+
+    def __init__(self, flat_2d, flat_3d, cameras, seq_bounds):
+        self.flat_2d = flat_2d
+        self.flat_3d = flat_3d
+        self.cameras = cameras
+        self.seq_bounds = seq_bounds
+
+
+class ChunkedPairSampler:
+    """Host-side chunk enumerator: parity with ``ChunkedGenerator``'s lineage logic.
+
+    Produces the same (seq, start, end, flip) pair sequence, in the same shuffled
+    order for the same ``random_seed``, as ``generators.py:39-48`` + ``:89-97``:
+    the pairs live in an ``(N, 4)`` int64 array exactly like the reference's
+    ``np.random.RandomState.permutation`` sees them.
+
+    Yields ``(meta, n_valid)`` where ``meta`` is an ``(batch_size, 4)`` int32 array
+    of ``(seq_idx, start_3d, end_3d, flip)`` descriptors; rows past ``n_valid`` are
+    copies of row 0 and must be masked out (the reference yields a short batch
+    instead, ``generators.py:104``).
+    """
+
+    def __init__(self, num_sequences_lengths: Sequence[int], batch_size: int,
+                 chunk_length: int, *, shuffle: bool = True, random_seed: int = 1234,
+                 augment: bool = False, endless: bool = False):
+        pairs = []
+        for i, seq_len in enumerate(num_sequences_lengths):
+            n_chunks = (seq_len + chunk_length - 1) // chunk_length
+            offset = (n_chunks * chunk_length - seq_len) // 2
+            bounds = np.arange(n_chunks + 1) * chunk_length - offset
+            seq_col = np.full(n_chunks, i, dtype=np.int64)
+            zeros = np.zeros(n_chunks, dtype=np.int64)
+            pairs.append(np.stack([seq_col, bounds[:-1], bounds[1:], zeros], axis=1))
+            if augment:
+                pairs.append(np.stack(
+                    [seq_col, bounds[:-1], bounds[1:], 1 - zeros], axis=1))
+        self.pairs = (np.concatenate(pairs, axis=0) if pairs
+                      else np.zeros((0, 4), dtype=np.int64))
+
+        self.batch_size = batch_size
+        self.chunk_length = chunk_length
+        self.num_batches = (len(self.pairs) + batch_size - 1) // batch_size
+        self.random = np.random.RandomState(random_seed)
+        self.shuffle = shuffle
+        self.augment = augment
+        self.endless = endless
+        self.state = None  # (next_batch_idx, shuffled_pairs) for endless streams
+
+    def num_frames(self) -> int:
+        # Parity: generators.py:77-78 (rounds up to full batches).
+        return self.num_batches * self.batch_size
+
+    def augment_enabled(self) -> bool:
+        return self.augment
+
+    # -- RNG-state checkpointing (parity: generators.py:80-84, run.py:603) --
+
+    def random_state(self):
+        return self.random.get_state()
+
+    def set_random_state(self, state):
+        if isinstance(state, np.random.RandomState):
+            self.random = state
+        else:
+            self.random.set_state(state)
+
+    def _next_pairs(self):
+        if self.state is None:
+            pairs = self.random.permutation(self.pairs) if self.shuffle else self.pairs
+            return 0, pairs
+        return self.state
+
+    def next_epoch(self):
+        enabled = True
+        while enabled:
+            start_idx, pairs = self._next_pairs()
+            for b_i in range(start_idx, self.num_batches):
+                chunks = pairs[b_i * self.batch_size: (b_i + 1) * self.batch_size]
+                n_valid = len(chunks)
+                if n_valid < self.batch_size:
+                    filler = np.broadcast_to(
+                        chunks[0], (self.batch_size - n_valid, 4))
+                    chunks = np.concatenate([chunks, filler], axis=0)
+                if self.endless:
+                    self.state = (b_i + 1, pairs)
+                yield chunks.astype(np.int32), n_valid
+            if self.endless:
+                self.state = None
+            else:
+                enabled = False
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad", "causal_shift", "chunk_length", "kps_flip_perm",
+                     "joints_flip_perm", "with_3d", "with_cameras"),
+)
+def assemble_chunked_batch(
+    flat_2d, flat_3d, cameras, seq_bounds, meta, *,
+    pad: int, causal_shift: int, chunk_length: int,
+    kps_flip_perm: Tuple[int, ...], joints_flip_perm: Tuple[int, ...],
+    with_3d: bool = True, with_cameras: bool = False,
+):
+    """Build (cam, batch_3d, batch_2d) on device from chunk descriptors.
+
+    Semantics parity with ``generators.py:99-149``:
+
+    * 2D window = ``[start_3d - pad - causal_shift, end_3d + pad - causal_shift)``,
+      edge-replication padded at sequence boundaries (here: index clamp).
+    * 3D window = ``[start_3d, end_3d)``, same edge rule.
+    * flip: negate x of every keypoint/joint and swap left<->right columns; negate
+      camera params 2 (center x) and 7 (tangential x).
+
+    Args:
+      meta: (B, 4) int32 ``(seq_idx, start_3d, end_3d, flip)``.
+
+    Returns:
+      (cam | None, batch_3d | None, batch_2d) with static shapes
+      (B, 9), (B, chunk, J3, 3), (B, chunk + 2*pad, J, C).
+    """
+    seq = meta[:, 0]
+    start_3d = meta[:, 1]
+    flip = meta[:, 3].astype(bool)
+
+    lo = seq_bounds[seq, 0]
+    hi = seq_bounds[seq, 1]
+
+    def gather_window(flat, start, length):
+        rel = start[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]
+        clamped = jnp.clip(rel, 0, (hi - lo - 1)[:, None])
+        rows = lo[:, None] + clamped
+        out = jnp.take(flat, rows.reshape(-1), axis=0)
+        return out.reshape((meta.shape[0], length) + flat.shape[1:])
+
+    win_2d = chunk_length + 2 * pad
+    start_2d = start_3d - pad - causal_shift
+    batch_2d = gather_window(flat_2d, start_2d, win_2d)
+
+    kps_perm = jnp.asarray(np.array(kps_flip_perm, dtype=np.int32))
+    flipped_2d = batch_2d[:, :, kps_perm, :]
+    flipped_2d = flipped_2d.at[..., 0].multiply(-1.0)
+    batch_2d = jnp.where(flip[:, None, None, None], flipped_2d, batch_2d)
+
+    batch_3d = None
+    if with_3d:
+        batch_3d = gather_window(flat_3d, start_3d, chunk_length)
+        joints_perm = jnp.asarray(np.array(joints_flip_perm, dtype=np.int32))
+        flipped_3d = batch_3d[:, :, joints_perm, :]
+        flipped_3d = flipped_3d.at[..., 0].multiply(-1.0)
+        batch_3d = jnp.where(flip[:, None, None, None], flipped_3d, batch_3d)
+
+    cam = None
+    if with_cameras:
+        cam = cameras[seq]
+        sign = jnp.ones((9,), cam.dtype).at[2].set(-1.0).at[7].set(-1.0)
+        cam = jnp.where(flip[:, None], cam * sign, cam)
+
+    return cam, batch_3d, batch_2d
+
+
+class UnchunkedBatcher:
+    """Whole-sequence evaluation batches with optional test-time flip augmentation.
+
+    Parity target: ``UnchunkedGenerator`` (``generators.py:168-239``): yields one
+    full video per step; 2D input edge-padded by ``(pad + causal_shift,
+    pad - causal_shift)``; with ``augment`` the batch has two rows
+    [original, flipped].
+
+    TPU adaptation: sequence lengths are ragged, so the padded 2D input is
+    right-padded to the next multiple of ``bucket`` frames (replicating the last
+    frame).  A valid-frame count is returned; the extra model outputs are sliced
+    off on host.  Bucketing bounds the number of distinct XLA compilations to
+    O(max_len / bucket) instead of one per video length.
+    """
+
+    def __init__(self, cameras, poses_3d, poses_2d, *, pad: int = 0,
+                 causal_shift: int = 0, augment: bool = False,
+                 kps_flip_perm: Optional[np.ndarray] = None,
+                 joints_flip_perm: Optional[np.ndarray] = None,
+                 bucket: int = 128):
+        assert poses_3d is None or len(poses_3d) == len(poses_2d)
+        assert cameras is None or len(cameras) == len(poses_2d)
+        self.cameras = cameras
+        self.poses_3d = poses_3d
+        self.poses_2d = poses_2d
+        self.pad = pad
+        self.causal_shift = causal_shift
+        self.augment = augment
+        self.kps_flip_perm = kps_flip_perm
+        self.joints_flip_perm = joints_flip_perm
+        self.bucket = bucket
+
+    def num_frames(self) -> int:
+        return sum(p.shape[0] for p in self.poses_2d)
+
+    def augment_enabled(self) -> bool:
+        return self.augment
+
+    def set_augment(self, augment: bool):
+        self.augment = augment
+
+    def next_epoch(self):
+        """Yields (cam, seq_3d, padded_2d, n_out_frames) per video.
+
+        ``padded_2d``: (1 or 2, T_bucketed + 2*pad, J, C) — row 1 (if augment) is
+        the flipped copy.  ``seq_3d``: (1, N, J3, 3) un-padded ground truth (or
+        None).  ``n_out_frames``: N, the number of valid output frames; the model
+        produces ``T_bucketed`` outputs of which the first N are real.
+        """
+        n_videos = len(self.poses_2d)
+        for i in range(n_videos):
+            seq_2d = self.poses_2d[i]
+            seq_3d = self.poses_3d[i] if self.poses_3d is not None else None
+            cam = self.cameras[i] if self.cameras is not None else None
+            n = seq_2d.shape[0]
+
+            t_bucket = -(-n // self.bucket) * self.bucket
+            pad_left = self.pad + self.causal_shift
+            pad_right = (self.pad - self.causal_shift) + (t_bucket - n)
+            batch_2d = np.pad(
+                seq_2d, ((pad_left, pad_right), (0, 0), (0, 0)), "edge")[None]
+
+            if self.augment:
+                flipped = batch_2d[:, :, self.kps_flip_perm].copy()
+                flipped[..., 0] *= -1
+                batch_2d = np.concatenate([batch_2d, flipped], axis=0)
+
+            batch_3d = None if seq_3d is None else seq_3d[None]
+            batch_cam = None if cam is None else np.asarray(cam)[None]
+            yield batch_cam, batch_3d, batch_2d.astype(np.float32), n
