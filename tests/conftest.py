@@ -6,7 +6,7 @@ Must set XLA flags before jax initializes, so this executes at conftest import t
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter start, which outranks the env var — force CPU back via config.
+jax.config.update("jax_platforms", "cpu")
 
 # Full-precision matmuls so golden-value parity tests are meaningful.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,220 @@
+"""Training-engine smoke tests on synthetic data: supervised + semi-supervised
+steps run under jit, losses decrease on a learnable toy problem, schedules follow
+the reference formulas, and the data-parallel path works on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from videopose3d_tpu.data import FlatSequenceDataset, ChunkedPairSampler
+from videopose3d_tpu.models import (
+    TemporalModelConfig, init_temporal_model, receptive_field, forward_dilated,
+)
+from videopose3d_tpu.train import (
+    TrainLoopConfig, SupervisedTrainer, SemiSupervisedTrainer,
+    bn_momentum_for_epoch, set_learning_rate,
+)
+from videopose3d_tpu.evaluate import Evaluator, evaluate
+from videopose3d_tpu.data.generators import UnchunkedBatcher
+from videopose3d_tpu.parallel import make_mesh
+
+J = 17
+
+
+def _toy_data(rng, n_seqs=3, min_len=40, max_len=80):
+    """3D poses whose 2D projection is a fixed linear map — learnable signal."""
+    lengths = rng.integers(min_len, max_len, n_seqs)
+    poses_3d, poses_2d, cams = [], [], []
+    for l in lengths:
+        p3 = 0.1 * rng.standard_normal((l, J, 3)).astype(np.float32)
+        p2 = p3[..., :2] * 2.0 + 0.05
+        poses_3d.append(p3)
+        poses_2d.append(p2.astype(np.float32))
+        cams.append(np.array([1.1, 1.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                             np.float32))
+    return poses_2d, poses_3d, cams
+
+
+def _perm():
+    perm = np.arange(J)
+    left, right = [1, 3, 5], [2, 4, 6]
+    perm[left] = right
+    perm[right] = left
+    return perm
+
+
+def _model_cfg(fw=(3, 3), channels=16, dropout=0.25):
+    return TemporalModelConfig(num_joints_in=J, in_features=2, num_joints_out=J,
+                               filter_widths=fw, dropout=dropout,
+                               channels=channels)
+
+
+class TestSupervised:
+    def test_loss_decreases(self):
+        rng = np.random.default_rng(0)
+        poses_2d, poses_3d, _ = _toy_data(rng)
+        cfg = _model_cfg()
+        rf = receptive_field(cfg)
+        pad = (rf - 1) // 2
+        loop = TrainLoopConfig(batch_size=32, chunk_length=1, pad=pad,
+                               causal_shift=0, learning_rate=1e-3)
+
+        ds = FlatSequenceDataset(poses_2d, poses_3d)
+        dev = ds.to_device()
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 32, 1,
+                                     augment=True)
+        perm = _perm()
+        trainer = SupervisedTrainer(cfg, loop, perm, perm)
+
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt_state = trainer.init_optimizer(params)
+        step_rng = jax.random.PRNGKey(1)
+
+        losses = []
+        for epoch in range(3):
+            mom = bn_momentum_for_epoch(loop, epoch)
+            epoch_losses = []
+            for meta, n_valid in sampler.next_epoch():
+                params, state, opt_state, step_rng, loss = trainer.step(
+                    params, state, opt_state, step_rng, dev, meta, n_valid, mom)
+                epoch_losses.append(loss)
+            losses.append(float(np.mean([np.asarray(l) for l in epoch_losses])))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_lr_schedule(self):
+        cfg = _model_cfg()
+        loop = TrainLoopConfig(batch_size=8, chunk_length=1, pad=4,
+                               causal_shift=0, learning_rate=1e-3, lr_decay=0.95)
+        trainer = SupervisedTrainer(cfg, loop, _perm(), _perm())
+        params, _ = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt_state = trainer.init_optimizer(params)
+        opt_state = set_learning_rate(opt_state, 1e-3 * 0.95)
+        assert abs(float(opt_state.hyperparams["learning_rate"]) - 9.5e-4) < 1e-9
+
+    def test_bn_momentum_schedule(self):
+        # Reference formula (run.py:589-591): momentum after last epoch = 0.001.
+        loop = TrainLoopConfig(batch_size=8, chunk_length=1, pad=4,
+                               causal_shift=0, epochs=60)
+        m0 = bn_momentum_for_epoch(loop, 0)
+        m_last = bn_momentum_for_epoch(loop, 59)
+        assert 0.09 < m0 < 0.1
+        assert abs(m_last - 0.001) < 1e-9
+
+    def test_multichip_mesh(self):
+        """Data-parallel step over the virtual 8-device CPU mesh."""
+        assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+        mesh = make_mesh()
+        rng = np.random.default_rng(2)
+        poses_2d, poses_3d, _ = _toy_data(rng)
+        cfg = _model_cfg()
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                               causal_shift=0)
+
+        from videopose3d_tpu.parallel import replicated_sharding
+        ds = FlatSequenceDataset(poses_2d, poses_3d)
+        dev = ds.to_device(replicated_sharding(mesh))
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1)
+        trainer = SupervisedTrainer(cfg, loop, _perm(), _perm(), mesh=mesh)
+
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt_state = trainer.init_optimizer(params)
+        step_rng = jax.random.PRNGKey(1)
+        for meta, n_valid in sampler.next_epoch():
+            params, state, opt_state, step_rng, loss = trainer.step(
+                params, state, opt_state, step_rng, dev, meta, n_valid, 0.1)
+        assert np.isfinite(float(loss))
+
+
+class TestSemiSupervised:
+    def test_warmup_and_full_step(self):
+        rng = np.random.default_rng(3)
+        poses_2d, poses_3d, cams = _toy_data(rng)
+        poses_2d_semi = [p + 0.01 for p in poses_2d[:2]]
+        cams_semi = cams[:2]
+
+        cfg = _model_cfg()
+        traj_cfg = TemporalModelConfig(
+            num_joints_in=J, in_features=2, num_joints_out=1,
+            filter_widths=cfg.filter_widths, dropout=cfg.dropout,
+            channels=cfg.channels)
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=8, chunk_length=1, pad=pad,
+                               causal_shift=0, warmup=1)
+
+        # Make depths positive so 1/z is sane.
+        poses_3d = [p + np.array([0, 0, 4], np.float32) for p in poses_3d]
+
+        dev = FlatSequenceDataset(poses_2d, poses_3d, cams).to_device()
+        dev_semi = FlatSequenceDataset(poses_2d_semi, None, cams_semi).to_device()
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 8, 1)
+        sampler_semi = ChunkedPairSampler([p.shape[0] for p in poses_2d_semi], 8, 1,
+                                          random_seed=4321, endless=True)
+
+        parents = np.array([-1] + list(range(J - 1)))
+        trainer = SemiSupervisedTrainer(cfg, traj_cfg, loop, _perm(), _perm(),
+                                        parents)
+        params = {"pos": None, "traj": None}
+        states = {}
+        params["pos"], states_pos = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        params["traj"], states_traj = init_temporal_model(traj_cfg,
+                                                          jax.random.PRNGKey(1))
+        states = {"pos": states_pos, "traj": states_traj}
+        opt_state = trainer.init_optimizer(params)
+        step_rng = jax.random.PRNGKey(2)
+
+        semi_iter = sampler_semi.next_epoch()
+        for epoch in range(2):
+            skip = epoch < loop.warmup
+            for meta, n_valid in sampler.next_epoch():
+                meta_semi, n_valid_semi = next(semi_iter)
+                (params, states, opt_state, step_rng,
+                 loss_pos, loss_traj, loss_recon) = trainer.step(
+                    params, states, opt_state, step_rng, dev, dev_semi,
+                    meta, n_valid, meta_semi, n_valid_semi, 0.1, skip)
+                assert np.isfinite(float(loss_pos))
+                assert np.isfinite(float(loss_traj))
+            if not skip:
+                assert np.isfinite(float(loss_recon))
+                assert float(loss_recon) > 0.0
+
+
+class TestEvaluator:
+    def test_eval_protocols_smoke(self):
+        rng = np.random.default_rng(4)
+        poses_2d, poses_3d, _ = _toy_data(rng)
+        cfg = _model_cfg()
+        pad = (receptive_field(cfg) - 1) // 2
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        perm = _perm()
+
+        batcher = UnchunkedBatcher(None, poses_3d, poses_2d, pad=pad,
+                                   augment=True, kps_flip_perm=perm,
+                                   joints_flip_perm=perm, bucket=32)
+        ev = Evaluator(cfg, joints_flip_perm=perm)
+        e1, e2, e3, evel = evaluate(ev, params, state, batcher, verbose=False)
+        for v in (e1, e2, e3, evel):
+            assert np.isfinite(v) and v >= 0
+
+    def test_tta_exact_on_symmetric_model(self):
+        """With TTA, predictions = average of normal and unflipped-flip; for an
+        input that is its own mirror the two branches agree."""
+        cfg = _model_cfg(dropout=0.0)
+        pad = (receptive_field(cfg) - 1) // 2
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(5))
+        perm = _perm()
+
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((20, J, 2)).astype(np.float32)
+        # Build a mirror-symmetric input: x == flip(x).
+        x[..., 0] = 0.0
+        x[:, [1, 3, 5]] = x[:, [2, 4, 6]]
+
+        batcher = UnchunkedBatcher(None, None, [x], pad=pad, augment=True,
+                                   kps_flip_perm=perm, joints_flip_perm=perm,
+                                   bucket=16)
+        ev = Evaluator(cfg, joints_flip_perm=perm)
+        _, _, b2, n = next(batcher.next_epoch())
+        np.testing.assert_array_equal(b2[0], b2[1])

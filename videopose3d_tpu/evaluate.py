@@ -1,0 +1,145 @@
+"""Evaluation: whole-sequence inference with test-time augmentation and the four
+protocols (MPJPE / P-MPJPE / N-MPJPE / MPJVE).
+
+Parity target: ``/root/reference/run.py:652-721`` (``evaluate``) and the action-wise
+reporting at ``:784-862``.
+
+TPU notes: each video runs through the dilated model as one (1 or 2, T, J, C)
+tensor; lengths are bucketed by the ``UnchunkedBatcher`` so XLA compiles O(few)
+graph variants instead of one per video.  The TTA un-flip + average runs on device;
+Procrustes (P2) and velocity metrics run on host exactly like the reference
+(``run.py:698-704``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videopose3d_tpu.models.temporal import TemporalModelConfig, forward_dilated
+from videopose3d_tpu.ops.losses import mpjpe, n_mpjpe, p_mpjpe, mean_velocity_error
+
+
+class Evaluator:
+    """Jitted whole-sequence inference, cached per (bucketed) input length."""
+
+    def __init__(self, model_cfg: TemporalModelConfig,
+                 joints_flip_perm: Optional[np.ndarray] = None):
+        self.model_cfg = model_cfg
+        self.joints_flip_perm = (None if joints_flip_perm is None
+                                 else tuple(int(i) for i in joints_flip_perm))
+        self._infer = jax.jit(
+            self._infer_impl, static_argnames=("augment",))
+
+    def _infer_impl(self, params, state, batch_2d, *, augment: bool):
+        pred, _ = forward_dilated(self.model_cfg, params, state, batch_2d,
+                                  train=False)
+        if augment:
+            # Undo flipping on row 1 and average (parity: run.py:675-680).
+            flipped = pred[1]
+            flipped = flipped.at[..., 0].multiply(-1.0)
+            if self.joints_flip_perm is not None:
+                perm = jnp.asarray(np.array(self.joints_flip_perm, np.int32))
+                flipped = flipped[:, perm]
+            pred = (pred[0] + flipped)[None] * 0.5
+        return pred
+
+    def predict(self, params, state, batch_2d, augment: bool) -> np.ndarray:
+        """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
+        return np.asarray(self._infer(params, state, jnp.asarray(batch_2d),
+                                      augment=augment))
+
+
+def evaluate(evaluator: Evaluator, params, state, batcher, *,
+             action: Optional[str] = None, return_predictions: bool = False,
+             verbose: bool = True) -> Tuple[float, float, float, float]:
+    """Run the four protocols over a batcher of whole videos.
+
+    Parity: ``run.py:652-721``.  Errors are frame-weighted means, reported in mm.
+    With ``return_predictions`` the first video's prediction array (camera space)
+    is returned instead, as the reference does for rendering.
+    """
+    epoch_loss_3d_pos = 0.0
+    epoch_loss_3d_pos_procrustes = 0.0
+    epoch_loss_3d_pos_scale = 0.0
+    epoch_loss_3d_vel = 0.0
+    n_total = 0
+
+    for _, batch_3d, batch_2d, n_frames in batcher.next_epoch():
+        pred = evaluator.predict(params, state, batch_2d,
+                                 augment=batcher.augment_enabled())
+        pred = pred[:, :n_frames]
+        if return_predictions:
+            return pred[0]
+
+        target = np.asarray(batch_3d[:1], np.float32).copy()
+        target[:, :, 0] = 0.0
+
+        e1 = float(mpjpe(jnp.asarray(pred), jnp.asarray(target)))
+        e3 = float(n_mpjpe(jnp.asarray(pred), jnp.asarray(target)))
+
+        pred_flat = pred.reshape(-1, pred.shape[-2], pred.shape[-1])
+        target_flat = target.reshape(-1, target.shape[-2], target.shape[-1])
+        e2 = float(p_mpjpe(pred_flat, target_flat))
+        ev = float(mean_velocity_error(pred_flat, target_flat))
+
+        n = target.shape[0] * target.shape[1]
+        epoch_loss_3d_pos += n * e1
+        epoch_loss_3d_pos_scale += n * e3
+        epoch_loss_3d_pos_procrustes += n * e2
+        epoch_loss_3d_vel += n * ev
+        n_total += n
+
+    e1 = epoch_loss_3d_pos / n_total * 1000
+    e2 = epoch_loss_3d_pos_procrustes / n_total * 1000
+    e3 = epoch_loss_3d_pos_scale / n_total * 1000
+    ev = epoch_loss_3d_vel / n_total * 1000
+
+    if verbose:
+        print("----------" if action is None else "----" + action + "----")
+        print("Test time augmentation:", batcher.augment_enabled())
+        print("Protocol #1 Error (MPJPE):", e1, "mm")
+        print("Protocol #2 Error (P-MPJPE):", e2, "mm")
+        print("Protocol #3 Error (N-MPJPE):", e3, "mm")
+        print("Velocity Error (MPJVE):", ev, "mm")
+        print("----------")
+    return e1, e2, e3, ev
+
+
+def evaluate_actionwise(evaluator: Evaluator, params, state, all_actions: Dict,
+                        make_batcher, *, action_filter=None, verbose=True):
+    """Action-wise evaluation + averages (parity: ``run.py:825-854``).
+
+    Args:
+      all_actions: {action_name: [(subject, action), ...]}.
+      make_batcher: callable mapping a list of (subject, action) pairs to an
+        UnchunkedBatcher (the CLI layer supplies dataset access).
+    """
+    errors_p1, errors_p2, errors_p3, errors_vel = [], [], [], []
+    for action_key in all_actions.keys():
+        if action_filter is not None:
+            if not any(action_key.startswith(a) for a in action_filter):
+                continue
+        batcher = make_batcher(all_actions[action_key])
+        e1, e2, e3, ev = evaluate(evaluator, params, state, batcher,
+                                  action=action_key, verbose=verbose)
+        errors_p1.append(e1)
+        errors_p2.append(e2)
+        errors_p3.append(e3)
+        errors_vel.append(ev)
+
+    if verbose:
+        print("Protocol #1   (MPJPE) action-wise average:",
+              round(float(np.mean(errors_p1)), 1), "mm")
+        print("Protocol #2 (P-MPJPE) action-wise average:",
+              round(float(np.mean(errors_p2)), 1), "mm")
+        print("Protocol #3 (N-MPJPE) action-wise average:",
+              round(float(np.mean(errors_p3)), 1), "mm")
+        print("Velocity      (MPJVE) action-wise average:",
+              round(float(np.mean(errors_vel)), 2), "mm")
+    return (float(np.mean(errors_p1)), float(np.mean(errors_p2)),
+            float(np.mean(errors_p3)), float(np.mean(errors_vel)))

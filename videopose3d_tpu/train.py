@@ -1,0 +1,312 @@
+"""Training engine: jitted train steps over the on-device data pipeline.
+
+Capability parity target: the training half of ``/root/reference/run.py`` —
+supervised loop (:399-420), semi-supervised loop (:319-398), Adam(amsgrad)
+optimizer (:252-264), exponential lr decay (:583-587) and BatchNorm momentum decay
+(:589-593).
+
+TPU-first design
+----------------
+One jitted step fuses *everything*: batch assembly (gathers over the HBM-resident
+flat dataset), horizontal-flip augmentation, root-centering, the strided
+forward/backward, the optimizer update.  The only per-step host->device traffic is
+a ``(B, 4)`` int32 chunk-descriptor array (vs. the reference re-uploading the full
+float batch each step, ``run.py:402-406``).  Learning rate and BatchNorm momentum
+are traced scalars, so the per-epoch schedules never retrace.
+
+Data parallelism: pass a ``Mesh`` and the step is jitted with the batch axis
+sharded over ``data``; everything else replicated.  XLA inserts the gradient and
+BatchNorm-statistics all-reduces over ICI (see ``parallel/mesh.py``).
+
+Static-shape note: the final partial batch of each epoch is padded with repeated
+rows; losses mask them out.  BatchNorm batch statistics do include the padded rows
+(the reference instead runs a smaller final batch) — a one-batch-per-epoch
+stochastic difference with no measurable effect, documented here for the record.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from videopose3d_tpu.data.generators import assemble_chunked_batch
+from videopose3d_tpu.models.temporal import (
+    TemporalModelConfig,
+    forward_dilated,
+    forward_strided,
+)
+from videopose3d_tpu.ops.camera import project_to_2d, project_to_2d_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainLoopConfig:
+    """Schedule / loss-composition hyperparameters
+    (CLI parity: ``/root/reference/common/arguments.py:35-59``)."""
+
+    batch_size: int              # chunks per step (= --batch-size // --stride)
+    chunk_length: int            # --stride
+    pad: int
+    causal_shift: int
+    learning_rate: float = 1e-3
+    lr_decay: float = 0.95
+    epochs: int = 60
+    initial_momentum: float = 0.1
+    final_momentum: float = 0.001
+    use_strided: bool = True     # TemporalModelOptimized1f selection (run.py:172-175)
+    # Semi-supervised terms (run.py:319-398):
+    warmup: int = 1
+    bone_length_term: bool = True
+    no_proj: bool = False
+    linear_projection: bool = False
+
+
+def bn_momentum_for_epoch(cfg: TrainLoopConfig, epoch: int) -> float:
+    """Exponential BatchNorm momentum decay 0.1 -> 0.001
+    (parity: ``run.py:589-591``, evaluated at epoch+1 as the reference does)."""
+    return cfg.initial_momentum * float(np.exp(
+        -(epoch + 1) / cfg.epochs
+        * np.log(cfg.initial_momentum / cfg.final_momentum)))
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """Adam with AMSGrad, lr adjustable per epoch without retracing
+    (parity: ``run.py:252-253``, ``:264``, ``:583-587``)."""
+    return optax.inject_hyperparams(optax.amsgrad)(learning_rate=learning_rate)
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def _masked_sample_mean(per_sample, mask):
+    """Mean over valid samples of per-sample scalars. mask: (B,) float."""
+    return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _mpjpe_per_sample(pred, target):
+    """(B,) per-sample MPJPE (mean over frames and joints)."""
+    return jnp.mean(jnp.linalg.norm(pred - target, axis=-1), axis=(1, 2))
+
+
+class SupervisedTrainer:
+    """Owns the jitted supervised train step.
+
+    Parity: ``run.py:399-420``.  Assemble + forward(strided) + masked MPJPE +
+    Adam(amsgrad) update in one XLA computation.
+    """
+
+    def __init__(self, model_cfg: TemporalModelConfig, loop_cfg: TrainLoopConfig,
+                 kps_flip_perm, joints_flip_perm, mesh=None):
+        self.model_cfg = model_cfg
+        self.loop_cfg = loop_cfg
+        self.kps_flip_perm = tuple(int(i) for i in kps_flip_perm)
+        self.joints_flip_perm = tuple(int(i) for i in joints_flip_perm)
+        self.optimizer = make_optimizer(loop_cfg.learning_rate)
+        self.mesh = mesh
+
+        jit_kwargs = {"donate_argnums": (0, 1, 2, 3)}
+        if mesh is not None:
+            from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
+            rep = replicated_sharding(mesh)
+            bsh = batch_sharding(mesh)
+            jit_kwargs["in_shardings"] = (
+                rep, rep, rep, rep,          # params, state, opt_state, rng
+                rep, rep, rep,               # flat_2d, flat_3d, seq_bounds
+                bsh, rep, rep,               # meta, n_valid, momentum
+            )
+        self._step = jax.jit(self._step_impl, **jit_kwargs)
+
+    def init_optimizer(self, params):
+        return self.optimizer.init(params)
+
+    def _step_impl(self, params, state, opt_state, rng, flat_2d, flat_3d,
+                   seq_bounds, meta, n_valid, momentum):
+        cfg, loop = self.model_cfg, self.loop_cfg
+        _, batch_3d, batch_2d = assemble_chunked_batch(
+            flat_2d, flat_3d, None, seq_bounds, meta,
+            pad=loop.pad, causal_shift=loop.causal_shift,
+            chunk_length=loop.chunk_length,
+            kps_flip_perm=self.kps_flip_perm,
+            joints_flip_perm=self.joints_flip_perm,
+            with_3d=True, with_cameras=False)
+
+        # Root-center: zero the hip, trajectory handled separately (run.py:407).
+        batch_3d = batch_3d.at[:, :, 0].set(0.0)
+        mask = (jnp.arange(meta.shape[0]) < n_valid).astype(jnp.float32)
+
+        rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            fwd = forward_strided if loop.use_strided else forward_dilated
+            pred, new_state = fwd(cfg, p, state, batch_2d, train=True,
+                                  momentum=momentum, rng=dropout_rng)
+            loss = _masked_sample_mean(_mpjpe_per_sample(pred, batch_3d), mask)
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, rng, loss
+
+    def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
+        """One training step.  ``dev``: DeviceArrays for the labeled set."""
+        return self._step(params, state, opt_state, rng, dev.flat_2d, dev.flat_3d,
+                          dev.seq_bounds, jnp.asarray(meta),
+                          jnp.asarray(n_valid, jnp.int32),
+                          jnp.asarray(momentum, jnp.float32))
+
+
+class SemiSupervisedTrainer:
+    """Jitted semi-supervised step: pose model + trajectory model, joint optimizer.
+
+    Loss composition parity (``run.py:319-398``):
+      * supervised MPJPE on the labeled split of the concatenated batch;
+      * inverse-depth-weighted trajectory MPJPE on the labeled split;
+      * after ``warmup`` epochs: 2D reconstruction MPJPE of
+        ``project(pose + traj, cam)`` against the input keypoints on the unlabeled
+        split (differentiable distortion projection inside the graph), and a
+        bone-length penalty |mean labeled bones - mean unlabeled bones|.
+
+    Two step graphs are compiled: a warmup one (labeled batch only) and the full
+    one (concatenated batch), mirroring the reference's ``skip`` branch.
+    """
+
+    def __init__(self, model_cfg: TemporalModelConfig, traj_cfg: TemporalModelConfig,
+                 loop_cfg: TrainLoopConfig, kps_flip_perm, joints_flip_perm,
+                 skeleton_parents, mesh=None):
+        self.model_cfg = model_cfg
+        self.traj_cfg = traj_cfg
+        self.loop_cfg = loop_cfg
+        self.kps_flip_perm = tuple(int(i) for i in kps_flip_perm)
+        self.joints_flip_perm = tuple(int(i) for i in joints_flip_perm)
+        self.parents = tuple(int(p) for p in skeleton_parents)
+        self.optimizer = make_optimizer(loop_cfg.learning_rate)
+        self.mesh = mesh
+
+        jit_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (15,)}
+        if mesh is not None:
+            from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
+            rep = replicated_sharding(mesh)
+            bsh = batch_sharding(mesh)
+            jit_kwargs["in_shardings"] = (
+                rep, rep, rep, rep,           # params, states, opt_state, rng
+                rep, rep, rep,                # labeled flat_2d/flat_3d/bounds
+                rep, rep, rep,                # semi flat_2d/bounds/cams
+                bsh, rep, bsh, rep, rep,      # meta, n_valid, meta_semi, n_valid_semi, momentum
+            )                                 # (skip is static)
+        self._step = jax.jit(self._step_impl, **jit_kwargs)
+
+    def init_optimizer(self, params):
+        """``params`` = {"pos": ..., "traj": ...} — one optimizer over both models
+        (parity: ``run.py:252-253``)."""
+        return self.optimizer.init(params)
+
+    def _step_impl(self, params, states, opt_state, rng,
+                   flat_2d, flat_3d, seq_bounds,
+                   flat_2d_semi, seq_bounds_semi, cams_semi,
+                   meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
+        cfg, tcfg, loop = self.model_cfg, self.traj_cfg, self.loop_cfg
+
+        _, batch_3d, batch_2d = assemble_chunked_batch(
+            flat_2d, flat_3d, None, seq_bounds, meta,
+            pad=loop.pad, causal_shift=loop.causal_shift,
+            chunk_length=loop.chunk_length,
+            kps_flip_perm=self.kps_flip_perm,
+            joints_flip_perm=self.joints_flip_perm,
+            with_3d=True, with_cameras=False)
+
+        inputs_traj = batch_3d[:, :, :1]                      # before root-zeroing
+        batch_3d = batch_3d.at[:, :, 0].set(0.0)
+        b_l = meta.shape[0]
+        mask_l = (jnp.arange(b_l) < n_valid).astype(jnp.float32)
+
+        if not skip:
+            cam_semi, _, batch_2d_semi = assemble_chunked_batch(
+                flat_2d_semi, None, cams_semi, seq_bounds_semi, meta_semi,
+                pad=loop.pad, causal_shift=loop.causal_shift,
+                chunk_length=loop.chunk_length,
+                kps_flip_perm=self.kps_flip_perm,
+                joints_flip_perm=self.joints_flip_perm,
+                with_3d=False, with_cameras=True)
+            inputs_2d_cat = jnp.concatenate([batch_2d, batch_2d_semi], axis=0)
+            mask_u = (jnp.arange(meta_semi.shape[0]) < n_valid_semi).astype(jnp.float32)
+        else:
+            inputs_2d_cat = batch_2d
+            mask_u = None
+
+        rng, drop_pos, drop_traj = jax.random.split(rng, 3)
+
+        def loss_fn(p):
+            fwd = forward_strided if loop.use_strided else forward_dilated
+            pred_pos_cat, new_state_pos = fwd(
+                cfg, p["pos"], states["pos"], inputs_2d_cat, train=True,
+                momentum=momentum, rng=drop_pos)
+            pred_traj_cat, new_state_traj = fwd(
+                tcfg, p["traj"], states["traj"], inputs_2d_cat, train=True,
+                momentum=momentum, rng=drop_traj)
+
+            # Supervised 3D loss on the labeled split (run.py:352).
+            loss_pos = _masked_sample_mean(
+                _mpjpe_per_sample(pred_pos_cat[:b_l], batch_3d), mask_l)
+
+            # Inverse-depth-weighted trajectory loss (run.py:358-360).
+            w = 1.0 / inputs_traj[..., 2]                      # (B, T, 1)
+            dist_traj = jnp.linalg.norm(
+                pred_traj_cat[:b_l] - inputs_traj, axis=-1)    # (B, T, 1)
+            loss_traj = _masked_sample_mean(
+                jnp.mean(w * dist_traj, axis=(1, 2)), mask_l)
+
+            total = loss_pos + loss_traj
+            loss_recon = jnp.float32(0.0)
+
+            if not skip:
+                pred_semi = pred_pos_cat[b_l:]
+                if loop.pad > 0:
+                    target_semi = batch_2d_semi[:, loop.pad:-loop.pad, :, :2]
+                else:
+                    target_semi = batch_2d_semi[..., :2]
+                project = (project_to_2d_linear if loop.linear_projection
+                           else project_to_2d)
+                reconstruction = project(pred_semi + pred_traj_cat[b_l:], cam_semi)
+                loss_recon = _masked_sample_mean(
+                    _mpjpe_per_sample(reconstruction, target_semi), mask_u)
+                if not loop.no_proj:
+                    total = total + loss_recon
+
+                if loop.bone_length_term:
+                    parents = jnp.asarray(np.array(self.parents[1:], np.int32))
+                    dists = (pred_pos_cat[:, :, 1:]
+                             - pred_pos_cat[:, :, parents])
+                    bones = jnp.mean(jnp.linalg.norm(dists, axis=-1), axis=1)  # (B, J-1)
+                    mean_l = (jnp.sum(bones[:b_l] * mask_l[:, None], axis=0)
+                              / jnp.maximum(jnp.sum(mask_l), 1.0))
+                    mean_u = (jnp.sum(bones[b_l:] * mask_u[:, None], axis=0)
+                              / jnp.maximum(jnp.sum(mask_u), 1.0))
+                    total = total + jnp.mean(jnp.abs(mean_l - mean_u))
+
+            new_states = {"pos": new_state_pos, "traj": new_state_traj}
+            return total, (new_states, loss_pos, loss_traj, loss_recon)
+
+        (_, (new_states, loss_pos, loss_traj, loss_recon)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(params))
+        updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_states, new_opt_state, rng,
+                loss_pos, loss_traj, loss_recon)
+
+    def step(self, params, states, opt_state, rng, dev, dev_semi,
+             meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
+        return self._step(
+            params, states, opt_state, rng,
+            dev.flat_2d, dev.flat_3d, dev.seq_bounds,
+            dev_semi.flat_2d, dev_semi.seq_bounds, dev_semi.cameras,
+            jnp.asarray(meta), jnp.asarray(n_valid, jnp.int32),
+            jnp.asarray(meta_semi), jnp.asarray(n_valid_semi, jnp.int32),
+            jnp.asarray(momentum, jnp.float32), bool(skip))
