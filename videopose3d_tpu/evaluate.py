@@ -36,8 +36,11 @@ class Evaluator:
             self._infer_impl, static_argnames=("augment",))
 
     def _infer_impl(self, params, state, batch_2d, *, augment: bool):
-        pred, _ = forward_dilated(self.model_cfg, params, state, batch_2d,
-                                  train=False)
+        # Full-precision MXU matmuls for metric-grade inference: protocol errors
+        # are reported to 0.1 mm, below the noise floor of bf16-input matmuls.
+        with jax.default_matmul_precision("highest"):
+            pred, _ = forward_dilated(self.model_cfg, params, state, batch_2d,
+                                      train=False)
         if augment:
             # Undo flipping on row 1 and average (parity: run.py:675-680).
             flipped = pred[1]

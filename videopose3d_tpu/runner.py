@@ -1,0 +1,809 @@
+"""End-to-end driver: data prep -> model build -> train/resume -> evaluate/render.
+
+Capability parity target: ``/root/reference/run.py`` (861 lines) — same CLI, same
+four modes (train, resume, evaluate, render), same printed epoch lines and
+protocol reports, same checkpoint payload semantics.
+
+TPU-first differences (see SURVEY.md §7):
+  * the training step is one jitted XLA computation over device-resident data
+    (no per-step host uploads, ``run.py:402-406`` eliminated);
+  * the optimized strided model and the dilated eval model share one parameter
+    pytree, so the per-epoch ``state_dict`` copy (``run.py:426``) disappears;
+  * data parallelism over all local devices via GSPMD mesh sharding (opt out with
+    ``--no-mesh``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from time import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from videopose3d_tpu.arguments import parse_args
+from videopose3d_tpu.checkpoint import save_checkpoint, load_checkpoint
+from videopose3d_tpu.data.generators import (
+    FlatSequenceDataset, ChunkedPairSampler, UnchunkedBatcher)
+from videopose3d_tpu.evaluate import Evaluator, evaluate
+from videopose3d_tpu.models.convert import (
+    params_from_torch_state_dict, params_to_torch_state_dict)
+from videopose3d_tpu.models.temporal import (
+    TemporalModelConfig, init_temporal_model, receptive_field, param_count)
+from videopose3d_tpu.ops.camera import (
+    normalize_screen_coordinates, world_to_camera, camera_to_world,
+    image_coordinates, project_to_2d)
+from videopose3d_tpu.train import (
+    TrainLoopConfig, SupervisedTrainer, SemiSupervisedTrainer,
+    bn_momentum_for_epoch, set_learning_rate)
+from videopose3d_tpu.utils import deterministic_random
+
+
+# ---------------------------------------------------------------------------
+# Data loading / preparation (parity: run.py:37-97)
+# ---------------------------------------------------------------------------
+
+
+def load_dataset(args):
+    print("Loading dataset...")
+    dataset_path = os.path.join(args.data_dir, "data_3d_" + args.dataset + ".npz")
+    if args.dataset == "h36m":
+        from videopose3d_tpu.datasets.h36m import Human36mDataset
+        return Human36mDataset(dataset_path)
+    elif args.dataset.startswith("humaneva"):
+        from videopose3d_tpu.datasets.humaneva import HumanEvaDataset
+        return HumanEvaDataset(dataset_path)
+    elif args.dataset.startswith("custom"):
+        from videopose3d_tpu.datasets.custom import CustomDataset
+        return CustomDataset(os.path.join(
+            args.data_dir, "data_2d_" + args.dataset + "_" + args.keypoints + ".npz"))
+    raise KeyError("Invalid dataset")
+
+
+def prepare_dataset_3d(dataset):
+    """World->camera transform + root-relativization, keeping the global
+    trajectory in joint 0 (parity: run.py:52-62)."""
+    print("Preparing data...")
+    for subject in dataset.subjects():
+        for action in dataset[subject].keys():
+            anim = dataset[subject][action]
+            if "positions" in anim:
+                positions_3d = []
+                for cam in anim["cameras"]:
+                    pos_3d = np.array(world_to_camera(
+                        anim["positions"], R=cam["orientation"],
+                        t=cam["translation"]))
+                    pos_3d[:, 1:] -= pos_3d[:, :1]
+                    positions_3d.append(pos_3d)
+                anim["positions_3d"] = positions_3d
+
+
+def load_2d_detections(args, dataset):
+    """Load the 2D keypoint archive, trim to mocap length, normalize screen
+    coordinates (parity: run.py:64-97)."""
+    print("Loading 2D detections...")
+    path = os.path.join(args.data_dir,
+                        "data_2d_" + args.dataset + "_" + args.keypoints + ".npz")
+    archive = np.load(path, allow_pickle=True)
+    keypoints_metadata = archive["metadata"].item()
+    keypoints_symmetry = keypoints_metadata["keypoints_symmetry"]
+    kps_left, kps_right = list(keypoints_symmetry[0]), list(keypoints_symmetry[1])
+    keypoints = archive["positions_2d"].item()
+
+    for subject in dataset.subjects():
+        assert subject in keypoints, (
+            f"Subject {subject} is missing from the 2D detections dataset")
+        for action in dataset[subject].keys():
+            assert action in keypoints[subject], (
+                f"Action {action} of subject {subject} is missing from the 2D "
+                f"detections dataset")
+            if "positions_3d" not in dataset[subject][action]:
+                continue
+            for cam_idx in range(len(keypoints[subject][action])):
+                # Some H36M videos have extra frames past the mocap stream.
+                mocap_length = dataset[subject][action]["positions_3d"][cam_idx].shape[0]
+                assert keypoints[subject][action][cam_idx].shape[0] >= mocap_length
+                if keypoints[subject][action][cam_idx].shape[0] > mocap_length:
+                    keypoints[subject][action][cam_idx] = \
+                        keypoints[subject][action][cam_idx][:mocap_length]
+            assert len(keypoints[subject][action]) == \
+                len(dataset[subject][action]["positions_3d"])
+
+    for subject in keypoints.keys():
+        for action in keypoints[subject]:
+            for cam_idx, kps in enumerate(keypoints[subject][action]):
+                cam = dataset.cameras()[subject][cam_idx]
+                kps[..., :2] = np.asarray(normalize_screen_coordinates(
+                    kps[..., :2], w=cam["res_w"], h=cam["res_h"]))
+                keypoints[subject][action][cam_idx] = kps
+
+    return keypoints, keypoints_metadata, kps_left, kps_right
+
+
+def fetch(args, dataset, keypoints, subjects, action_filter=None, subset=1,
+          parse_3d_poses=True):
+    """Gather per-(subject, action, camera) sequences (parity: run.py:110-163)."""
+    out_poses_3d = []
+    out_poses_2d = []
+    out_camera_params = []
+    for subject in subjects:
+        for action in keypoints[subject].keys():
+            if action_filter is not None:
+                if not any(action.startswith(a) for a in action_filter):
+                    continue
+
+            poses_2d = keypoints[subject][action]
+            for i in range(len(poses_2d)):
+                out_poses_2d.append(poses_2d[i])
+
+            if subject in dataset.cameras():
+                cams = dataset.cameras()[subject]
+                assert len(cams) == len(poses_2d), "Camera count mismatch"
+                for cam in cams:
+                    if "intrinsic" in cam:
+                        out_camera_params.append(cam["intrinsic"])
+
+            if parse_3d_poses and "positions_3d" in dataset[subject][action]:
+                poses_3d = dataset[subject][action]["positions_3d"]
+                assert len(poses_3d) == len(poses_2d), "Camera count mismatch"
+                for i in range(len(poses_3d)):
+                    out_poses_3d.append(poses_3d[i])
+
+    if len(out_camera_params) == 0:
+        out_camera_params = None
+    if len(out_poses_3d) == 0:
+        out_poses_3d = None
+
+    stride = args.downsample
+    if subset < 1:
+        for i in range(len(out_poses_2d)):
+            n_frames = int(round(len(out_poses_2d[i]) // stride * subset) * stride)
+            start = deterministic_random(
+                0, len(out_poses_2d[i]) - n_frames + 1, str(len(out_poses_2d[i])))
+            out_poses_2d[i] = out_poses_2d[i][start:start + n_frames:stride]
+            if out_poses_3d is not None:
+                out_poses_3d[i] = out_poses_3d[i][start:start + n_frames:stride]
+    elif stride > 1:
+        for i in range(len(out_poses_2d)):
+            out_poses_2d[i] = out_poses_2d[i][::stride]
+            if out_poses_3d is not None:
+                out_poses_3d[i] = out_poses_3d[i][::stride]
+
+    return out_camera_params, out_poses_3d, out_poses_2d
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint interop
+# ---------------------------------------------------------------------------
+
+
+def load_any_checkpoint(path):
+    """Load either our pickle checkpoints or reference torch ``.bin`` files,
+    returning state dicts as numpy arrays."""
+    try:
+        chk = load_checkpoint(path)
+        if isinstance(chk, dict) and "model_pos" in chk:
+            return chk
+    except Exception:
+        pass
+    import torch  # CPU torch, for reading reference checkpoints only
+    chk = torch.load(path, map_location="cpu", weights_only=False)
+    out = dict(chk)
+    for key in ("model_pos", "model_traj"):
+        if out.get(key) is not None:
+            out[key] = {k: np.asarray(v) for k, v in out[key].items()}
+    out["optimizer"] = None  # torch optimizer state is not portable
+    return out
+
+
+def _flip_perm_from_lists(num, left, right):
+    perm = np.arange(num)
+    perm[list(left)] = list(right)
+    perm[list(right)] = list(left)
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# Per-epoch evaluation losses (parity: run.py:424-549)
+# ---------------------------------------------------------------------------
+
+
+def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None,
+                       traj_params=None, traj_state=None, pad=0):
+    """Frame-weighted MPJPE (and, when trajectory evaluation is requested, the
+    trajectory MPJPE and 2D reconstruction loss) over whole sequences, eval mode,
+    no TTA."""
+    loss_3d = 0.0
+    loss_traj = 0.0
+    loss_2d = 0.0
+    n_total = 0
+    for cam, batch_3d, batch_2d, n_frames in batcher.next_epoch():
+        if n_frames == 0:
+            continue
+        pred = evaluator.predict(params, state, batch_2d, augment=False)[:, :n_frames]
+        n = 1 * n_frames
+        if batch_3d is not None:
+            target = np.asarray(batch_3d, np.float32).copy()
+            traj_target = target[:, :, :1].copy()
+            target[:, :, 0] = 0.0
+            loss_3d += n * float(np.mean(
+                np.linalg.norm(pred - target, axis=-1)))
+        if traj_evaluator is not None:
+            pred_traj = traj_evaluator.predict(
+                traj_params, traj_state, batch_2d, augment=False)[:, :n_frames]
+            if batch_3d is not None:
+                loss_traj += n * float(np.mean(
+                    np.linalg.norm(pred_traj - traj_target, axis=-1)))
+            if cam is not None:
+                target_2d = batch_2d[:1, pad:pad + n_frames, :, :2] if pad > 0 \
+                    else batch_2d[:1, :n_frames, :, :2]
+                recon = np.asarray(project_to_2d(
+                    jnp.asarray(pred + pred_traj), jnp.asarray(cam[:1])))
+                loss_2d += n * float(np.mean(
+                    np.linalg.norm(recon - target_2d, axis=-1)))
+        n_total += n
+    if n_total == 0:
+        return 0.0, 0.0, 0.0, 0
+    return loss_3d / n_total, loss_traj / n_total, loss_2d / n_total, n_total
+
+
+# ---------------------------------------------------------------------------
+# Main
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    print(args)
+
+    os.makedirs(args.checkpoint, exist_ok=True)
+
+    dataset = load_dataset(args)
+    prepare_dataset_3d(dataset)
+    keypoints, keypoints_metadata, kps_left, kps_right = \
+        load_2d_detections(args, dataset)
+    joints_left = list(dataset.skeleton().joints_left())
+    joints_right = list(dataset.skeleton().joints_right())
+
+    subjects_train = args.subjects_train.split(",")
+    subjects_semi = ([] if not args.subjects_unlabeled
+                     else args.subjects_unlabeled.split(","))
+    if not args.render:
+        subjects_test = args.subjects_test.split(",")
+    else:
+        subjects_test = [args.viz_subject]
+
+    semi_supervised = len(subjects_semi) > 0
+    if semi_supervised and not dataset.supports_semi_supervised():
+        raise RuntimeError(
+            "Semi-supervised training is not implemented for this dataset")
+
+    action_filter = None if args.actions == "*" else args.actions.split(",")
+    if action_filter is not None:
+        print("Selected actions:", action_filter)
+
+    cameras_valid, poses_valid, poses_valid_2d = fetch(
+        args, dataset, keypoints, subjects_test, action_filter)
+
+    # --- model configs (parity: run.py:171-198) ---
+    filter_widths = tuple(int(x) for x in args.architecture.split(","))
+    num_kps = poses_valid_2d[0].shape[-2]
+    in_features = poses_valid_2d[0].shape[-1]
+    use_strided = (not args.disable_optimizations and not args.dense
+                   and args.stride == 1)
+
+    model_cfg = TemporalModelConfig(
+        num_joints_in=num_kps, in_features=in_features,
+        num_joints_out=dataset.skeleton().num_joints(),
+        filter_widths=filter_widths, causal=args.causal, dropout=args.dropout,
+        channels=args.channels, dense=args.dense,
+        compute_dtype=args.compute_dtype)
+    traj_cfg = TemporalModelConfig(
+        num_joints_in=num_kps, in_features=in_features, num_joints_out=1,
+        filter_widths=filter_widths, causal=args.causal, dropout=args.dropout,
+        channels=args.channels, dense=args.dense,
+        compute_dtype=args.compute_dtype)
+
+    rf = receptive_field(model_cfg)
+    print(f"INFO: Receptive field: {rf} frames")
+    pad = (rf - 1) // 2
+    if args.causal:
+        print("INFO: Using causal convolutions")
+        causal_shift = pad
+    else:
+        causal_shift = 0
+
+    init_rng = jax.random.PRNGKey(args.seed)
+    pos_rng, traj_rng, step_rng = jax.random.split(init_rng, 3)
+    params, state = init_temporal_model(model_cfg, pos_rng)
+    print("INFO: Trainable parameter count:", param_count(params))
+
+    params_traj = state_traj = None
+
+    kps_perm = _flip_perm_from_lists(num_kps, kps_left, kps_right)
+    joints_perm = _flip_perm_from_lists(
+        dataset.skeleton().num_joints(), joints_left, joints_right)
+
+    # --- checkpoint load (parity: run.py:204-221) ---
+    checkpoint = None
+    if args.resume or args.evaluate:
+        chk_filename = os.path.join(
+            args.checkpoint, args.resume if args.resume else args.evaluate)
+        print("Loading checkpoint", chk_filename)
+        checkpoint = load_any_checkpoint(chk_filename)
+        print("This model was trained for {} epochs".format(checkpoint["epoch"]))
+        params, state = params_from_torch_state_dict(
+            model_cfg, checkpoint["model_pos"])
+        if args.evaluate and checkpoint.get("model_traj") is not None:
+            params_traj, state_traj = params_from_torch_state_dict(
+                traj_cfg, checkpoint["model_traj"])
+
+    test_batcher = UnchunkedBatcher(
+        cameras_valid, poses_valid, poses_valid_2d, pad=pad,
+        causal_shift=causal_shift, augment=False,
+        kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
+        bucket=args.eval_bucket)
+    print("INFO: Testing on {} frames".format(test_batcher.num_frames()))
+
+    evaluator = Evaluator(model_cfg, joints_flip_perm=joints_perm)
+    traj_evaluator = Evaluator(traj_cfg, joints_flip_perm=None)
+
+    mesh = None
+    if not args.no_mesh and jax.device_count() > 1:
+        from videopose3d_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        print(f"INFO: Data-parallel mesh over {mesh.size} devices")
+
+    if not args.evaluate:
+        params, state, params_traj, state_traj = _train(
+            args, dataset, keypoints, subjects_train, subjects_semi,
+            action_filter, model_cfg, traj_cfg, params, state, step_rng,
+            kps_perm, joints_perm, pad, causal_shift, use_strided,
+            semi_supervised, evaluator, traj_evaluator, test_batcher,
+            checkpoint, mesh, traj_rng)
+
+    if args.render:
+        _render(args, dataset, keypoints, keypoints_metadata, model_cfg, traj_cfg,
+                params, state, params_traj, state_traj, evaluator,
+                traj_evaluator, pad, causal_shift, kps_perm, joints_perm)
+    else:
+        print("Evaluating...")
+        _final_evaluation(args, dataset, keypoints, subjects_test, action_filter,
+                          params, state, evaluator, pad, causal_shift,
+                          kps_perm, joints_perm)
+
+
+# ---------------------------------------------------------------------------
+# Training loop (parity: run.py:229-649)
+# ---------------------------------------------------------------------------
+
+
+def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filter,
+           model_cfg, traj_cfg, params, state, step_rng, kps_perm, joints_perm,
+           pad, causal_shift, use_strided, semi_supervised, evaluator,
+           traj_evaluator, test_batcher, checkpoint, mesh, traj_rng):
+    cameras_train, poses_train, poses_train_2d = fetch(
+        args, dataset, keypoints, subjects_train, action_filter,
+        subset=args.subset)
+
+    lr = args.learning_rate
+    loop_cfg = TrainLoopConfig(
+        batch_size=args.batch_size // args.stride, chunk_length=args.stride,
+        pad=pad, causal_shift=causal_shift, learning_rate=lr,
+        lr_decay=args.lr_decay, epochs=args.epochs, use_strided=use_strided,
+        warmup=args.warmup, bone_length_term=args.bone_length_term,
+        no_proj=args.no_proj, linear_projection=args.linear_projection)
+
+    rep_sharding = None
+    if mesh is not None:
+        from videopose3d_tpu.parallel import replicated_sharding, shard_batch_size
+        rep_sharding = replicated_sharding(mesh)
+        if loop_cfg.batch_size % mesh.size != 0:
+            new_bs = shard_batch_size(loop_cfg.batch_size, mesh)
+            print(f"INFO: rounding batch size {loop_cfg.batch_size} -> {new_bs} "
+                  f"to divide across {mesh.size} devices")
+            loop_cfg = TrainLoopConfig(**{
+                **loop_cfg.__dict__, "batch_size": new_bs})
+
+    dev = FlatSequenceDataset(
+        poses_train_2d, poses_train, cameras_train).to_device(rep_sharding)
+    sampler = ChunkedPairSampler(
+        [p.shape[0] for p in poses_train_2d], loop_cfg.batch_size,
+        loop_cfg.chunk_length, shuffle=True, augment=args.data_augmentation)
+    train_eval_batcher = UnchunkedBatcher(
+        cameras_train, poses_train, poses_train_2d, pad=pad,
+        causal_shift=causal_shift, augment=False, kps_flip_perm=kps_perm,
+        joints_flip_perm=joints_perm, bucket=args.eval_bucket)
+    print("INFO: Training on {} frames".format(train_eval_batcher.num_frames()))
+
+    epoch = 0
+    params_traj = state_traj = None
+
+    if semi_supervised:
+        cameras_semi, _, poses_semi_2d = fetch(
+            args, dataset, keypoints, subjects_semi, action_filter,
+            parse_3d_poses=False)
+        dev_semi = FlatSequenceDataset(
+            poses_semi_2d, None, cameras_semi).to_device(rep_sharding)
+        sampler_semi = ChunkedPairSampler(
+            [p.shape[0] for p in poses_semi_2d], loop_cfg.batch_size,
+            loop_cfg.chunk_length, shuffle=True, random_seed=4321,
+            augment=args.data_augmentation, endless=True)
+        semi_eval_batcher = UnchunkedBatcher(
+            cameras_semi, None, poses_semi_2d, pad=pad,
+            causal_shift=causal_shift, augment=False, kps_flip_perm=kps_perm,
+            joints_flip_perm=joints_perm, bucket=args.eval_bucket)
+        print("INFO: Semi-supervision on {} frames".format(
+            semi_eval_batcher.num_frames()))
+
+        params_traj, state_traj = init_temporal_model(traj_cfg, traj_rng)
+        trainer = SemiSupervisedTrainer(
+            model_cfg, traj_cfg, loop_cfg, kps_perm, joints_perm,
+            dataset.skeleton().parents(), mesh=mesh)
+        all_params = {"pos": params, "traj": params_traj}
+        all_states = {"pos": state, "traj": state_traj}
+        opt_state = trainer.init_optimizer(all_params)
+    else:
+        trainer = SupervisedTrainer(model_cfg, loop_cfg, kps_perm, joints_perm,
+                                    mesh=mesh)
+        opt_state = trainer.init_optimizer(params)
+        all_params = all_states = None
+        sampler_semi = None
+        dev_semi = None
+        semi_eval_batcher = None
+
+    # Resume (parity: run.py:293-305).
+    if args.resume and checkpoint is not None:
+        epoch = checkpoint["epoch"]
+        lr = checkpoint["lr"]
+        if checkpoint.get("optimizer") is not None:
+            opt_state = jax.tree_util.tree_map(
+                jnp.asarray, checkpoint["optimizer"],
+                is_leaf=lambda x: isinstance(x, np.ndarray))
+            sampler.set_random_state(checkpoint["random_state"])
+        else:
+            print("WARNING: this checkpoint does not contain an optimizer state. "
+                  "The optimizer will be reinitialized.")
+        if semi_supervised:
+            p_t, s_t = params_from_torch_state_dict(
+                traj_cfg, checkpoint["model_traj"])
+            all_params = {"pos": params, "traj": p_t}
+            all_states = {"pos": state, "traj": s_t}
+            if checkpoint.get("random_state_semi") is not None:
+                sampler_semi.set_random_state(checkpoint["random_state_semi"])
+        opt_state = set_learning_rate(opt_state, lr)
+
+    print("** Note: reported losses are averaged over all frames and test-time "
+          "augmentation is not used here.")
+    print("** The final evaluation will be carried out after the last training "
+          "epoch.")
+
+    losses_3d_train = []
+    losses_3d_train_eval = []
+    losses_3d_valid = []
+    losses_traj_train = []
+    losses_traj_train_eval = []
+    losses_traj_valid = []
+    losses_2d_train_unlabeled = []
+    losses_2d_train_labeled_eval = []
+    losses_2d_train_unlabeled_eval = []
+    losses_2d_valid = []
+
+    semi_iter = sampler_semi.next_epoch() if semi_supervised else None
+
+    while epoch < args.epochs:
+        start_time = time()
+        momentum = bn_momentum_for_epoch(loop_cfg, epoch - 1)  # current epoch's BN momentum
+
+        epoch_losses = []
+        epoch_losses_traj = []
+        epoch_losses_2d = []
+        if semi_supervised:
+            skip = epoch < args.warmup
+            for meta, n_valid in sampler.next_epoch():
+                meta_semi, n_valid_semi = next(semi_iter)
+                (all_params, all_states, opt_state, step_rng,
+                 loss_pos, loss_traj, loss_recon) = trainer.step(
+                    all_params, all_states, opt_state, step_rng, dev, dev_semi,
+                    meta, n_valid, meta_semi, n_valid_semi, momentum, skip)
+                epoch_losses.append(loss_pos)
+                epoch_losses_traj.append(loss_traj)
+                epoch_losses_2d.append(loss_recon)
+            params, state = all_params["pos"], all_states["pos"]
+            params_traj, state_traj = all_params["traj"], all_states["traj"]
+            losses_traj_train.append(
+                float(np.mean([np.asarray(l) for l in epoch_losses_traj])))
+            losses_2d_train_unlabeled.append(
+                float(np.mean([np.asarray(l) for l in epoch_losses_2d])))
+        else:
+            for meta, n_valid in sampler.next_epoch():
+                params, state, opt_state, step_rng, loss = trainer.step(
+                    params, state, opt_state, step_rng, dev, meta, n_valid,
+                    momentum)
+                epoch_losses.append(loss)
+        losses_3d_train.append(
+            float(np.mean([np.asarray(l) for l in epoch_losses])))
+
+        # End-of-epoch evaluation (parity: run.py:424-549); weights are shared
+        # between the strided train form and dilated eval form, no copy needed.
+        if not args.no_eval:
+            te = _epoch_eval_losses(
+                evaluator, params, state, test_batcher,
+                traj_evaluator=traj_evaluator if semi_supervised else None,
+                traj_params=params_traj, traj_state=state_traj, pad=pad)
+            losses_3d_valid.append(te[0])
+            if semi_supervised:
+                losses_traj_valid.append(te[1])
+                losses_2d_valid.append(te[2])
+
+            tr = _epoch_eval_losses(
+                evaluator, params, state, train_eval_batcher,
+                traj_evaluator=traj_evaluator if semi_supervised else None,
+                traj_params=params_traj, traj_state=state_traj, pad=pad)
+            losses_3d_train_eval.append(tr[0])
+            if semi_supervised:
+                losses_traj_train_eval.append(tr[1])
+                losses_2d_train_labeled_eval.append(tr[2])
+                se = _epoch_eval_losses(
+                    evaluator, params, state, semi_eval_batcher,
+                    traj_evaluator=traj_evaluator, traj_params=params_traj,
+                    traj_state=state_traj, pad=pad)
+                losses_2d_train_unlabeled_eval.append(se[2])
+
+        elapsed = (time() - start_time) / 60
+
+        if args.no_eval:
+            print("[%d] time %.2f lr %f 3d_train %f" % (
+                epoch + 1, elapsed, lr, losses_3d_train[-1] * 1000))
+        elif semi_supervised:
+            print("[%d] time %.2f lr %f 3d_train %f 3d_eval %f traj_eval %f "
+                  "3d_valid %f traj_valid %f 2d_train_sup %f 2d_train_unsup %f "
+                  "2d_valid %f" % (
+                      epoch + 1, elapsed, lr,
+                      losses_3d_train[-1] * 1000,
+                      losses_3d_train_eval[-1] * 1000,
+                      losses_traj_train_eval[-1] * 1000,
+                      losses_3d_valid[-1] * 1000,
+                      losses_traj_valid[-1] * 1000,
+                      losses_2d_train_labeled_eval[-1],
+                      losses_2d_train_unlabeled[-1],
+                      losses_2d_valid[-1]))
+        else:
+            print("[%d] time %.2f lr %f 3d_train %f 3d_eval %f 3d_valid %f" % (
+                epoch + 1, elapsed, lr,
+                losses_3d_train[-1] * 1000,
+                losses_3d_train_eval[-1] * 1000,
+                losses_3d_valid[-1] * 1000))
+
+        # Schedules (parity: run.py:583-593).
+        lr *= args.lr_decay
+        opt_state = set_learning_rate(opt_state, lr)
+        epoch += 1
+
+        # Checkpointing (parity: run.py:595-608).
+        if epoch % args.checkpoint_frequency == 0:
+            chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.bin")
+            print("Saving checkpoint to", chk_path)
+            save_checkpoint(chk_path, {
+                "epoch": epoch,
+                "lr": lr,
+                "random_state": sampler.random_state(),
+                "optimizer": jax.tree_util.tree_map(np.asarray, opt_state),
+                "model_pos": params_to_torch_state_dict(params, state),
+                "model_traj": (params_to_torch_state_dict(params_traj, state_traj)
+                               if semi_supervised else None),
+                "random_state_semi": (sampler_semi.random_state()
+                                      if semi_supervised else None),
+            })
+
+        if args.export_training_curves and epoch > 3:
+            _export_training_curves(
+                args, epoch, semi_supervised, losses_3d_train,
+                losses_3d_train_eval, losses_3d_valid, losses_traj_train,
+                losses_traj_train_eval, losses_traj_valid,
+                losses_2d_train_labeled_eval, losses_2d_train_unlabeled,
+                losses_2d_train_unlabeled_eval, losses_2d_valid)
+
+    return params, state, (params_traj if semi_supervised else None), \
+        (state_traj if semi_supervised else None)
+
+
+def _export_training_curves(args, epoch, semi_supervised, losses_3d_train,
+                            losses_3d_train_eval, losses_3d_valid,
+                            losses_traj_train, losses_traj_train_eval,
+                            losses_traj_valid, losses_2d_train_labeled_eval,
+                            losses_2d_train_unlabeled,
+                            losses_2d_train_unlabeled_eval, losses_2d_valid):
+    """Loss-curve PNGs (parity: run.py:610-649)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure()
+    epoch_x = np.arange(3, len(losses_3d_train)) + 1
+    plt.plot(epoch_x, losses_3d_train[3:], "--", color="C0")
+    plt.plot(epoch_x, losses_3d_train_eval[3:], color="C0")
+    plt.plot(epoch_x, losses_3d_valid[3:], color="C1")
+    plt.legend(["3d train", "3d train (eval)", "3d valid (eval)"])
+    plt.ylabel("MPJPE (m)")
+    plt.xlabel("Epoch")
+    plt.xlim((3, epoch))
+    plt.savefig(os.path.join(args.checkpoint, "loss_3d.png"))
+
+    if semi_supervised:
+        plt.figure()
+        plt.plot(epoch_x, losses_traj_train[3:], "--", color="C0")
+        plt.plot(epoch_x, losses_traj_train_eval[3:], color="C0")
+        plt.plot(epoch_x, losses_traj_valid[3:], color="C1")
+        plt.legend(["traj. train", "traj. train (eval)", "traj. valid (eval)"])
+        plt.ylabel("Mean distance (m)")
+        plt.xlabel("Epoch")
+        plt.xlim((3, epoch))
+        plt.savefig(os.path.join(args.checkpoint, "loss_traj.png"))
+
+        plt.figure()
+        plt.plot(epoch_x, losses_2d_train_labeled_eval[3:], color="C0")
+        plt.plot(epoch_x, losses_2d_train_unlabeled[3:], "--", color="C1")
+        plt.plot(epoch_x, losses_2d_train_unlabeled_eval[3:], color="C1")
+        plt.plot(epoch_x, losses_2d_valid[3:], color="C2")
+        plt.legend(["2d train labeled (eval)", "2d train unlabeled",
+                    "2d train unlabeled (eval)", "2d valid (eval)"])
+        plt.ylabel("MPJPE (2D)")
+        plt.xlabel("Epoch")
+        plt.xlim((3, epoch))
+        plt.savefig(os.path.join(args.checkpoint, "loss_2d.png"))
+    plt.close("all")
+
+
+# ---------------------------------------------------------------------------
+# Final evaluation (parity: run.py:784-862)
+# ---------------------------------------------------------------------------
+
+
+def _final_evaluation(args, dataset, keypoints, subjects_test, action_filter,
+                      params, state, evaluator, pad, causal_shift,
+                      kps_perm, joints_perm):
+    all_actions = {}
+    all_actions_by_subject = {}
+    for subject in subjects_test:
+        all_actions_by_subject.setdefault(subject, {})
+        for action in dataset[subject].keys():
+            action_name = action.split(" ")[0]
+            all_actions.setdefault(action_name, [])
+            all_actions_by_subject[subject].setdefault(action_name, [])
+            all_actions[action_name].append((subject, action))
+            all_actions_by_subject[subject][action_name].append((subject, action))
+
+    def fetch_actions(actions):
+        out_poses_3d = []
+        out_poses_2d = []
+        for subject, action in actions:
+            poses_2d = keypoints[subject][action]
+            for i in range(len(poses_2d)):
+                out_poses_2d.append(poses_2d[i])
+            poses_3d = dataset[subject][action]["positions_3d"]
+            assert len(poses_3d) == len(poses_2d), "Camera count mismatch"
+            for i in range(len(poses_3d)):
+                out_poses_3d.append(poses_3d[i])
+        stride = args.downsample
+        if stride > 1:
+            for i in range(len(out_poses_2d)):
+                out_poses_2d[i] = out_poses_2d[i][::stride]
+                out_poses_3d[i] = out_poses_3d[i][::stride]
+        return out_poses_3d, out_poses_2d
+
+    def run_evaluation(actions, filt=None):
+        errors_p1, errors_p2, errors_p3, errors_vel = [], [], [], []
+        for action_key in actions.keys():
+            if filt is not None:
+                if not any(action_key.startswith(a) for a in filt):
+                    continue
+            poses_act, poses_2d_act = fetch_actions(actions[action_key])
+            batcher = UnchunkedBatcher(
+                None, poses_act, poses_2d_act, pad=pad,
+                causal_shift=causal_shift, augment=args.test_time_augmentation,
+                kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
+                bucket=args.eval_bucket)
+            e1, e2, e3, ev = evaluate(evaluator, params, state, batcher,
+                                      action=action_key)
+            errors_p1.append(e1)
+            errors_p2.append(e2)
+            errors_p3.append(e3)
+            errors_vel.append(ev)
+        print("Protocol #1   (MPJPE) action-wise average:",
+              round(float(np.mean(errors_p1)), 1), "mm")
+        print("Protocol #2 (P-MPJPE) action-wise average:",
+              round(float(np.mean(errors_p2)), 1), "mm")
+        print("Protocol #3 (N-MPJPE) action-wise average:",
+              round(float(np.mean(errors_p3)), 1), "mm")
+        print("Velocity      (MPJVE) action-wise average:",
+              round(float(np.mean(errors_vel)), 2), "mm")
+
+    if not args.by_subject:
+        run_evaluation(all_actions, action_filter)
+    else:
+        for subject in all_actions_by_subject.keys():
+            print("Evaluating on subject", subject)
+            run_evaluation(all_actions_by_subject[subject], action_filter)
+            print("")
+
+
+# ---------------------------------------------------------------------------
+# Rendering (parity: run.py:724-782)
+# ---------------------------------------------------------------------------
+
+
+def _render(args, dataset, keypoints, keypoints_metadata, model_cfg, traj_cfg,
+            params, state, params_traj, state_traj, evaluator, traj_evaluator,
+            pad, causal_shift, kps_perm, joints_perm):
+    print("Rendering...")
+    input_keypoints = keypoints[args.viz_subject][args.viz_action][args.viz_camera].copy()
+    ground_truth = None
+    if (args.viz_subject in dataset.subjects()
+            and args.viz_action in dataset[args.viz_subject]):
+        if "positions_3d" in dataset[args.viz_subject][args.viz_action]:
+            ground_truth = dataset[args.viz_subject][args.viz_action][
+                "positions_3d"][args.viz_camera].copy()
+    if ground_truth is None:
+        print("INFO: this action is unlabeled. Ground truth will not be rendered.")
+
+    batcher = UnchunkedBatcher(
+        None, None, [input_keypoints], pad=pad, causal_shift=causal_shift,
+        augment=args.test_time_augmentation, kps_flip_perm=kps_perm,
+        joints_flip_perm=joints_perm, bucket=args.eval_bucket)
+    prediction = evaluate(evaluator, params, state, batcher,
+                          return_predictions=True)
+    if params_traj is not None and ground_truth is None:
+        prediction_traj = evaluate(traj_evaluator, params_traj, state_traj,
+                                   batcher, return_predictions=True)
+        prediction = prediction + prediction_traj
+
+    if args.viz_export is not None:
+        print("Exporting joint positions to", args.viz_export)
+        np.save(args.viz_export, prediction)  # camera space
+
+    if args.viz_output is not None:
+        if ground_truth is not None:
+            trajectory = ground_truth[:, :1]
+            ground_truth[:, 1:] += trajectory
+            prediction = prediction + trajectory
+
+        cam = dataset.cameras()[args.viz_subject][args.viz_camera]
+        if ground_truth is not None:
+            prediction = np.asarray(camera_to_world(
+                prediction, R=cam["orientation"], t=cam["translation"]))
+            ground_truth = np.asarray(camera_to_world(
+                ground_truth, R=cam["orientation"], t=cam["translation"]))
+        else:
+            # Borrow extrinsics from any subject that has them (viz only).
+            rot = None
+            for subject in dataset.cameras():
+                if "orientation" in dataset.cameras()[subject][args.viz_camera]:
+                    rot = dataset.cameras()[subject][args.viz_camera]["orientation"]
+                    break
+            prediction = np.asarray(camera_to_world(prediction, R=rot, t=0))
+            prediction[:, :, 2] -= np.min(prediction[:, :, 2])
+
+        anim_output = {"Reconstruction": prediction}
+        if ground_truth is not None and not args.viz_no_ground_truth:
+            anim_output["Ground truth"] = ground_truth
+
+        input_keypoints = np.asarray(image_coordinates(
+            input_keypoints[..., :2], w=cam["res_w"], h=cam["res_h"]))
+
+        from videopose3d_tpu.visualization import render_animation
+        render_animation(
+            input_keypoints, keypoints_metadata, anim_output,
+            dataset.skeleton(), dataset.fps(), args.viz_bitrate, cam["azimuth"],
+            args.viz_output, limit=args.viz_limit,
+            downsample=args.viz_downsample, size=args.viz_size,
+            input_video_path=args.viz_video,
+            viewport=(cam["res_w"], cam["res_h"]),
+            input_video_skip=args.viz_skip)
+
+
+if __name__ == "__main__":
+    main()
