@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: 2D->3D lifting inference throughput on the flagship model.
+
+Metric: lifted output frames/sec/chip through the 243-frame-receptive-field,
+1024-channel dilated temporal ConvNet (the reference's headline config,
+``/root/reference/README.md:18``).  Baseline (BASELINE.json north star):
+1,000,000 frames/sec/chip.
+
+Measurement methodology: the model forward is iterated N times *inside* one jit
+graph via ``lax.fori_loop`` with a data dependency between iterations, and the
+per-call time is the latency-cancelled difference ``(t(N) - t(1)) / (N - 1)``.
+This removes host->device dispatch/round-trip latency (which on tunneled TPU
+setups can exceed the compute time itself) from the measurement, leaving pure
+device throughput — the number that determines batch-serving capacity.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from videopose3d_tpu.models.temporal import (
+        TemporalModelConfig, init_temporal_model, forward_dilated,
+        receptive_field)
+
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=(3, 3, 3, 3, 3), causal=False, dropout=0.25,
+        channels=1024, compute_dtype="bfloat16")
+    rf = receptive_field(cfg)
+
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+
+    # Long windows amortize the receptive-field overlap: each input window of T
+    # frames yields T - rf + 1 output frames of useful work.
+    batch, t_out = 8, 4096
+    t_in = t_out + rf - 1
+    frames_per_call = batch * t_out
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def infer_n(params, state, x, n):
+        def body(i, carry):
+            x_dep, acc = carry
+            pred, _ = forward_dilated(cfg, params, state, x_dep, train=False)
+            # Fold a scalar of the output back into the input: a true data
+            # dependency (not compiler-removable) with negligible numerics.
+            acc = jnp.sum(pred[0, 0, 0]) * jnp.float32(1e-30)
+            return x_dep + acc, acc
+        (_, acc) = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+        return acc
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, t_in, 17, 2)), jnp.float32)
+
+    n_iters = 16
+
+    def timed(n, reps=3):
+        float(infer_n(params, state, x, n))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(infer_n(params, state, x, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1)
+    tn = timed(n_iters)
+    per_call = (tn - t1) / (n_iters - 1)
+
+    frames_per_sec = frames_per_call / per_call
+    baseline = 1_000_000.0
+    print(json.dumps({
+        "metric": "lifted_frames_per_sec_per_chip_rf243",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
