@@ -1,0 +1,225 @@
+"""HumanEva-I dataset converter.
+
+Capability parity target: ``/root/reference/data/prepare_data_humaneva.py`` —
+converts the MATLAB-exported HumanEva streams (see ``matlab/ConvertHumanEva.m``)
+into 3D/2D-GT archives, splitting corrupted (NaN) mocap streams into contiguous
+``... chunkN`` actions, marking invalid chunks ``Unlabeled/``, and aligning
+user-supplied 2D detections using the published per-camera sync offsets.
+
+The train/validate frame index and sync offsets below are public HumanEva-I
+dataset facts.
+
+Usage::
+
+    python -m videopose3d_tpu.data.prepare.humaneva -p /path/to/converted \
+        --convert-3d [--convert-2d /path/to/detections -o detectron_pt_coco]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+from glob import glob
+from itertools import groupby
+
+import numpy as np
+
+from videopose3d_tpu.data.prepare.layouts import (
+    suggest_metadata, suggest_pose_importer)
+
+SUBJECTS = ["Train/S1", "Train/S2", "Train/S3",
+            "Validate/S1", "Validate/S2", "Validate/S3"]
+CAM_MAP = {"C1": 0, "C2": 1, "C3": 2}
+
+# Train/test split frame ranges [start, end) per subject/action.
+INDEX = {
+    "Train/S1": {"Walking 1": (590, 1203), "Jog 1": (367, 740),
+                 "ThrowCatch 1": (473, 945), "Gestures 1": (395, 801),
+                 "Box 1": (385, 789)},
+    "Train/S2": {"Walking 1": (438, 876), "Jog 1": (398, 795),
+                 "ThrowCatch 1": (550, 1128), "Gestures 1": (500, 901),
+                 "Box 1": (382, 734)},
+    "Train/S3": {"Walking 1": (448, 939), "Jog 1": (401, 842),
+                 "ThrowCatch 1": (493, 1027), "Gestures 1": (533, 1102),
+                 "Box 1": (512, 1021)},
+    "Validate/S1": {"Walking 1": (5, 590), "Jog 1": (5, 367),
+                    "ThrowCatch 1": (5, 473), "Gestures 1": (5, 395),
+                    "Box 1": (5, 385)},
+    "Validate/S2": {"Walking 1": (5, 438), "Jog 1": (5, 398),
+                    "ThrowCatch 1": (5, 550), "Gestures 1": (5, 500),
+                    "Box 1": (5, 382)},
+    "Validate/S3": {"Walking 1": (5, 448), "Jog 1": (5, 401),
+                    "ThrowCatch 1": (5, 493), "Gestures 1": (5, 533),
+                    "Box 1": (5, 512)},
+}
+
+# Per-video frames to skip for camera synchronization.
+SYNC_DATA = {
+    "S1": {"Walking 1": (82, 81, 82), "Jog 1": (51, 51, 50),
+           "ThrowCatch 1": (61, 61, 60), "Gestures 1": (45, 45, 44),
+           "Box 1": (57, 57, 56)},
+    "S2": {"Walking 1": (115, 115, 114), "Jog 1": (100, 100, 99),
+           "ThrowCatch 1": (127, 127, 127), "Gestures 1": (122, 122, 121),
+           "Box 1": (119, 119, 117)},
+    "S3": {"Walking 1": (80, 80, 80), "Jog 1": (65, 65, 65),
+           "ThrowCatch 1": (79, 79, 79), "Gestures 1": (83, 83, 82),
+           "Box 1": (1, 1, 1)},
+    "S4": {},
+}
+
+
+def convert_3d(path):
+    """Parse MATLAB-exported .mat streams; returns (3d archive dict,
+    2d-GT archive dict, frame_mapping, num_joints)."""
+    from scipy.io import loadmat
+
+    output = {}
+    output_2d = {}
+    frame_mapping = {}
+    num_joints = None
+
+    for subject in SUBJECTS:
+        output[subject] = {}
+        output_2d[subject] = {}
+        split, subject_name = subject.split("/")
+        frame_mapping.setdefault(subject_name, {})
+
+        for f in glob(os.path.join(path, subject, "*.mat")):
+            action = os.path.splitext(os.path.basename(f))[0]
+            canonical_name = action.replace("_", " ")
+
+            hf = loadmat(f)
+            positions = hf["poses_3d"]
+            positions_2d = hf["poses_2d"].transpose(1, 0, 2, 3)  # GT 2D
+            assert (positions.shape[0] == positions_2d.shape[0]
+                    and positions.shape[1] == positions_2d.shape[2])
+            assert num_joints is None or num_joints == positions.shape[1], \
+                "Joint number inconsistency among files"
+            num_joints = positions.shape[1]
+            assert positions.shape[0] == (INDEX[subject][canonical_name][1]
+                                          - INDEX[subject][canonical_name][0])
+
+            # Split corrupted motion capture streams into contiguous chunks,
+            # e.g. 012XX567X9 -> "012", "567", "9".
+            all_chunks = [list(v) for _, v in groupby(
+                positions, lambda x: np.isfinite(x).all())]
+            all_chunks_2d = [list(v) for _, v in groupby(
+                positions_2d, lambda x: np.isfinite(x).all())]
+            assert len(all_chunks) == len(all_chunks_2d)
+
+            current_index = INDEX[subject][canonical_name][0]
+            chunk_indices = []
+            for i, chunk in enumerate(all_chunks):
+                next_index = current_index + len(chunk)
+                name = canonical_name + " chunk" + str(i)
+                valid = bool(np.isfinite(chunk).all())
+                if valid:
+                    output[subject][name] = np.array(chunk, dtype="float32") / 1000
+                    output_2d[subject][name] = list(np.array(
+                        all_chunks_2d[i], dtype="float32").transpose(1, 0, 2, 3))
+                chunk_indices.append(
+                    (current_index, next_index, valid, split, name))
+                current_index = next_index
+            assert current_index == INDEX[subject][canonical_name][1]
+            frame_mapping[subject_name].setdefault(canonical_name, [])
+            frame_mapping[subject_name][canonical_name] += chunk_indices
+
+    return output, output_2d, frame_mapping, num_joints
+
+
+def convert_2d(detections_path, output_suffix, frame_mapping, data_dir,
+               layout_prefix):
+    import_func = suggest_pose_importer(output_suffix)
+    metadata = suggest_metadata(output_suffix)
+
+    print("Parsing 2D detections from", detections_path)
+    output = {}
+    for f in glob(detections_path + "/S*/*.avi.npz"):
+        path, fname = os.path.split(f)
+        subject = os.path.basename(path)
+        assert subject.startswith("S"), (
+            subject + " does not look like a subject directory")
+
+        m = re.search(r"(.*) \((.*)\)", fname.replace("_", " "))
+        action, camera = m.group(1), m.group(2)
+        camera_idx = CAM_MAP[camera]
+
+        keypoints = import_func(f)
+        assert keypoints.shape[1] == metadata["num_joints"]
+
+        if action in SYNC_DATA.get(subject, {}):
+            sync_offset = SYNC_DATA[subject][action][camera_idx] - 1
+        else:
+            sync_offset = 0
+
+        if subject in frame_mapping and action in frame_mapping[subject]:
+            for (start_idx, end_idx, labeled, split, name) in \
+                    frame_mapping[subject][action]:
+                canonical_subject = split + "/" + subject
+                if not labeled:
+                    canonical_subject = "Unlabeled/" + canonical_subject
+                output.setdefault(canonical_subject, {})
+                kps = keypoints[start_idx + sync_offset:end_idx + sync_offset]
+                assert len(kps) == end_idx - start_idx, (
+                    f"Got len {len(kps)}, expected {end_idx - start_idx}")
+                output[canonical_subject].setdefault(name, [None, None, None])
+                output[canonical_subject][name][camera_idx] = kps.astype("float32")
+        else:
+            canonical_subject = "Unlabeled/" + subject
+            output.setdefault(canonical_subject, {})
+            output[canonical_subject].setdefault(action, [None, None, None])
+            output[canonical_subject][action][camera_idx] = \
+                keypoints.astype("float32")
+
+    print("Saving...")
+    np.savez_compressed(
+        os.path.join(data_dir, layout_prefix + output_suffix + ".npz"),
+        positions_2d=output, metadata=metadata)
+    print("Done.")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="HumanEva dataset converter")
+    parser.add_argument("-p", "--path", default="", type=str, metavar="PATH",
+                        help="path to the processed HumanEva dataset")
+    parser.add_argument("--convert-3d", action="store_true",
+                        help="convert 3D mocap data")
+    parser.add_argument("--convert-2d", default="", type=str, metavar="PATH",
+                        help="convert user-supplied 2D detections")
+    parser.add_argument("-o", "--output", default="", type=str, metavar="PATH",
+                        help="output suffix for 2D detections")
+    parser.add_argument("--data-dir", default="data", type=str, metavar="PATH")
+    args = parser.parse_args(argv)
+
+    if not args.convert_2d and not args.convert_3d:
+        parser.error("Please specify one conversion mode")
+    if not args.path:
+        parser.error("Please specify the dataset source")
+
+    print("Parsing HumanEva dataset from", args.path)
+    output, output_2d, frame_mapping, num_joints = convert_3d(args.path)
+
+    metadata = suggest_metadata("humaneva" + str(num_joints))
+    os.makedirs(args.data_dir, exist_ok=True)
+    layout = metadata["layout_name"]
+
+    if args.convert_3d:
+        print("Saving...")
+        np.savez_compressed(
+            os.path.join(args.data_dir, "data_3d_" + layout + ".npz"),
+            positions_3d=output)
+        np.savez_compressed(
+            os.path.join(args.data_dir, "data_2d_" + layout + "_gt.npz"),
+            positions_2d=output_2d, metadata=metadata)
+        print("Done.")
+
+    if args.convert_2d:
+        if not args.output:
+            parser.error("Please specify an output suffix")
+        convert_2d(args.convert_2d, args.output, frame_mapping, args.data_dir,
+                   "data_2d_" + layout + "_")
+
+
+if __name__ == "__main__":
+    main()
