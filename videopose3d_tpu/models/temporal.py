@@ -255,11 +255,12 @@ def _conv_matmul(x, weight, dilation: int = 1, compute_dtype=jnp.float32):
             [x[:, j * dilation: j * dilation + t_out] for j in range(k)], axis=-1
         )
     w = weight.reshape(k * weight.shape[1], weight.shape[2])
+    # bf16 operands, f32 accumulation (MXU-native); cast back to the compute dtype.
     return jnp.dot(
         taps.astype(compute_dtype),
         w.astype(compute_dtype),
-        preferred_element_type=compute_dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
 
 
 def _conv_strided(x, weight, compute_dtype=jnp.float32):
@@ -276,8 +277,8 @@ def _conv_strided(x, weight, compute_dtype=jnp.float32):
     return jnp.dot(
         taps.astype(compute_dtype),
         w.astype(compute_dtype),
-        preferred_element_type=compute_dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -414,10 +415,62 @@ def forward_strided(
     return _finish_output(config, x.astype(jnp.float32)), new_state
 
 
+def forward_dilated_fused(
+    config: TemporalModelConfig,
+    params: Params,
+    state: State,
+    x,
+    *,
+    t_tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inference-only dilated forward using the fused Pallas residual-block
+    kernel (``ops/pallas/temporal_block.py``) for the heavy blocks; the cheap
+    expand (34->C) and shrink (C->J*3) convolutions stay in XLA.
+
+    Numerically equivalent to ``forward_dilated(..., train=False)`` up to the
+    compute dtype.  No state is returned (inference never mutates BN stats).
+    """
+    if config.dense:
+        raise ValueError("fused path does not support dense convolutions")
+    from videopose3d_tpu.ops.pallas.temporal_block import (
+        fused_dilated_block, fold_batchnorm)
+
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    x = _prep_input(config, x)
+
+    x = _conv_matmul(x, params["expand_conv"]["weight"], 1, compute_dtype)
+    scale, shift = fold_batchnorm(params["expand_bn"], state["expand_bn"])
+    x = jax.nn.relu(x * scale.astype(x.dtype) + shift.astype(x.dtype))
+
+    for i in range(len(config.filter_widths) - 1):
+        s1, b1 = fold_batchnorm(params["layers_bn"][2 * i],
+                                state["layers_bn"][2 * i])
+        s2, b2 = fold_batchnorm(params["layers_bn"][2 * i + 1],
+                                state["layers_bn"][2 * i + 1])
+        x = fused_dilated_block(
+            x,
+            params["layers_conv"][2 * i]["weight"].astype(compute_dtype),
+            s1, b1,
+            params["layers_conv"][2 * i + 1]["weight"].astype(compute_dtype),
+            s2, b2,
+            dilation=config.dilations[i + 1],
+            causal_shift=config.causal_shifts_dilated[i + 1],
+            t_tile=t_tile,
+            interpret=interpret,
+        )
+
+    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
+    x = x + params["shrink"]["bias"].astype(x.dtype)
+    return _finish_output(config, x.astype(jnp.float32))
+
+
 def forward(config, params, state, x, *, mode: str = "dilated", **kwargs):
     """Dispatch to the dilated (reference/eval) or strided (train) form."""
     if mode == "dilated":
         return forward_dilated(config, params, state, x, **kwargs)
     elif mode == "strided":
         return forward_strided(config, params, state, x, **kwargs)
+    elif mode == "fused":
+        return forward_dilated_fused(config, params, state, x, **kwargs), state
     raise ValueError(f"unknown mode {mode!r}")
