@@ -1,0 +1,137 @@
+"""Additional end-to-end coverage: HumanEva dataset path, stride>1 (dilated
+training form), --dense, --disable-optimizations, --subset/--downsample, and the
+render mode (gif output)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from videopose3d_tpu import runner
+
+HE_SUBJECTS = ["Train/S1", "Train/S2", "Validate/S1", "Validate/S2"]
+HE_ACTIONS = ["Walking 1 chunk0", "Jog 1 chunk0"]
+N_FRAMES = 40
+N_CAMS = 3
+
+HE_KPS_LEFT = [2, 3, 4, 8, 9, 10]
+HE_KPS_RIGHT = [5, 6, 7, 11, 12, 13]
+
+
+@pytest.fixture(scope="module")
+def humaneva_dir(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("data_he")
+
+    positions_3d = {}
+    for s in HE_SUBJECTS:
+        positions_3d[s] = {}
+        for a in HE_ACTIONS:
+            positions_3d[s][a] = (rng.standard_normal(
+                (N_FRAMES, 15, 3)).astype(np.float32) * 0.2)
+    np.savez_compressed(root / "data_3d_humaneva15.npz",
+                        positions_3d=positions_3d)
+
+    positions_2d = {}
+    for s in HE_SUBJECTS:
+        positions_2d[s] = {}
+        for a in HE_ACTIONS:
+            positions_2d[s][a] = [
+                rng.uniform(50, 600, (N_FRAMES, 15, 2)).astype(np.float32)
+                for _ in range(N_CAMS)]
+    metadata = {"layout_name": "humaneva15", "num_joints": 15,
+                "keypoints_symmetry": [HE_KPS_LEFT, HE_KPS_RIGHT]}
+    np.savez_compressed(root / "data_2d_humaneva15_gt.npz",
+                        positions_2d=positions_2d, metadata=metadata)
+    return str(root)
+
+
+def test_humaneva_train_eval(humaneva_dir, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpt_he")
+    runner.main([
+        "-d", "humaneva15", "-k", "gt", "--data-dir", humaneva_dir,
+        "-c", ckpt, "-arc", "3,3", "-ch", "16", "-b", "32",
+        "-str", "Train/S1,Train/S2", "-ste", "Validate/S1,Validate/S2",
+        "-a", "Walk,Jog", "-e", "1", "--eval-bucket", "16", "--by-subject",
+        "--checkpoint-frequency", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+    assert "Evaluating on subject Validate/S1" in out
+    assert "----Walking----" in out
+    assert os.path.exists(os.path.join(ckpt, "epoch_1.bin"))
+
+
+@pytest.fixture(scope="module")
+def h36m_dir(tmp_path_factory):
+    # Reuse the builder from test_e2e.
+    from tests.test_e2e import data_dir as _fixture  # noqa: F401
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("data_h36m2")
+    subjects = ["S1", "S5", "S6", "S7", "S8", "S9", "S11"]
+    actions = ["Walking 1"]
+    positions_3d = {s: {a: rng.standard_normal((40, 32, 3)).astype(np.float32) * 0.2
+                        for a in actions} for s in subjects}
+    np.savez_compressed(root / "data_3d_h36m.npz", positions_3d=positions_3d)
+    positions_2d = {s: {a: [rng.uniform(100, 900, (40, 17, 2)).astype(np.float32)
+                            for _ in range(4)] for a in actions}
+                    for s in subjects}
+    metadata = {"layout_name": "h36m", "num_joints": 17,
+                "keypoints_symmetry": [[4, 5, 6, 11, 12, 13],
+                                       [1, 2, 3, 14, 15, 16]]}
+    np.savez_compressed(root / "data_2d_h36m_gt.npz",
+                        positions_2d=positions_2d, metadata=metadata)
+    return str(root)
+
+
+def _args(data_dir, ckpt, extra):
+    return ["-d", "h36m", "-k", "gt", "--data-dir", data_dir, "-c", ckpt,
+            "-arc", "3,3", "-ch", "16", "-b", "32", "--eval-bucket", "16",
+            "--no-eval", "--checkpoint-frequency", "100", "-e", "1"] + extra
+
+
+def test_stride_gt_1_uses_dilated_form(h36m_dir, tmp_path, capsys):
+    runner.main(_args(h36m_dir, str(tmp_path / "c1"), ["-s", "2"]))
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+
+
+def test_dense_ablation(h36m_dir, tmp_path, capsys):
+    runner.main(_args(h36m_dir, str(tmp_path / "c2"), ["--dense"]))
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+
+
+def test_disable_optimizations(h36m_dir, tmp_path, capsys):
+    runner.main(_args(h36m_dir, str(tmp_path / "c3"),
+                      ["--disable-optimizations"]))
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+
+
+def test_subset_and_downsample(h36m_dir, tmp_path, capsys):
+    runner.main(_args(h36m_dir, str(tmp_path / "c4"),
+                      ["--subset", "0.5", "--downsample", "2"]))
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+
+
+def test_render_gif(h36m_dir, tmp_path, capsys):
+    ckpt = str(tmp_path / "c5")
+    runner.main(_args(h36m_dir, ckpt, ["--checkpoint-frequency", "1"]))
+    capsys.readouterr()
+    gif = str(tmp_path / "out.gif")
+    export = str(tmp_path / "pred.npy")
+    runner.main([
+        "-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt,
+        "-arc", "3,3", "-ch", "16", "--eval-bucket", "16",
+        "--evaluate", "epoch_1.bin", "--render",
+        "--viz-subject", "S9", "--viz-action", "Walking 1",
+        "--viz-camera", "0", "--viz-output", gif, "--viz-export", export,
+        "--viz-limit", "6", "--viz-size", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "Rendering..." in out
+    assert os.path.exists(gif) and os.path.getsize(gif) > 0
+    pred = np.load(export)
+    assert pred.shape[1:] == (17, 3)

@@ -48,11 +48,11 @@ def fold_batchnorm(bn_params, bn_state) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, out,
-                  x_vmem, sems, *, t_tile, dilation, res_offset, n_taps):
+                  x_vmem, sems, *, t_tile, dilation, res_offset, n_taps, win):
+
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
-    win = t_tile + (n_taps - 1) * dilation
 
     slot = jax.lax.rem(t, 2)
     next_slot = jax.lax.rem(t + 1, 2)
@@ -123,21 +123,26 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
     assert t_out >= 1, (t, dilation)
 
     t_tile = min(t_tile, t_out)
+    t_tile = -(-t_tile // 8) * 8  # sublane-aligned output tiles
     # Pad the time axis so t_out divides evenly into tiles; the tail windows
-    # read zero padding and their outputs are sliced off below.
+    # read zero padding and their outputs are sliced off below.  The DMA window
+    # is rounded up to the 8-row sublane tiling (Mosaic HBM-slice constraint),
+    # so the input gets padded to cover the widest window too.
     n_tiles = -(-t_out // t_tile)
     t_padded_out = n_tiles * t_tile
-    pad_amount = t_padded_out - t_out
+    win = t_tile + (n_taps - 1) * dilation
+    win = -(-win // 8) * 8
+    t_needed = (n_tiles - 1) * t_tile + win
+    pad_amount = max(t_padded_out - t_out, t_needed - t)
     if pad_amount > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
 
     dtype = x.dtype
-    win = t_tile + (n_taps - 1) * dilation
     as_row = lambda v: v.reshape(1, -1).astype(jnp.float32)
 
     kernel = functools.partial(
         _block_kernel, t_tile=t_tile, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps)
+        res_offset=res_offset, n_taps=n_taps, win=win)
 
     out = pl.pallas_call(
         kernel,
