@@ -1,0 +1,61 @@
+"""Streaming causal inference tests: frame-by-frame outputs must equal the
+offline causal model evaluated over the whole (edge-padded) sequence."""
+
+import numpy as np
+import jax
+import pytest
+
+from videopose3d_tpu.models import (
+    TemporalModelConfig, init_temporal_model, forward_dilated, receptive_field)
+from videopose3d_tpu.streaming import StreamingCausalLifter, init_stream_state
+
+
+def _cfg(fw=(3, 3), channels=32):
+    return TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=fw, causal=True, dropout=0.0, channels=channels)
+
+
+@pytest.mark.parametrize("fw", [(3, 3), (3, 3, 3), (5, 3)])
+def test_streaming_matches_offline_causal(fw):
+    cfg = _cfg(fw)
+    rf = receptive_field(cfg)
+    pad = (rf - 1) // 2
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(1)
+    n, b = 20, 3
+    frames = rng.standard_normal((n, b, 17, 2)).astype(np.float32)
+
+    # Offline causal: edge-pad (2*pad, 0) like UnchunkedBatcher with
+    # causal_shift = pad, then run the dilated model over the whole sequence.
+    seq = np.transpose(frames, (1, 0, 2, 3))              # (B, N, J, 2)
+    padded = np.concatenate(
+        [np.repeat(seq[:, :1], 2 * pad, axis=1), seq], axis=1)
+    want, _ = forward_dilated(cfg, params, state, padded, train=False)
+    want = np.asarray(want)                               # (B, N, J, 3)
+
+    lifter = StreamingCausalLifter(cfg, params, state)
+    lifter.reset(frames[0])
+    got = np.stack([np.asarray(lifter.step(frames[t])) for t in range(n)],
+                   axis=1)                                # (B, N, J, 3)
+
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_streaming_requires_causal():
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=(3, 3), causal=False, dropout=0.0, channels=16)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="causal"):
+        init_stream_state(cfg, params, state, np.zeros((1, 17, 2), np.float32))
+
+
+def test_streaming_state_is_bounded():
+    cfg = _cfg((3, 3, 3))
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    st = init_stream_state(cfg, params, state, np.zeros((2, 17, 2), np.float32))
+    # Ring buffers: raw (3 frames) + blocks ((k-1)*d+1 = 7, 19 frames).
+    caps = [buf.shape[1] for buf in st["bufs"]]
+    assert caps == [3, 7, 19]
