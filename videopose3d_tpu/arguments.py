@@ -128,6 +128,11 @@ def parse_args(argv=None):
                         help="model init / dropout PRNG seed")
     parser.add_argument("--no-mesh", action="store_true",
                         help="disable data-parallel sharding over the device mesh")
+    parser.add_argument("--profile-dir", default=None, type=str, metavar="PATH",
+                        help="capture a jax.profiler device trace of the first "
+                             "training epoch into this directory")
+    parser.add_argument("--metrics-log", default=None, type=str, metavar="PATH",
+                        help="append per-epoch structured metrics (JSON lines)")
 
     parser.set_defaults(bone_length_term=True)
     parser.set_defaults(data_augmentation=True)

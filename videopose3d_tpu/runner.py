@@ -494,38 +494,58 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
 
     semi_iter = sampler_semi.next_epoch() if semi_supervised else None
 
+    from videopose3d_tpu.profiling import device_trace, StepTimer, log_metrics_jsonl
+    step_timer = StepTimer()
+    first_epoch = epoch
+
     while epoch < args.epochs:
         start_time = time()
         momentum = bn_momentum_for_epoch(loop_cfg, epoch - 1)  # current epoch's BN momentum
+        trace_ctx = device_trace(
+            args.profile_dir if epoch == first_epoch else None)
+        step_timer.reset()
+        step_timer.start()
 
         epoch_losses = []
         epoch_losses_traj = []
         epoch_losses_2d = []
-        if semi_supervised:
-            skip = epoch < args.warmup
-            for meta, n_valid in sampler.next_epoch():
-                meta_semi, n_valid_semi = next(semi_iter)
-                (all_params, all_states, opt_state, step_rng,
-                 loss_pos, loss_traj, loss_recon) = trainer.step(
-                    all_params, all_states, opt_state, step_rng, dev, dev_semi,
-                    meta, n_valid, meta_semi, n_valid_semi, momentum, skip)
-                epoch_losses.append(loss_pos)
-                epoch_losses_traj.append(loss_traj)
-                epoch_losses_2d.append(loss_recon)
-            params, state = all_params["pos"], all_states["pos"]
-            params_traj, state_traj = all_params["traj"], all_states["traj"]
-            losses_traj_train.append(
-                float(np.mean([np.asarray(l) for l in epoch_losses_traj])))
-            losses_2d_train_unlabeled.append(
-                float(np.mean([np.asarray(l) for l in epoch_losses_2d])))
-        else:
-            for meta, n_valid in sampler.next_epoch():
-                params, state, opt_state, step_rng, loss = trainer.step(
-                    params, state, opt_state, step_rng, dev, meta, n_valid,
-                    momentum)
-                epoch_losses.append(loss)
+        with trace_ctx:
+            if semi_supervised:
+                skip = epoch < args.warmup
+                for meta, n_valid in sampler.next_epoch():
+                    meta_semi, n_valid_semi = next(semi_iter)
+                    (all_params, all_states, opt_state, step_rng,
+                     loss_pos, loss_traj, loss_recon) = trainer.step(
+                        all_params, all_states, opt_state, step_rng, dev,
+                        dev_semi, meta, n_valid, meta_semi, n_valid_semi,
+                        momentum, skip)
+                    epoch_losses.append(loss_pos)
+                    epoch_losses_traj.append(loss_traj)
+                    epoch_losses_2d.append(loss_recon)
+                    step_timer.tick()
+                params, state = all_params["pos"], all_states["pos"]
+                params_traj, state_traj = all_params["traj"], all_states["traj"]
+                losses_traj_train.append(
+                    float(np.mean([np.asarray(l) for l in epoch_losses_traj])))
+                losses_2d_train_unlabeled.append(
+                    float(np.mean([np.asarray(l) for l in epoch_losses_2d])))
+            else:
+                for meta, n_valid in sampler.next_epoch():
+                    params, state, opt_state, step_rng, loss = trainer.step(
+                        params, state, opt_state, step_rng, dev, meta, n_valid,
+                        momentum)
+                    epoch_losses.append(loss)
+                    step_timer.tick()
         losses_3d_train.append(
             float(np.mean([np.asarray(l) for l in epoch_losses])))
+        if args.metrics_log:
+            log_metrics_jsonl(args.metrics_log, {
+                "epoch": epoch + 1,
+                "lr": lr,
+                "bn_momentum": momentum,
+                "loss_3d_train": losses_3d_train[-1],
+                **{f"step_{k}": v for k, v in step_timer.summary().items()},
+            })
 
         # End-of-epoch evaluation (parity: run.py:424-549); weights are shared
         # between the strided train form and dilated eval form, no copy needed.
