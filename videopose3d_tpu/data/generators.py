@@ -113,7 +113,8 @@ class ChunkedPairSampler:
 
     def __init__(self, num_sequences_lengths: Sequence[int], batch_size: int,
                  chunk_length: int, *, shuffle: bool = True, random_seed: int = 1234,
-                 augment: bool = False, endless: bool = False):
+                 augment: bool = False, endless: bool = False,
+                 use_native: Optional[bool] = None):
         pairs = []
         for i, seq_len in enumerate(num_sequences_lengths):
             n_chunks = (seq_len + chunk_length - 1) // chunk_length
@@ -137,6 +138,13 @@ class ChunkedPairSampler:
         self.endless = endless
         self.state = None  # (next_batch_idx, shuffled_pairs) for endless streams
 
+        # Optional native (C++) shuffle core — bit-identical permutation and
+        # RNG-state trajectory, so it composes with checkpoint resume.
+        if use_native is None:
+            from videopose3d_tpu import native
+            use_native = native.available()
+        self.use_native = use_native
+
     def num_frames(self) -> int:
         # Parity: generators.py:77-78 (rounds up to full batches).
         return self.num_batches * self.batch_size
@@ -155,9 +163,15 @@ class ChunkedPairSampler:
         else:
             self.random.set_state(state)
 
+    def _shuffled_pairs(self):
+        if self.use_native:
+            from videopose3d_tpu import native
+            return native.permute_rows(self.random, self.pairs)
+        return self.random.permutation(self.pairs)
+
     def _next_pairs(self):
         if self.state is None:
-            pairs = self.random.permutation(self.pairs) if self.shuffle else self.pairs
+            pairs = self._shuffled_pairs() if self.shuffle else self.pairs
             return 0, pairs
         return self.state
 
