@@ -128,6 +128,51 @@ class TestSupervised:
         assert np.isfinite(float(loss))
 
 
+class TestEpochScan:
+    def test_scan_epoch_equals_stepwise(self):
+        """run_epoch (one fused XLA scan) produces bit-identical params, state,
+        and losses to the step-by-step path."""
+        rng = np.random.default_rng(7)
+        poses_2d, poses_3d, _ = _toy_data(rng)
+        cfg = _model_cfg(dropout=0.25)
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                               causal_shift=0)
+        dev = FlatSequenceDataset(poses_2d, poses_3d).to_device()
+        perm = _perm()
+        trainer = SupervisedTrainer(cfg, loop, perm, perm)
+
+        metas, n_valids = [], []
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1,
+                                     augment=True)
+        for meta, n_valid in sampler.next_epoch():
+            metas.append(meta)
+            n_valids.append(n_valid)
+
+        params0, state0 = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt0 = trainer.init_optimizer(params0)
+
+        p_a, s_a, o_a = jax.tree_util.tree_map(jnp.copy, (params0, state0, opt0))
+        rng_a = jax.random.PRNGKey(1)
+        losses_a = []
+        for meta, n_valid in zip(metas, n_valids):
+            p_a, s_a, o_a, rng_a, loss = trainer.step(
+                p_a, s_a, o_a, rng_a, dev, meta, n_valid, 0.1)
+            losses_a.append(float(loss))
+
+        p_b, s_b, o_b, rng_b, losses_b = trainer.run_epoch(
+            params0, state0, opt0, jax.random.PRNGKey(1), dev,
+            np.stack(metas), np.array(n_valids), 0.1)
+
+        np.testing.assert_allclose(np.asarray(losses_b), losses_a, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                        jax.tree_util.tree_leaves(p_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s_a),
+                        jax.tree_util.tree_leaves(s_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 class TestSemiSupervised:
     def test_warmup_and_full_step(self):
         rng = np.random.default_rng(3)

@@ -128,6 +128,10 @@ def parse_args(argv=None):
                         help="model init / dropout PRNG seed")
     parser.add_argument("--no-mesh", action="store_true",
                         help="disable data-parallel sharding over the device mesh")
+    parser.add_argument("--no-scan-epoch", dest="scan_epoch",
+                        action="store_false",
+                        help="dispatch train steps one-by-one instead of "
+                             "running each epoch as a single fused XLA scan")
     parser.add_argument("--profile-dir", default=None, type=str, metavar="PATH",
                         help="capture a jax.profiler device trace of the first "
                              "training epoch into this directory")
@@ -135,6 +139,7 @@ def parse_args(argv=None):
                         help="append per-epoch structured metrics (JSON lines)")
 
     parser.set_defaults(bone_length_term=True)
+    parser.set_defaults(scan_epoch=True)
     parser.set_defaults(data_augmentation=True)
     parser.set_defaults(test_time_augmentation=True)
 

@@ -529,6 +529,21 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                     float(np.mean([np.asarray(l) for l in epoch_losses_traj])))
                 losses_2d_train_unlabeled.append(
                     float(np.mean([np.asarray(l) for l in epoch_losses_2d])))
+            elif args.scan_epoch:
+                # Whole epoch as ONE XLA program (lax.scan over descriptors):
+                # zero per-step host dispatch.
+                metas, n_valids = [], []
+                for meta, n_valid in sampler.next_epoch():
+                    metas.append(meta)
+                    n_valids.append(n_valid)
+                params, state, opt_state, step_rng, losses = trainer.run_epoch(
+                    params, state, opt_state, step_rng, dev,
+                    np.stack(metas), np.array(n_valids), momentum)
+                losses = np.asarray(losses)
+                weights = np.asarray(n_valids, np.float64)
+                losses_3d_train.append(
+                    float(np.sum(losses * weights) / np.sum(weights)))
+                step_timer.tick()
             else:
                 for meta, n_valid in sampler.next_epoch():
                     params, state, opt_state, step_rng, loss = trainer.step(
@@ -536,8 +551,9 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                         momentum)
                     epoch_losses.append(loss)
                     step_timer.tick()
-        losses_3d_train.append(
-            float(np.mean([np.asarray(l) for l in epoch_losses])))
+        if semi_supervised or not args.scan_epoch:
+            losses_3d_train.append(
+                float(np.mean([np.asarray(l) for l in epoch_losses])))
         if args.metrics_log:
             log_metrics_jsonl(args.metrics_log, {
                 "epoch": epoch + 1,

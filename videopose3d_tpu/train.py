@@ -112,8 +112,10 @@ class SupervisedTrainer:
         self.mesh = mesh
 
         jit_kwargs = {"donate_argnums": (0, 1, 2, 3)}
+        epoch_kwargs = {"donate_argnums": (0, 1, 2, 3)}
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
             rep = replicated_sharding(mesh)
             bsh = batch_sharding(mesh)
             jit_kwargs["in_shardings"] = (
@@ -121,12 +123,20 @@ class SupervisedTrainer:
                 rep, rep, rep,               # flat_2d, flat_3d, seq_bounds
                 bsh, rep, rep,               # meta, n_valid, momentum
             )
+            # Epoch metas: (steps, B, 4) sharded on the batch axis (axis 1).
+            meta_sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+            epoch_kwargs["in_shardings"] = (
+                rep, rep, rep, rep,
+                rep, rep, rep,
+                meta_sh, rep, rep,
+            )
         self._step = jax.jit(self._step_impl, **jit_kwargs)
+        self._epoch = jax.jit(self._epoch_impl, **epoch_kwargs)
 
     def init_optimizer(self, params):
         return self.optimizer.init(params)
 
-    def _step_impl(self, params, state, opt_state, rng, flat_2d, flat_3d,
+    def _step_core(self, params, state, opt_state, rng, flat_2d, flat_3d,
                    seq_bounds, meta, n_valid, momentum):
         cfg, loop = self.model_cfg, self.loop_cfg
         _, batch_3d, batch_2d = assemble_chunked_batch(
@@ -154,6 +164,45 @@ class SupervisedTrainer:
         updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_state, new_opt_state, rng, loss
+
+    def _step_impl(self, params, state, opt_state, rng, flat_2d, flat_3d,
+                   seq_bounds, meta, n_valid, momentum):
+        return self._step_core(params, state, opt_state, rng, flat_2d, flat_3d,
+                               seq_bounds, meta, n_valid, momentum)
+
+    def _epoch_impl(self, params, state, opt_state, rng, flat_2d, flat_3d,
+                    seq_bounds, metas, n_valids, momentum):
+        """A whole epoch as one XLA program: lax.scan over the per-step chunk
+        descriptors.  Removes all per-step host dispatch (the TPU-native answer
+        to the reference's Python hot loop, run.py:401-420)."""
+
+        def body(carry, xs):
+            params, state, opt_state, rng = carry
+            meta, n_valid = xs
+            params, state, opt_state, rng, loss = self._step_core(
+                params, state, opt_state, rng, flat_2d, flat_3d, seq_bounds,
+                meta, n_valid, momentum)
+            return (params, state, opt_state, rng), loss
+
+        (params, state, opt_state, rng), losses = jax.lax.scan(
+            body, (params, state, opt_state, rng), (metas, n_valids))
+        return params, state, opt_state, rng, losses
+
+    def run_epoch(self, params, state, opt_state, rng, dev, metas, n_valids,
+                  momentum):
+        """Run one epoch in a single device program.
+
+        Args:
+          metas: (steps, B, 4) int32 chunk descriptors for every step.
+          n_valids: (steps,) int32 valid-row counts.
+
+        Returns:
+          (params, state, opt_state, rng, (steps,) per-step losses).
+        """
+        return self._epoch(params, state, opt_state, rng, dev.flat_2d,
+                           dev.flat_3d, dev.seq_bounds, jnp.asarray(metas),
+                           jnp.asarray(n_valids, jnp.int32),
+                           jnp.asarray(momentum, jnp.float32))
 
     def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
         """One training step.  ``dev``: DeviceArrays for the labeled set."""
