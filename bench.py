@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 def main():
     from videopose3d_tpu.models.temporal import (
-        TemporalModelConfig, init_temporal_model, forward_dilated,
+        TemporalModelConfig, init_temporal_model, forward_dilated_fused,
         receptive_field)
 
     cfg = TemporalModelConfig(
@@ -49,7 +49,9 @@ def main():
     def infer_n(params, state, x, n):
         def body(i, carry):
             x_dep, acc = carry
-            pred, _ = forward_dilated(cfg, params, state, x_dep, train=False)
+            # Fused Pallas residual-block path (conv+BN+ReLU+1x1+BN+ReLU+res
+            # in one VMEM-resident kernel per block).
+            pred = forward_dilated_fused(cfg, params, state, x_dep, t_tile=512)
             # Fold a scalar of the output back into the input: a true data
             # dependency (not compiler-removable) with negligible numerics.
             acc = jnp.sum(pred[0, 0, 0]) * jnp.float32(1e-30)

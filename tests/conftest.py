@@ -55,3 +55,18 @@ def reference_modules():
         generators = ref_generators
 
     return Ref
+
+
+def fresh_reference_h36m_dataset(path):
+    """Construct the reference Human36mDataset from a fresh module copy.
+
+    The reference keeps its skeleton as a module-level singleton that
+    ``remove_static_joints`` mutates destructively, so constructing the dataset
+    twice in one process fails (reference quirk).  Reloading the module gives
+    each construction a pristine skeleton."""
+    import importlib
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import common.h36m_dataset as m
+    importlib.reload(m)
+    return m.Human36mDataset(path)

@@ -113,9 +113,9 @@ class TestDatasets:
                             .astype(np.float32)}}
         np.savez_compressed(tmp_path / "d.npz", positions_3d=positions)
         from videopose3d_tpu.datasets.h36m import Human36mDataset
-        from common.h36m_dataset import Human36mDataset as RefDataset
+        from tests.conftest import fresh_reference_h36m_dataset
         ours = Human36mDataset(str(tmp_path / "d.npz"))
-        theirs = RefDataset(str(tmp_path / "d.npz"))
+        theirs = fresh_reference_h36m_dataset(str(tmp_path / "d.npz"))
         for subject in ["S1", "S5", "S9", "S11"]:
             for i in range(4):
                 co = ours.cameras()[subject][i]

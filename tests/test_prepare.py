@@ -128,17 +128,15 @@ def test_h36m_gt_2d_projection_roundtrip(tmp_path, reference_modules):
     assert pos2d[0].shape == (12, 17, 2)
 
     # Reference pipeline on the same data for camera 0.
-    import torch
-    sys_path = "/root/reference"
     import sys
-    if sys_path not in sys.path:
-        sys.path.insert(0, sys_path)
-    from common.h36m_dataset import Human36mDataset as RefDataset
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
     from common.camera import (world_to_camera as ref_w2c,
                                project_to_2d as ref_proj,
                                image_coordinates as ref_img)
     from common.utils import wrap as ref_wrap
-    ref_ds = RefDataset(str(tmp_path / "data_3d_h36m.npz"))
+    from tests.conftest import fresh_reference_h36m_dataset
+    ref_ds = fresh_reference_h36m_dataset(str(tmp_path / "data_3d_h36m.npz"))
     anim = ref_ds["S1"]["Walking 1"]
     cam = anim["cameras"][0]
     pos_3d = ref_w2c(anim["positions"], R=cam["orientation"],
