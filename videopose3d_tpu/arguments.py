@@ -124,6 +124,9 @@ def parse_args(argv=None):
                         help="MXU compute precision (params stay float32)")
     parser.add_argument("--eval-bucket", default=128, type=int, metavar="N",
                         help="bucket whole-video eval lengths to multiples of N frames")
+    parser.add_argument("--eval-bucket-pow2", action="store_true",
+                        help="bucket eval lengths to powers of two (starting at "
+                             "--eval-bucket) to bound XLA compilations")
     parser.add_argument("--seed", default=0, type=int, metavar="N",
                         help="model init / dropout PRNG seed")
     parser.add_argument("--no-mesh", action="store_true",

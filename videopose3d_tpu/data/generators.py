@@ -282,7 +282,7 @@ class UnchunkedBatcher:
                  causal_shift: int = 0, augment: bool = False,
                  kps_flip_perm: Optional[np.ndarray] = None,
                  joints_flip_perm: Optional[np.ndarray] = None,
-                 bucket: int = 128):
+                 bucket: int = 128, bucket_pow2: bool = False):
         assert poses_3d is None or len(poses_3d) == len(poses_2d)
         assert cameras is None or len(cameras) == len(poses_2d)
         self.cameras = cameras
@@ -294,6 +294,10 @@ class UnchunkedBatcher:
         self.kps_flip_perm = kps_flip_perm
         self.joints_flip_perm = joints_flip_perm
         self.bucket = bucket
+        # pow2 mode bounds the number of distinct XLA compilations to
+        # O(log(max_len)) instead of O(max_len / bucket) — useful when each
+        # compile is expensive (e.g. tunneled-TPU remote compilation).
+        self.bucket_pow2 = bucket_pow2
 
     def num_frames(self) -> int:
         return sum(p.shape[0] for p in self.poses_2d)
@@ -319,7 +323,12 @@ class UnchunkedBatcher:
             cam = self.cameras[i] if self.cameras is not None else None
             n = seq_2d.shape[0]
 
-            t_bucket = -(-n // self.bucket) * self.bucket
+            if self.bucket_pow2:
+                t_bucket = self.bucket
+                while t_bucket < n:
+                    t_bucket *= 2
+            else:
+                t_bucket = -(-n // self.bucket) * self.bucket
             pad_left = self.pad + self.causal_shift
             pad_right = (self.pad - self.causal_shift) + (t_bucket - n)
             batch_2d = np.pad(

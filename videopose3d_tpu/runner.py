@@ -345,7 +345,7 @@ def main(argv=None):
         cameras_valid, poses_valid, poses_valid_2d, pad=pad,
         causal_shift=causal_shift, augment=False,
         kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
-        bucket=args.eval_bucket)
+        bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
     print("INFO: Testing on {} frames".format(test_batcher.num_frames()))
 
     evaluator = Evaluator(model_cfg, joints_flip_perm=joints_perm)
@@ -416,7 +416,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
     train_eval_batcher = UnchunkedBatcher(
         cameras_train, poses_train, poses_train_2d, pad=pad,
         causal_shift=causal_shift, augment=False, kps_flip_perm=kps_perm,
-        joints_flip_perm=joints_perm, bucket=args.eval_bucket)
+        joints_flip_perm=joints_perm, bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
     print("INFO: Training on {} frames".format(train_eval_batcher.num_frames()))
 
     epoch = 0
@@ -435,7 +435,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         semi_eval_batcher = UnchunkedBatcher(
             cameras_semi, None, poses_semi_2d, pad=pad,
             causal_shift=causal_shift, augment=False, kps_flip_perm=kps_perm,
-            joints_flip_perm=joints_perm, bucket=args.eval_bucket)
+            joints_flip_perm=joints_perm, bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
         print("INFO: Semi-supervision on {} frames".format(
             semi_eval_batcher.num_frames()))
 
@@ -512,17 +512,36 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         with trace_ctx:
             if semi_supervised:
                 skip = epoch < args.warmup
-                for meta, n_valid in sampler.next_epoch():
-                    meta_semi, n_valid_semi = next(semi_iter)
+                if args.scan_epoch:
+                    metas, n_valids, metas_semi, n_valids_semi = [], [], [], []
+                    for meta, n_valid in sampler.next_epoch():
+                        meta_semi, n_valid_semi = next(semi_iter)
+                        metas.append(meta)
+                        n_valids.append(n_valid)
+                        metas_semi.append(meta_semi)
+                        n_valids_semi.append(n_valid_semi)
                     (all_params, all_states, opt_state, step_rng,
-                     loss_pos, loss_traj, loss_recon) = trainer.step(
+                     (l_pos, l_traj, l_recon)) = trainer.run_epoch(
                         all_params, all_states, opt_state, step_rng, dev,
-                        dev_semi, meta, n_valid, meta_semi, n_valid_semi,
+                        dev_semi, np.stack(metas), np.array(n_valids),
+                        np.stack(metas_semi), np.array(n_valids_semi),
                         momentum, skip)
-                    epoch_losses.append(loss_pos)
-                    epoch_losses_traj.append(loss_traj)
-                    epoch_losses_2d.append(loss_recon)
+                    epoch_losses = list(np.asarray(l_pos))
+                    epoch_losses_traj = list(np.asarray(l_traj))
+                    epoch_losses_2d = list(np.asarray(l_recon))
                     step_timer.tick()
+                else:
+                    for meta, n_valid in sampler.next_epoch():
+                        meta_semi, n_valid_semi = next(semi_iter)
+                        (all_params, all_states, opt_state, step_rng,
+                         loss_pos, loss_traj, loss_recon) = trainer.step(
+                            all_params, all_states, opt_state, step_rng, dev,
+                            dev_semi, meta, n_valid, meta_semi, n_valid_semi,
+                            momentum, skip)
+                        epoch_losses.append(loss_pos)
+                        epoch_losses_traj.append(loss_traj)
+                        epoch_losses_2d.append(loss_recon)
+                        step_timer.tick()
                 params, state = all_params["pos"], all_states["pos"]
                 params_traj, state_traj = all_params["traj"], all_states["traj"]
                 losses_traj_train.append(
@@ -742,7 +761,7 @@ def _final_evaluation(args, dataset, keypoints, subjects_test, action_filter,
                 None, poses_act, poses_2d_act, pad=pad,
                 causal_shift=causal_shift, augment=args.test_time_augmentation,
                 kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
-                bucket=args.eval_bucket)
+                bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
             e1, e2, e3, ev = evaluate(evaluator, params, state, batcher,
                                       action=action_key)
             errors_p1.append(e1)
@@ -789,7 +808,7 @@ def _render(args, dataset, keypoints, keypoints_metadata, model_cfg, traj_cfg,
     batcher = UnchunkedBatcher(
         None, None, [input_keypoints], pad=pad, causal_shift=causal_shift,
         augment=args.test_time_augmentation, kps_flip_perm=kps_perm,
-        joints_flip_perm=joints_perm, bucket=args.eval_bucket)
+        joints_flip_perm=joints_perm, bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
     prediction = evaluate(evaluator, params, state, batcher,
                           return_predictions=True)
     if params_traj is not None and ground_truth is None:

@@ -240,8 +240,10 @@ class SemiSupervisedTrainer:
         self.mesh = mesh
 
         jit_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (15,)}
+        epoch_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (15,)}
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
             rep = replicated_sharding(mesh)
             bsh = batch_sharding(mesh)
             jit_kwargs["in_shardings"] = (
@@ -250,7 +252,15 @@ class SemiSupervisedTrainer:
                 rep, rep, rep,                # semi flat_2d/bounds/cams
                 bsh, rep, bsh, rep, rep,      # meta, n_valid, meta_semi, n_valid_semi, momentum
             )                                 # (skip is static)
+            meta_sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+            epoch_kwargs["in_shardings"] = (
+                rep, rep, rep, rep,
+                rep, rep, rep,
+                rep, rep, rep,
+                meta_sh, rep, meta_sh, rep, rep,
+            )
         self._step = jax.jit(self._step_impl, **jit_kwargs)
+        self._epoch = jax.jit(self._epoch_impl, **epoch_kwargs)
 
     def init_optimizer(self, params):
         """``params`` = {"pos": ..., "traj": ...} — one optimizer over both models
@@ -358,4 +368,43 @@ class SemiSupervisedTrainer:
             dev_semi.flat_2d, dev_semi.seq_bounds, dev_semi.cameras,
             jnp.asarray(meta), jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(meta_semi), jnp.asarray(n_valid_semi, jnp.int32),
+            jnp.asarray(momentum, jnp.float32), bool(skip))
+
+    def _epoch_impl(self, params, states, opt_state, rng,
+                    flat_2d, flat_3d, seq_bounds,
+                    flat_2d_semi, seq_bounds_semi, cams_semi,
+                    metas, n_valids, metas_semi, n_valids_semi, momentum,
+                    skip: bool):
+        """Whole semi-supervised epoch as one XLA scan (see
+        SupervisedTrainer._epoch_impl)."""
+
+        def body(carry, xs):
+            params, states, opt_state, rng = carry
+            meta, n_valid, meta_semi, n_valid_semi = xs
+            (params, states, opt_state, rng,
+             loss_pos, loss_traj, loss_recon) = self._step_impl(
+                params, states, opt_state, rng, flat_2d, flat_3d, seq_bounds,
+                flat_2d_semi, seq_bounds_semi, cams_semi,
+                meta, n_valid, meta_semi, n_valid_semi, momentum, skip)
+            return ((params, states, opt_state, rng),
+                    (loss_pos, loss_traj, loss_recon))
+
+        (params, states, opt_state, rng), losses = jax.lax.scan(
+            body, (params, states, opt_state, rng),
+            (metas, n_valids, metas_semi, n_valids_semi))
+        return params, states, opt_state, rng, losses
+
+    def run_epoch(self, params, states, opt_state, rng, dev, dev_semi,
+                  metas, n_valids, metas_semi, n_valids_semi, momentum,
+                  skip: bool):
+        """One semi-supervised epoch in a single device program.
+
+        Returns (params, states, opt_state, rng, (loss_pos, loss_traj,
+        loss_recon) per-step vectors)."""
+        return self._epoch(
+            params, states, opt_state, rng,
+            dev.flat_2d, dev.flat_3d, dev.seq_bounds,
+            dev_semi.flat_2d, dev_semi.seq_bounds, dev_semi.cameras,
+            jnp.asarray(metas), jnp.asarray(n_valids, jnp.int32),
+            jnp.asarray(metas_semi), jnp.asarray(n_valids_semi, jnp.int32),
             jnp.asarray(momentum, jnp.float32), bool(skip))
