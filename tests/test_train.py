@@ -216,7 +216,7 @@ class TestSemiSupervised:
             for meta, n_valid in sampler.next_epoch():
                 meta_semi, n_valid_semi = next(semi_iter)
                 (params, states, opt_state, step_rng,
-                 loss_pos, loss_traj, loss_recon) = trainer.step(
+                 loss_pos, loss_traj, loss_recon, loss_total) = trainer.step(
                     params, states, opt_state, step_rng, dev, dev_semi,
                     meta, n_valid, meta_semi, n_valid_semi, 0.1, skip)
                 assert np.isfinite(float(loss_pos))

@@ -521,7 +521,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                         metas_semi.append(meta_semi)
                         n_valids_semi.append(n_valid_semi)
                     (all_params, all_states, opt_state, step_rng,
-                     (l_pos, l_traj, l_recon)) = trainer.run_epoch(
+                     (l_pos, l_traj, l_recon, _l_total)) = trainer.run_epoch(
                         all_params, all_states, opt_state, step_rng, dev,
                         dev_semi, np.stack(metas), np.array(n_valids),
                         np.stack(metas_semi), np.array(n_valids_semi),
@@ -534,7 +534,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                     for meta, n_valid in sampler.next_epoch():
                         meta_semi, n_valid_semi = next(semi_iter)
                         (all_params, all_states, opt_state, step_rng,
-                         loss_pos, loss_traj, loss_recon) = trainer.step(
+                         loss_pos, loss_traj, loss_recon, _lt) = trainer.step(
                             all_params, all_states, opt_state, step_rng, dev,
                             dev_semi, meta, n_valid, meta_semi, n_valid_semi,
                             momentum, skip)

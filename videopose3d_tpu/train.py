@@ -353,12 +353,12 @@ class SemiSupervisedTrainer:
             new_states = {"pos": new_state_pos, "traj": new_state_traj}
             return total, (new_states, loss_pos, loss_traj, loss_recon)
 
-        (_, (new_states, loss_pos, loss_traj, loss_recon)), grads = (
+        ((loss_total, (new_states, loss_pos, loss_traj, loss_recon)), grads) = (
             jax.value_and_grad(loss_fn, has_aux=True)(params))
         updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return (new_params, new_states, new_opt_state, rng,
-                loss_pos, loss_traj, loss_recon)
+                loss_pos, loss_traj, loss_recon, loss_total)
 
     def step(self, params, states, opt_state, rng, dev, dev_semi,
              meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
@@ -382,12 +382,12 @@ class SemiSupervisedTrainer:
             params, states, opt_state, rng = carry
             meta, n_valid, meta_semi, n_valid_semi = xs
             (params, states, opt_state, rng,
-             loss_pos, loss_traj, loss_recon) = self._step_impl(
+             loss_pos, loss_traj, loss_recon, loss_total) = self._step_impl(
                 params, states, opt_state, rng, flat_2d, flat_3d, seq_bounds,
                 flat_2d_semi, seq_bounds_semi, cams_semi,
                 meta, n_valid, meta_semi, n_valid_semi, momentum, skip)
             return ((params, states, opt_state, rng),
-                    (loss_pos, loss_traj, loss_recon))
+                    (loss_pos, loss_traj, loss_recon, loss_total))
 
         (params, states, opt_state, rng), losses = jax.lax.scan(
             body, (params, states, opt_state, rng),
@@ -400,7 +400,7 @@ class SemiSupervisedTrainer:
         """One semi-supervised epoch in a single device program.
 
         Returns (params, states, opt_state, rng, (loss_pos, loss_traj,
-        loss_recon) per-step vectors)."""
+        loss_recon, loss_total) per-step vectors)."""
         return self._epoch(
             params, states, opt_state, rng,
             dev.flat_2d, dev.flat_3d, dev.seq_bounds,
