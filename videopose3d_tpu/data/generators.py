@@ -30,7 +30,7 @@ smaller final batch, ``generators.py:154-160``).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,7 @@ Procrustes (P2) and velocity metrics run on host exactly like the reference
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

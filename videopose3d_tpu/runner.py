@@ -16,7 +16,6 @@ TPU-first differences (see SURVEY.md §7):
 from __future__ import annotations
 
 import os
-import sys
 from time import time
 
 import numpy as np

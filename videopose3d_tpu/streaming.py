@@ -34,7 +34,7 @@ BatchNorm runs in inference mode (running statistics folded to affine).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -27,8 +27,6 @@ stochastic difference with no measurable effect, documented here for the record.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
