@@ -131,6 +131,12 @@ def parse_args(argv=None):
                         help="model init / dropout PRNG seed")
     parser.add_argument("--no-mesh", action="store_true",
                         help="disable data-parallel sharding over the device mesh")
+    parser.add_argument("--rng-impl", default="rbg", type=str,
+                        choices=["rbg", "threefry2x32"],
+                        help="JAX PRNG implementation for dropout masks. 'rbg' "
+                             "uses the TPU hardware generator (~2x faster "
+                             "training steps); 'threefry2x32' is the JAX "
+                             "default, reproducible across backends")
     parser.add_argument("--no-scan-epoch", dest="scan_epoch",
                         action="store_false",
                         help="dispatch train steps one-by-one instead of "
