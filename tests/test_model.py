@@ -161,6 +161,21 @@ class TestInterchangeability:
             np.asarray(strided), np.asarray(dilated), atol=1e-5)
 
 
+class TestThreeFeatureInput:
+    def test_in_features_3(self):
+        """Detections with confidence scores (x, y, p) — the reference's
+        d-pt-243-style models — flow through both forms."""
+        cfg = TemporalModelConfig(
+            num_joints_in=17, in_features=3, num_joints_out=17,
+            filter_widths=(3, 3), dropout=0.0, channels=16)
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        x = np.random.default_rng(0).standard_normal((2, 9, 17, 3)).astype(np.float32)
+        y1, _ = forward_dilated(cfg, params, state, x, train=False)
+        y2, _ = forward_strided(cfg, params, state, x, train=False)
+        assert y1.shape == (2, 1, 17, 3)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
 class TestJit:
     def test_jit_forward(self):
         cfg = _config((3, 3, 3))
