@@ -477,6 +477,8 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             all_states = {"pos": state, "traj": s_t}
             if checkpoint.get("random_state_semi") is not None:
                 sampler_semi.set_random_state(checkpoint["random_state_semi"])
+        if checkpoint.get("step_rng") is not None:
+            step_rng = jnp.asarray(checkpoint["step_rng"])
         opt_state = set_learning_rate(opt_state, lr)
 
     print("** Note: reported losses are averaged over all frames and test-time "
@@ -655,6 +657,10 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                                if semi_supervised else None),
                 "random_state_semi": (sampler_semi.random_state()
                                       if semi_supervised else None),
+                # Dropout PRNG key: resuming reproduces the exact mask sequence
+                # (the reference does not checkpoint torch's RNG, so its resumes
+                # are only sampler-exact; ours are fully bit-exact).
+                "step_rng": np.asarray(step_rng),
             })
 
         if args.export_training_curves and epoch > 3:
