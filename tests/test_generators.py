@@ -128,6 +128,39 @@ def test_endless_state_and_resume(reference_modules):
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("pad,causal_shift,chunk", [
+    (3, 0, 1), (13, 0, 1), (13, 13, 1), (4, 0, 5), (0, 0, 3),
+])
+def test_contiguous_assembly_equals_clamping(pad, causal_shift, chunk):
+    """The contiguous fast path (margin-padded flat arrays + dynamic_slice
+    windows) produces byte-identical batches to the clamping gather path."""
+    from videopose3d_tpu.data.generators import (
+        FlatSequenceDataset, assemble_chunked_batch_contiguous)
+    poses_2d, poses_3d, cams = _make_data(seed=7)
+    margins = FlatSequenceDataset.training_margins(pad, causal_shift, chunk)
+    ds = FlatSequenceDataset(poses_2d, poses_3d, cams, margins=margins)
+    dev = ds.to_device()
+    assert dev.has_contiguous
+
+    sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, chunk,
+                                 augment=True)
+    perm = tuple(_flip_perm().tolist())
+    for (meta, n_valid), _ in zip(sampler.next_epoch(), range(10)):
+        want = assemble_chunked_batch(
+            dev.flat_2d, dev.flat_3d, dev.cameras, dev.seq_bounds,
+            jnp_meta := np.asarray(meta), pad=pad, causal_shift=causal_shift,
+            chunk_length=chunk, kps_flip_perm=perm, joints_flip_perm=perm,
+            with_3d=True, with_cameras=True)
+        got = assemble_chunked_batch_contiguous(
+            dev.flat_2d_padded, dev.flat_3d_padded, dev.cameras,
+            dev.base_2d, dev.base_3d, jnp_meta, pad=pad,
+            causal_shift=causal_shift, chunk_length=chunk,
+            kps_flip_perm=perm, joints_flip_perm=perm,
+            with_3d=True, with_cameras=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 @pytest.mark.parametrize("pad,causal_shift,augment", [
     (13, 0, False), (13, 0, True), (13, 13, True), (0, 0, True),
 ])

@@ -51,7 +51,8 @@ class FlatSequenceDataset:
 
     def __init__(self, poses_2d: Sequence[np.ndarray],
                  poses_3d: Optional[Sequence[np.ndarray]] = None,
-                 cameras: Optional[Sequence[np.ndarray]] = None):
+                 cameras: Optional[Sequence[np.ndarray]] = None,
+                 margins: Optional[Tuple[int, int, int, int]] = None):
         assert poses_3d is None or len(poses_3d) == len(poses_2d)
         assert cameras is None or len(cameras) == len(poses_2d)
 
@@ -66,6 +67,39 @@ class FlatSequenceDataset:
         self.cameras = (np.stack(cameras, axis=0).astype(np.float32)
                         if cameras is not None else None)
 
+        # Contiguous-window fast path: bake the edge-replication margins into
+        # the flat arrays so every training window is one contiguous slice
+        # (dynamic_slice) instead of a per-row gather — per-row gathers of
+        # 136-byte rows run ~10x below HBM bandwidth on TPU.
+        # margins = (left_2d, right_2d, left_3d, right_3d) in frames.
+        self.base_2d = self.base_3d = None
+        self.flat_2d_padded = self.flat_3d_padded = None
+        if margins is not None:
+            l2, r2, l3, r3 = margins
+
+            def pad_concat(seqs, left, right):
+                padded, bases, off = [], [], 0
+                for s in seqs:
+                    p = np.concatenate(
+                        [np.repeat(s[:1], left, axis=0), s,
+                         np.repeat(s[-1:], right, axis=0)], axis=0)
+                    padded.append(p.astype(np.float32))
+                    bases.append(off + left)
+                    off += p.shape[0]
+                return np.concatenate(padded, axis=0), np.asarray(bases, np.int32)
+
+            self.flat_2d_padded, self.base_2d = pad_concat(poses_2d, l2, r2)
+            if poses_3d is not None:
+                self.flat_3d_padded, self.base_3d = pad_concat(poses_3d, l3, r3)
+
+    @staticmethod
+    def training_margins(pad: int, causal_shift: int, chunk_length: int):
+        """Margins covering every window the chunk enumeration can request:
+        2D windows span [start_3d - pad - shift, end_3d + pad - shift) with
+        start_3d >= -(chunk-1) and end_3d <= N + (chunk-1)."""
+        c = chunk_length - 1
+        return (pad + causal_shift + c, pad - causal_shift + c, c, c)
+
     @property
     def num_sequences(self) -> int:
         return len(self.lengths)
@@ -79,22 +113,37 @@ class FlatSequenceDataset:
         replicated for data-parallel training)."""
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
+        maybe = lambda x: put(x) if x is not None else None
         return DeviceArrays(
             flat_2d=put(self.flat_2d),
-            flat_3d=put(self.flat_3d) if self.flat_3d is not None else None,
-            cameras=put(self.cameras) if self.cameras is not None else None,
+            flat_3d=maybe(self.flat_3d),
+            cameras=maybe(self.cameras),
             seq_bounds=put(self.seq_bounds),
+            flat_2d_padded=maybe(self.flat_2d_padded),
+            flat_3d_padded=maybe(self.flat_3d_padded),
+            base_2d=maybe(self.base_2d),
+            base_3d=maybe(self.base_3d),
         )
 
 
 class DeviceArrays:
     """Handle to the device-resident dataset arrays."""
 
-    def __init__(self, flat_2d, flat_3d, cameras, seq_bounds):
+    def __init__(self, flat_2d, flat_3d, cameras, seq_bounds,
+                 flat_2d_padded=None, flat_3d_padded=None,
+                 base_2d=None, base_3d=None):
         self.flat_2d = flat_2d
         self.flat_3d = flat_3d
         self.cameras = cameras
         self.seq_bounds = seq_bounds
+        self.flat_2d_padded = flat_2d_padded
+        self.flat_3d_padded = flat_3d_padded
+        self.base_2d = base_2d
+        self.base_3d = base_3d
+
+    @property
+    def has_contiguous(self) -> bool:
+        return self.base_2d is not None
 
 
 class ChunkedPairSampler:
@@ -249,6 +298,60 @@ def assemble_chunked_batch(
     batch_3d = None
     if with_3d:
         batch_3d = gather_window(flat_3d, start_3d, chunk_length)
+        joints_perm = jnp.asarray(np.array(joints_flip_perm, dtype=np.int32))
+        flipped_3d = batch_3d[:, :, joints_perm, :]
+        flipped_3d = flipped_3d.at[..., 0].multiply(-1.0)
+        batch_3d = jnp.where(flip[:, None, None, None], flipped_3d, batch_3d)
+
+    cam = None
+    if with_cameras:
+        cam = cameras[seq]
+        sign = jnp.ones((9,), cam.dtype).at[2].set(-1.0).at[7].set(-1.0)
+        cam = jnp.where(flip[:, None], cam * sign, cam)
+
+    return cam, batch_3d, batch_2d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad", "causal_shift", "chunk_length", "kps_flip_perm",
+                     "joints_flip_perm", "with_3d", "with_cameras"),
+)
+def assemble_chunked_batch_contiguous(
+    flat_2d_padded, flat_3d_padded, cameras, base_2d, base_3d, meta, *,
+    pad: int, causal_shift: int, chunk_length: int,
+    kps_flip_perm: Tuple[int, ...], joints_flip_perm: Tuple[int, ...],
+    with_3d: bool = True, with_cameras: bool = False,
+):
+    """Fast-path batch assembly over margin-padded flat arrays: every window is
+    one contiguous ``dynamic_slice`` (requires ``FlatSequenceDataset(...,
+    margins=FlatSequenceDataset.training_margins(...))``).  Semantically
+    identical to :func:`assemble_chunked_batch` — the baked-in edge replication
+    equals the index clamp."""
+    seq = meta[:, 0]
+    start_3d = meta[:, 1]
+    flip = meta[:, 3].astype(bool)
+
+    win_2d = chunk_length + 2 * pad
+    row0_2d = base_2d[seq] + start_3d - pad - causal_shift
+
+    def slice_window(flat, length):
+        def one(r):
+            return jax.lax.dynamic_slice(
+                flat, (r,) + (0,) * (flat.ndim - 1), (length,) + flat.shape[1:])
+        return jax.vmap(one)
+
+    batch_2d = slice_window(flat_2d_padded, win_2d)(row0_2d)
+
+    kps_perm = jnp.asarray(np.array(kps_flip_perm, dtype=np.int32))
+    flipped_2d = batch_2d[:, :, kps_perm, :]
+    flipped_2d = flipped_2d.at[..., 0].multiply(-1.0)
+    batch_2d = jnp.where(flip[:, None, None, None], flipped_2d, batch_2d)
+
+    batch_3d = None
+    if with_3d:
+        row0_3d = base_3d[seq] + start_3d
+        batch_3d = slice_window(flat_3d_padded, chunk_length)(row0_3d)
         joints_perm = jnp.asarray(np.array(joints_flip_perm, dtype=np.int32))
         flipped_3d = batch_3d[:, :, joints_perm, :]
         flipped_3d = flipped_3d.at[..., 0].multiply(-1.0)

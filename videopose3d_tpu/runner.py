@@ -411,8 +411,11 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             loop_cfg = TrainLoopConfig(**{
                 **loop_cfg.__dict__, "batch_size": new_bs})
 
+    margins = FlatSequenceDataset.training_margins(
+        pad, causal_shift, loop_cfg.chunk_length)
     dev = FlatSequenceDataset(
-        poses_train_2d, poses_train, cameras_train).to_device(rep_sharding)
+        poses_train_2d, poses_train, cameras_train,
+        margins=margins).to_device(rep_sharding)
     sampler = ChunkedPairSampler(
         [p.shape[0] for p in poses_train_2d], loop_cfg.batch_size,
         loop_cfg.chunk_length, shuffle=True, augment=args.data_augmentation)
@@ -430,7 +433,8 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             args, dataset, keypoints, subjects_semi, action_filter,
             parse_3d_poses=False)
         dev_semi = FlatSequenceDataset(
-            poses_semi_2d, None, cameras_semi).to_device(rep_sharding)
+            poses_semi_2d, None, cameras_semi,
+            margins=margins).to_device(rep_sharding)
         sampler_semi = ChunkedPairSampler(
             [p.shape[0] for p in poses_semi_2d], loop_cfg.batch_size,
             loop_cfg.chunk_length, shuffle=True, random_seed=4321,

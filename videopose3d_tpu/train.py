@@ -118,14 +118,14 @@ class SupervisedTrainer:
             bsh = batch_sharding(mesh)
             jit_kwargs["in_shardings"] = (
                 rep, rep, rep, rep,          # params, state, opt_state, rng
-                rep, rep, rep,               # flat_2d, flat_3d, seq_bounds
+                rep,                         # data dict (replicated prefix)
                 bsh, rep, rep,               # meta, n_valid, momentum
             )
             # Epoch metas: (steps, B, 4) sharded on the batch axis (axis 1).
             meta_sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
             epoch_kwargs["in_shardings"] = (
                 rep, rep, rep, rep,
-                rep, rep, rep,
+                rep,
                 meta_sh, rep, rep,
             )
         self._step = jax.jit(self._step_impl, **jit_kwargs)
@@ -134,16 +134,44 @@ class SupervisedTrainer:
     def init_optimizer(self, params):
         return self.optimizer.init(params)
 
-    def _step_core(self, params, state, opt_state, rng, flat_2d, flat_3d,
-                   seq_bounds, meta, n_valid, momentum):
+    @staticmethod
+    def _data_dict(dev, with_cameras=False):
+        """Extract the device arrays the assembly path needs.  Prefers the
+        contiguous fast path (margin-padded arrays) when the dataset was built
+        with margins."""
+        # The dict's key set is part of the jit cache key, so the presence of
+        # "base_2d" (vs "seq_bounds") statically selects the assembly path.
+        if dev.has_contiguous:
+            d = {"flat_2d": dev.flat_2d_padded, "flat_3d": dev.flat_3d_padded,
+                 "base_2d": dev.base_2d, "base_3d": dev.base_3d}
+        else:
+            d = {"flat_2d": dev.flat_2d, "flat_3d": dev.flat_3d,
+                 "seq_bounds": dev.seq_bounds}
+        if with_cameras:
+            d["cameras"] = dev.cameras
+        return {k: v for k, v in d.items() if v is not None}
+
+    def _assemble(self, data, meta, *, with_3d=True, with_cameras=False):
+        loop = self.loop_cfg
+        common = dict(pad=loop.pad, causal_shift=loop.causal_shift,
+                      chunk_length=loop.chunk_length,
+                      kps_flip_perm=self.kps_flip_perm,
+                      joints_flip_perm=self.joints_flip_perm,
+                      with_3d=with_3d, with_cameras=with_cameras)
+        if "base_2d" in data:
+            from videopose3d_tpu.data.generators import (
+                assemble_chunked_batch_contiguous)
+            return assemble_chunked_batch_contiguous(
+                data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
+                data["base_2d"], data.get("base_3d"), meta, **common)
+        return assemble_chunked_batch(
+            data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
+            data["seq_bounds"], meta, **common)
+
+    def _step_core(self, params, state, opt_state, rng, data, meta, n_valid,
+                   momentum):
         cfg, loop = self.model_cfg, self.loop_cfg
-        _, batch_3d, batch_2d = assemble_chunked_batch(
-            flat_2d, flat_3d, None, seq_bounds, meta,
-            pad=loop.pad, causal_shift=loop.causal_shift,
-            chunk_length=loop.chunk_length,
-            kps_flip_perm=self.kps_flip_perm,
-            joints_flip_perm=self.joints_flip_perm,
-            with_3d=True, with_cameras=False)
+        _, batch_3d, batch_2d = self._assemble(data, meta)
 
         # Root-center: zero the hip, trajectory handled separately (run.py:407).
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -163,13 +191,13 @@ class SupervisedTrainer:
         new_params = optax.apply_updates(params, updates)
         return new_params, new_state, new_opt_state, rng, loss
 
-    def _step_impl(self, params, state, opt_state, rng, flat_2d, flat_3d,
-                   seq_bounds, meta, n_valid, momentum):
-        return self._step_core(params, state, opt_state, rng, flat_2d, flat_3d,
-                               seq_bounds, meta, n_valid, momentum)
+    def _step_impl(self, params, state, opt_state, rng, data, meta, n_valid,
+                   momentum):
+        return self._step_core(params, state, opt_state, rng, data, meta,
+                               n_valid, momentum)
 
-    def _epoch_impl(self, params, state, opt_state, rng, flat_2d, flat_3d,
-                    seq_bounds, metas, n_valids, momentum):
+    def _epoch_impl(self, params, state, opt_state, rng, data, metas, n_valids,
+                    momentum):
         """A whole epoch as one XLA program: lax.scan over the per-step chunk
         descriptors.  Removes all per-step host dispatch (the TPU-native answer
         to the reference's Python hot loop, run.py:401-420)."""
@@ -178,8 +206,7 @@ class SupervisedTrainer:
             params, state, opt_state, rng = carry
             meta, n_valid = xs
             params, state, opt_state, rng, loss = self._step_core(
-                params, state, opt_state, rng, flat_2d, flat_3d, seq_bounds,
-                meta, n_valid, momentum)
+                params, state, opt_state, rng, data, meta, n_valid, momentum)
             return (params, state, opt_state, rng), loss
 
         (params, state, opt_state, rng), losses = jax.lax.scan(
@@ -197,15 +224,15 @@ class SupervisedTrainer:
         Returns:
           (params, state, opt_state, rng, (steps,) per-step losses).
         """
-        return self._epoch(params, state, opt_state, rng, dev.flat_2d,
-                           dev.flat_3d, dev.seq_bounds, jnp.asarray(metas),
+        return self._epoch(params, state, opt_state, rng, self._data_dict(dev),
+                           jnp.asarray(metas),
                            jnp.asarray(n_valids, jnp.int32),
                            jnp.asarray(momentum, jnp.float32))
 
     def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
         """One training step.  ``dev``: DeviceArrays for the labeled set."""
-        return self._step(params, state, opt_state, rng, dev.flat_2d, dev.flat_3d,
-                          dev.seq_bounds, jnp.asarray(meta),
+        return self._step(params, state, opt_state, rng, self._data_dict(dev),
+                          jnp.asarray(meta),
                           jnp.asarray(n_valid, jnp.int32),
                           jnp.asarray(momentum, jnp.float32))
 
@@ -237,8 +264,8 @@ class SemiSupervisedTrainer:
         self.optimizer = make_optimizer(loop_cfg.learning_rate)
         self.mesh = mesh
 
-        jit_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (15,)}
-        epoch_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (15,)}
+        jit_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11,)}
+        epoch_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11,)}
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -246,38 +273,30 @@ class SemiSupervisedTrainer:
             bsh = batch_sharding(mesh)
             jit_kwargs["in_shardings"] = (
                 rep, rep, rep, rep,           # params, states, opt_state, rng
-                rep, rep, rep,                # labeled flat_2d/flat_3d/bounds
-                rep, rep, rep,                # semi flat_2d/bounds/cams
+                rep, rep,                     # data, data_semi (dict prefixes)
                 bsh, rep, bsh, rep, rep,      # meta, n_valid, meta_semi, n_valid_semi, momentum
             )                                 # (skip is static)
             meta_sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
             epoch_kwargs["in_shardings"] = (
                 rep, rep, rep, rep,
-                rep, rep, rep,
-                rep, rep, rep,
+                rep, rep,
                 meta_sh, rep, meta_sh, rep, rep,
             )
         self._step = jax.jit(self._step_impl, **jit_kwargs)
         self._epoch = jax.jit(self._epoch_impl, **epoch_kwargs)
+        self._data_dict = SupervisedTrainer._data_dict
+        self._assemble = SupervisedTrainer._assemble.__get__(self)
 
     def init_optimizer(self, params):
         """``params`` = {"pos": ..., "traj": ...} — one optimizer over both models
         (parity: ``run.py:252-253``)."""
         return self.optimizer.init(params)
 
-    def _step_impl(self, params, states, opt_state, rng,
-                   flat_2d, flat_3d, seq_bounds,
-                   flat_2d_semi, seq_bounds_semi, cams_semi,
+    def _step_impl(self, params, states, opt_state, rng, data, data_semi,
                    meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
         cfg, tcfg, loop = self.model_cfg, self.traj_cfg, self.loop_cfg
 
-        _, batch_3d, batch_2d = assemble_chunked_batch(
-            flat_2d, flat_3d, None, seq_bounds, meta,
-            pad=loop.pad, causal_shift=loop.causal_shift,
-            chunk_length=loop.chunk_length,
-            kps_flip_perm=self.kps_flip_perm,
-            joints_flip_perm=self.joints_flip_perm,
-            with_3d=True, with_cameras=False)
+        _, batch_3d, batch_2d = self._assemble(data, meta)
 
         inputs_traj = batch_3d[:, :, :1]                      # before root-zeroing
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -285,13 +304,8 @@ class SemiSupervisedTrainer:
         mask_l = (jnp.arange(b_l) < n_valid).astype(jnp.float32)
 
         if not skip:
-            cam_semi, _, batch_2d_semi = assemble_chunked_batch(
-                flat_2d_semi, None, cams_semi, seq_bounds_semi, meta_semi,
-                pad=loop.pad, causal_shift=loop.causal_shift,
-                chunk_length=loop.chunk_length,
-                kps_flip_perm=self.kps_flip_perm,
-                joints_flip_perm=self.joints_flip_perm,
-                with_3d=False, with_cameras=True)
+            cam_semi, _, batch_2d_semi = self._assemble(
+                data_semi, meta_semi, with_3d=False, with_cameras=True)
             inputs_2d_cat = jnp.concatenate([batch_2d, batch_2d_semi], axis=0)
             mask_u = (jnp.arange(meta_semi.shape[0]) < n_valid_semi).astype(jnp.float32)
         else:
@@ -362,15 +376,12 @@ class SemiSupervisedTrainer:
              meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
         return self._step(
             params, states, opt_state, rng,
-            dev.flat_2d, dev.flat_3d, dev.seq_bounds,
-            dev_semi.flat_2d, dev_semi.seq_bounds, dev_semi.cameras,
+            self._data_dict(dev), self._data_dict(dev_semi, with_cameras=True),
             jnp.asarray(meta), jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(meta_semi), jnp.asarray(n_valid_semi, jnp.int32),
             jnp.asarray(momentum, jnp.float32), bool(skip))
 
-    def _epoch_impl(self, params, states, opt_state, rng,
-                    flat_2d, flat_3d, seq_bounds,
-                    flat_2d_semi, seq_bounds_semi, cams_semi,
+    def _epoch_impl(self, params, states, opt_state, rng, data, data_semi,
                     metas, n_valids, metas_semi, n_valids_semi, momentum,
                     skip: bool):
         """Whole semi-supervised epoch as one XLA scan (see
@@ -381,8 +392,7 @@ class SemiSupervisedTrainer:
             meta, n_valid, meta_semi, n_valid_semi = xs
             (params, states, opt_state, rng,
              loss_pos, loss_traj, loss_recon, loss_total) = self._step_impl(
-                params, states, opt_state, rng, flat_2d, flat_3d, seq_bounds,
-                flat_2d_semi, seq_bounds_semi, cams_semi,
+                params, states, opt_state, rng, data, data_semi,
                 meta, n_valid, meta_semi, n_valid_semi, momentum, skip)
             return ((params, states, opt_state, rng),
                     (loss_pos, loss_traj, loss_recon, loss_total))
@@ -401,8 +411,7 @@ class SemiSupervisedTrainer:
         loss_recon, loss_total) per-step vectors)."""
         return self._epoch(
             params, states, opt_state, rng,
-            dev.flat_2d, dev.flat_3d, dev.seq_bounds,
-            dev_semi.flat_2d, dev_semi.seq_bounds, dev_semi.cameras,
+            self._data_dict(dev), self._data_dict(dev_semi, with_cameras=True),
             jnp.asarray(metas), jnp.asarray(n_valids, jnp.int32),
             jnp.asarray(metas_semi), jnp.asarray(n_valids_semi, jnp.int32),
             jnp.asarray(momentum, jnp.float32), bool(skip))
