@@ -841,9 +841,9 @@ def _render(args, dataset, keypoints, keypoints_metadata, model_cfg, traj_cfg,
 
         cam = dataset.cameras()[args.viz_subject][args.viz_camera]
         if ground_truth is not None:
-            prediction = np.asarray(camera_to_world(
+            prediction = np.array(camera_to_world(
                 prediction, R=cam["orientation"], t=cam["translation"]))
-            ground_truth = np.asarray(camera_to_world(
+            ground_truth = np.array(camera_to_world(
                 ground_truth, R=cam["orientation"], t=cam["translation"]))
         else:
             # Borrow extrinsics from any subject that has them (viz only).
@@ -852,7 +852,7 @@ def _render(args, dataset, keypoints, keypoints_metadata, model_cfg, traj_cfg,
                 if "orientation" in dataset.cameras()[subject][args.viz_camera]:
                     rot = dataset.cameras()[subject][args.viz_camera]["orientation"]
                     break
-            prediction = np.asarray(camera_to_world(prediction, R=rot, t=0))
+            prediction = np.array(camera_to_world(prediction, R=rot, t=0))
             prediction[:, :, 2] -= np.min(prediction[:, :, 2])
 
         anim_output = {"Reconstruction": prediction}

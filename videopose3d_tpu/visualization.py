@@ -124,6 +124,11 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps, bitrat
         # Black background behind the keypoint overlay.
         all_frames = np.zeros(
             (keypoints.shape[0], viewport[1], viewport[0]), dtype="uint8")
+        if fps is None:
+            # Custom (wild) datasets carry no frame rate; without a source
+            # video to probe, fall back to a sane default.
+            print("INFO: unknown frame rate, assuming 50 FPS")
+            fps = 50
     else:
         all_frames = list(read_video(
             input_video_path, skip=input_video_skip, limit=limit))
