@@ -244,6 +244,28 @@ class ChunkedPairSampler:
                 enabled = False
 
 
+def _apply_flip(flip, batch_2d, batch_3d, cam, kps_flip_perm, joints_flip_perm):
+    """Shared augmentation tail: negate x and permute left<->right columns on
+    the flipped rows; negate camera intrinsics 2 (center x) and 7 (tangential x).
+    Parity: generators.py:120-149."""
+    kps_perm = jnp.asarray(np.array(kps_flip_perm, dtype=np.int32))
+    flipped_2d = batch_2d[:, :, kps_perm, :]
+    flipped_2d = flipped_2d.at[..., 0].multiply(-1.0)
+    batch_2d = jnp.where(flip[:, None, None, None], flipped_2d, batch_2d)
+
+    if batch_3d is not None:
+        joints_perm = jnp.asarray(np.array(joints_flip_perm, dtype=np.int32))
+        flipped_3d = batch_3d[:, :, joints_perm, :]
+        flipped_3d = flipped_3d.at[..., 0].multiply(-1.0)
+        batch_3d = jnp.where(flip[:, None, None, None], flipped_3d, batch_3d)
+
+    if cam is not None:
+        sign = jnp.ones((9,), cam.dtype).at[2].set(-1.0).at[7].set(-1.0)
+        cam = jnp.where(flip[:, None], cam * sign, cam)
+
+    return batch_2d, batch_3d, cam
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pad", "causal_shift", "chunk_length", "kps_flip_perm",
@@ -289,26 +311,11 @@ def assemble_chunked_batch(
     win_2d = chunk_length + 2 * pad
     start_2d = start_3d - pad - causal_shift
     batch_2d = gather_window(flat_2d, start_2d, win_2d)
+    batch_3d = gather_window(flat_3d, start_3d, chunk_length) if with_3d else None
+    cam = cameras[seq] if with_cameras else None
 
-    kps_perm = jnp.asarray(np.array(kps_flip_perm, dtype=np.int32))
-    flipped_2d = batch_2d[:, :, kps_perm, :]
-    flipped_2d = flipped_2d.at[..., 0].multiply(-1.0)
-    batch_2d = jnp.where(flip[:, None, None, None], flipped_2d, batch_2d)
-
-    batch_3d = None
-    if with_3d:
-        batch_3d = gather_window(flat_3d, start_3d, chunk_length)
-        joints_perm = jnp.asarray(np.array(joints_flip_perm, dtype=np.int32))
-        flipped_3d = batch_3d[:, :, joints_perm, :]
-        flipped_3d = flipped_3d.at[..., 0].multiply(-1.0)
-        batch_3d = jnp.where(flip[:, None, None, None], flipped_3d, batch_3d)
-
-    cam = None
-    if with_cameras:
-        cam = cameras[seq]
-        sign = jnp.ones((9,), cam.dtype).at[2].set(-1.0).at[7].set(-1.0)
-        cam = jnp.where(flip[:, None], cam * sign, cam)
-
+    batch_2d, batch_3d, cam = _apply_flip(
+        flip, batch_2d, batch_3d, cam, kps_flip_perm, joints_flip_perm)
     return cam, batch_3d, batch_2d
 
 
@@ -342,27 +349,14 @@ def assemble_chunked_batch_contiguous(
         return jax.vmap(one)
 
     batch_2d = slice_window(flat_2d_padded, win_2d)(row0_2d)
-
-    kps_perm = jnp.asarray(np.array(kps_flip_perm, dtype=np.int32))
-    flipped_2d = batch_2d[:, :, kps_perm, :]
-    flipped_2d = flipped_2d.at[..., 0].multiply(-1.0)
-    batch_2d = jnp.where(flip[:, None, None, None], flipped_2d, batch_2d)
-
     batch_3d = None
     if with_3d:
         row0_3d = base_3d[seq] + start_3d
         batch_3d = slice_window(flat_3d_padded, chunk_length)(row0_3d)
-        joints_perm = jnp.asarray(np.array(joints_flip_perm, dtype=np.int32))
-        flipped_3d = batch_3d[:, :, joints_perm, :]
-        flipped_3d = flipped_3d.at[..., 0].multiply(-1.0)
-        batch_3d = jnp.where(flip[:, None, None, None], flipped_3d, batch_3d)
+    cam = cameras[seq] if with_cameras else None
 
-    cam = None
-    if with_cameras:
-        cam = cameras[seq]
-        sign = jnp.ones((9,), cam.dtype).at[2].set(-1.0).at[7].set(-1.0)
-        cam = jnp.where(flip[:, None], cam * sign, cam)
-
+    batch_2d, batch_3d, cam = _apply_flip(
+        flip, batch_2d, batch_3d, cam, kps_flip_perm, joints_flip_perm)
     return cam, batch_3d, batch_2d
 
 
@@ -437,11 +431,17 @@ class UnchunkedBatcher:
             batch_2d = np.pad(
                 seq_2d, ((pad_left, pad_right), (0, 0), (0, 0)), "edge")[None]
 
+            batch_3d = None if seq_3d is None else seq_3d[None]
+            batch_cam = None if cam is None else np.asarray(cam)[None]
             if self.augment:
                 flipped = batch_2d[:, :, self.kps_flip_perm].copy()
                 flipped[..., 0] *= -1
                 batch_2d = np.concatenate([batch_2d, flipped], axis=0)
-
-            batch_3d = None if seq_3d is None else seq_3d[None]
-            batch_cam = None if cam is None else np.asarray(cam)[None]
+                if batch_cam is not None:
+                    # Flip the horizontal intrinsics for the mirrored row
+                    # (parity: generators.py:225-228).
+                    cam_flipped = batch_cam.copy()
+                    cam_flipped[0, 2] *= -1
+                    cam_flipped[0, 7] *= -1
+                    batch_cam = np.concatenate([batch_cam, cam_flipped], axis=0)
             yield batch_cam, batch_3d, batch_2d.astype(np.float32), n

@@ -36,12 +36,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BN_EPS = 1e-5
+from videopose3d_tpu.models.temporal import BN_EPS
 
 
 def fold_batchnorm(bn_params, bn_state) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fold inference BatchNorm into an affine (scale, shift) pair:
-    ``bn(x) = x * scale + shift``."""
+    ``bn(x) = x * scale + shift`` (uses the model's BN_EPS)."""
     scale = bn_params["scale"] * jax.lax.rsqrt(bn_state["var"] + BN_EPS)
     shift = bn_params["bias"] - bn_state["mean"] * scale
     return scale, shift

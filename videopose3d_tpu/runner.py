@@ -27,7 +27,8 @@ from videopose3d_tpu.arguments import parse_args
 from videopose3d_tpu.checkpoint import save_checkpoint, load_checkpoint
 from videopose3d_tpu.data.generators import (
     FlatSequenceDataset, ChunkedPairSampler, UnchunkedBatcher)
-from videopose3d_tpu.evaluate import Evaluator, evaluate
+from videopose3d_tpu.evaluate import (Evaluator, evaluate,
+    evaluate_actionwise)
 from videopose3d_tpu.models.convert import (
     params_from_torch_state_dict, params_to_torch_state_dict)
 from videopose3d_tpu.models.temporal import (
@@ -518,6 +519,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         epoch_losses = []
         epoch_losses_traj = []
         epoch_losses_2d = []
+        epoch_n_valids = []
         with trace_ctx:
             if semi_supervised:
                 skip = epoch < args.warmup
@@ -538,6 +540,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                     epoch_losses = list(np.asarray(l_pos))
                     epoch_losses_traj = list(np.asarray(l_traj))
                     epoch_losses_2d = list(np.asarray(l_recon))
+                    epoch_n_valids = list(n_valids)
                     step_timer.tick()
                 else:
                     for meta, n_valid in sampler.next_epoch():
@@ -550,13 +553,18 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                         epoch_losses.append(loss_pos)
                         epoch_losses_traj.append(loss_traj)
                         epoch_losses_2d.append(loss_recon)
+                        epoch_n_valids.append(n_valid)
                         step_timer.tick()
                 params, state = all_params["pos"], all_states["pos"]
                 params_traj, state_traj = all_params["traj"], all_states["traj"]
-                losses_traj_train.append(
-                    float(np.mean([np.asarray(l) for l in epoch_losses_traj])))
+                w = np.asarray(epoch_n_valids, np.float64)
+                traj_vals = np.asarray(
+                    [np.asarray(l) for l in epoch_losses_traj], np.float64)
+                recon_vals = np.asarray(
+                    [np.asarray(l) for l in epoch_losses_2d], np.float64)
+                losses_traj_train.append(float(np.sum(traj_vals * w) / np.sum(w)))
                 losses_2d_train_unlabeled.append(
-                    float(np.mean([np.asarray(l) for l in epoch_losses_2d])))
+                    float(np.sum(recon_vals * w) / np.sum(w)))
             elif args.scan_epoch:
                 # Whole epoch as ONE XLA program (lax.scan over descriptors):
                 # zero per-step host dispatch.
@@ -578,10 +586,12 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                         params, state, opt_state, step_rng, dev, meta, n_valid,
                         momentum)
                     epoch_losses.append(loss)
+                    epoch_n_valids.append(n_valid)
                     step_timer.tick()
         if semi_supervised or not args.scan_epoch:
-            losses_3d_train.append(
-                float(np.mean([np.asarray(l) for l in epoch_losses])))
+            weights = np.asarray(epoch_n_valids, np.float64)
+            vals = np.asarray([np.asarray(l) for l in epoch_losses], np.float64)
+            losses_3d_train.append(float(np.sum(vals * weights) / np.sum(weights)))
         if args.metrics_log:
             log_metrics_jsonl(args.metrics_log, {
                 "epoch": epoch + 1,
@@ -633,7 +643,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                       losses_3d_valid[-1] * 1000,
                       losses_traj_valid[-1] * 1000,
                       losses_2d_train_labeled_eval[-1],
-                      losses_2d_train_unlabeled[-1],
+                      losses_2d_train_unlabeled_eval[-1],
                       losses_2d_valid[-1]))
         else:
             print("[%d] time %.2f lr %f 3d_train %f 3d_eval %f 3d_valid %f" % (
@@ -763,39 +773,23 @@ def _final_evaluation(args, dataset, keypoints, subjects_test, action_filter,
                 out_poses_3d[i] = out_poses_3d[i][::stride]
         return out_poses_3d, out_poses_2d
 
-    def run_evaluation(actions, filt=None):
-        errors_p1, errors_p2, errors_p3, errors_vel = [], [], [], []
-        for action_key in actions.keys():
-            if filt is not None:
-                if not any(action_key.startswith(a) for a in filt):
-                    continue
-            poses_act, poses_2d_act = fetch_actions(actions[action_key])
-            batcher = UnchunkedBatcher(
-                None, poses_act, poses_2d_act, pad=pad,
-                causal_shift=causal_shift, augment=args.test_time_augmentation,
-                kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
-                bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
-            e1, e2, e3, ev = evaluate(evaluator, params, state, batcher,
-                                      action=action_key)
-            errors_p1.append(e1)
-            errors_p2.append(e2)
-            errors_p3.append(e3)
-            errors_vel.append(ev)
-        print("Protocol #1   (MPJPE) action-wise average:",
-              round(float(np.mean(errors_p1)), 1), "mm")
-        print("Protocol #2 (P-MPJPE) action-wise average:",
-              round(float(np.mean(errors_p2)), 1), "mm")
-        print("Protocol #3 (N-MPJPE) action-wise average:",
-              round(float(np.mean(errors_p3)), 1), "mm")
-        print("Velocity      (MPJVE) action-wise average:",
-              round(float(np.mean(errors_vel)), 2), "mm")
+    def make_batcher(action_pairs):
+        poses_act, poses_2d_act = fetch_actions(action_pairs)
+        return UnchunkedBatcher(
+            None, poses_act, poses_2d_act, pad=pad,
+            causal_shift=causal_shift, augment=args.test_time_augmentation,
+            kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
+            bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
 
     if not args.by_subject:
-        run_evaluation(all_actions, action_filter)
+        evaluate_actionwise(evaluator, params, state, all_actions, make_batcher,
+                            action_filter=action_filter)
     else:
         for subject in all_actions_by_subject.keys():
             print("Evaluating on subject", subject)
-            run_evaluation(all_actions_by_subject[subject], action_filter)
+            evaluate_actionwise(evaluator, params, state,
+                                all_actions_by_subject[subject], make_batcher,
+                                action_filter=action_filter)
             print("")
 
 

@@ -41,13 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from videopose3d_tpu.models.temporal import (
-    BN_EPS, TemporalModelConfig, Params, State)
-
-
-def _bn_affine(bn_params, bn_state):
-    scale = bn_params["scale"] * jax.lax.rsqrt(bn_state["var"] + BN_EPS)
-    shift = bn_params["bias"] - bn_state["mean"] * scale
-    return scale, shift
+    TemporalModelConfig, Params, State)
+from videopose3d_tpu.ops.pallas.temporal_block import fold_batchnorm as _bn_affine
 
 
 def _buffer_capacities(config: TemporalModelConfig) -> List[int]:
