@@ -3,46 +3,54 @@
 %
 % Equivalent purpose to the reference's data/ConvertHumanEva.m.  Requires the
 % official HumanEva-I MATLAB toolbox (http://humaneva.is.tue.mpg.de/) on the
-% MATLAB path, plus the dataset's mocap + calibration files.
+% MATLAB path plus the dataset's mocap + calibration files.
 %
-% For every (subject, action, trial) in the train/validate split this writes
-%   <out>/<Split>/<Subject>/<Action> <trial>.mat
+% For every (split, subject, action, trial) in the toolbox's own partitioning
+% this writes
+%   <out>/<Split>/<Subject>/<Action>_<trial>.mat
 % containing:
-%   poses_3d : [frames x joints x 3]      world-space positions in mm
-%                                         (NaN rows for invalid mocap frames)
+%   poses_3d : [frames x joints x 3]         world-space positions in mm
+%                                            (NaN rows for invalid mocap frames)
 %   poses_2d : [cams x frames x joints x 2]  per-camera projected 2D pixels
 %
+% The per-split frame ranges come from the toolbox partition structure
+% (he_dataset), so Train/ and Validate/ exports cover disjoint frame ranges
+% that match the index tables in videopose3d_tpu/data/prepare/humaneva.py.
 % The 15-joint "virtual markers" layout is used (set N_JOINTS = 20 for the
-% extended layout).  Frame ranges and camera synchronization follow the
-% toolbox's own sync_stream output, matching the frame index tables in
-% videopose3d_tpu/data/prepare/humaneva.py.
+% extended layout).
 
 CAMERAS   = {'C1', 'C2', 'C3'};
-SUBJECTS  = {'S1', 'S2', 'S3'};
-ACTIONS   = {'Walking', 'Jog', 'ThrowCatch', 'Gestures', 'Box'};
-TRIAL     = 1;
+SPLITS    = {'Train', 'Validate'};
 N_JOINTS  = 15;
 DATA_ROOT = './HumanEva';     % dataset root (Mocap_Data, Calibration_Data, ...)
 OUT_ROOT  = './converted_15j';
 
-for si = 1:numel(SUBJECTS)
-    subject = SUBJECTS{si};
-    for ai = 1:numel(ACTIONS)
-        action = ACTIONS{ai};
-        fprintf('%s / %s %d\n', subject, action, TRIAL);
+for si = 1:numel(SPLITS)
+    split = SPLITS{si};
+    % Toolbox partition: one entry per (subject, action, trial) with the
+    % split's own frame range.
+    dataset = he_dataset('HumanEvaI', split);
 
-        % Synchronize the mocap stream against each camera's video stream.
-        % sync_stream / cur_frame / project2d are official toolbox functions.
-        mocap_stream = sync_stream(DATA_ROOT, subject, action, TRIAL, 'Mocap');
+    for di = 1:length(dataset)
+        subject = char(get(dataset(di), 'SubjectName'));
+        action  = char(get(dataset(di), 'ActionType'));
+        trial   = get(dataset(di), 'Trial');
+        frame_start = get(dataset(di), 'FrameStart');
+        frame_end   = get(dataset(di), 'FrameEnd');
+        % Per-camera start frames (sync offsets); mocap range is their span.
+        fs = max(cell2mat(frame_start));
+        fe = min(cell2mat(frame_end));
+        n_frames = fe - fs + 1;           % inclusive range
+        fprintf('%s / %s / %s %d: frames %d..%d\n', ...
+                split, subject, action, trial, fs, fe);
 
-        n_frames = mocap_stream.end_frame - mocap_stream.start_frame;
+        mocap_stream = sync_stream(dataset(di));
+
         poses_3d = nan(n_frames, N_JOINTS, 3);
         poses_2d = nan(numel(CAMERAS), n_frames, N_JOINTS, 2);
 
         for f = 1:n_frames
-            [pose, valid] = cur_frame(mocap_stream, ...
-                                      mocap_stream.start_frame + f - 1, ...
-                                      N_JOINTS);
+            [pose, valid] = cur_frame(mocap_stream, fs + f - 1, N_JOINTS);
             if ~valid
                 continue   % leave NaNs: the Python converter splits chunks here
             end
@@ -53,14 +61,10 @@ for si = 1:numel(SUBJECTS)
             end
         end
 
-        for split = {'Train', 'Validate'}
-            out_dir = fullfile(OUT_ROOT, split{1}, subject);
-            if ~exist(out_dir, 'dir'); mkdir(out_dir); end
-            % The split frame ranges are applied by the toolbox's partitioning;
-            % here we save the full synced stream per split convention.
-            out = fullfile(out_dir, sprintf('%s_%d.mat', action, TRIAL));
-            save(out, 'poses_3d', 'poses_2d');
-        end
+        out_dir = fullfile(OUT_ROOT, split, subject);
+        if ~exist(out_dir, 'dir'); mkdir(out_dir); end
+        out = fullfile(out_dir, sprintf('%s_%d.mat', action, trial));
+        save(out, 'poses_3d', 'poses_2d');
     end
 end
 fprintf('done\n');

@@ -476,10 +476,10 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             print("WARNING: this checkpoint does not contain an optimizer state. "
                   "The optimizer will be reinitialized.")
         if semi_supervised:
-            p_t, s_t = params_from_torch_state_dict(
+            params_traj, state_traj = params_from_torch_state_dict(
                 traj_cfg, checkpoint["model_traj"])
-            all_params = {"pos": params, "traj": p_t}
-            all_states = {"pos": state, "traj": s_t}
+            all_params = {"pos": params, "traj": params_traj}
+            all_states = {"pos": state, "traj": state_traj}
             if checkpoint.get("random_state_semi") is not None:
                 sampler_semi.set_random_state(checkpoint["random_state_semi"])
         if checkpoint.get("step_rng") is not None:
@@ -520,6 +520,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         epoch_losses_traj = []
         epoch_losses_2d = []
         epoch_n_valids = []
+        epoch_n_valids_semi = []
         with trace_ctx:
             if semi_supervised:
                 skip = epoch < args.warmup
@@ -541,6 +542,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                     epoch_losses_traj = list(np.asarray(l_traj))
                     epoch_losses_2d = list(np.asarray(l_recon))
                     epoch_n_valids = list(n_valids)
+                    epoch_n_valids_semi = list(n_valids_semi)
                     step_timer.tick()
                 else:
                     for meta, n_valid in sampler.next_epoch():
@@ -554,17 +556,19 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                         epoch_losses_traj.append(loss_traj)
                         epoch_losses_2d.append(loss_recon)
                         epoch_n_valids.append(n_valid)
+                        epoch_n_valids_semi.append(n_valid_semi)
                         step_timer.tick()
                 params, state = all_params["pos"], all_states["pos"]
                 params_traj, state_traj = all_params["traj"], all_states["traj"]
                 w = np.asarray(epoch_n_valids, np.float64)
+                w_semi = np.asarray(epoch_n_valids_semi, np.float64)
                 traj_vals = np.asarray(
                     [np.asarray(l) for l in epoch_losses_traj], np.float64)
                 recon_vals = np.asarray(
                     [np.asarray(l) for l in epoch_losses_2d], np.float64)
                 losses_traj_train.append(float(np.sum(traj_vals * w) / np.sum(w)))
                 losses_2d_train_unlabeled.append(
-                    float(np.sum(recon_vals * w) / np.sum(w)))
+                    float(np.sum(recon_vals * w_semi) / np.sum(w_semi)))
             elif args.scan_epoch:
                 # Whole epoch as ONE XLA program (lax.scan over descriptors):
                 # zero per-step host dispatch.

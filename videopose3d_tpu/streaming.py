@@ -53,6 +53,18 @@ def _buffer_capacities(config: TemporalModelConfig) -> List[int]:
     return caps
 
 
+def _ptr_modulus(config: TemporalModelConfig) -> int:
+    """Wrap the frame pointer at lcm(caps) so ``ptr % cap`` stays continuous
+    across the wrap for every layer — a long-lived serving process would
+    otherwise corrupt its ring buffers at int32 overflow (~16 months of
+    50 fps streaming)."""
+    import math
+    m = 1
+    for c in _buffer_capacities(config):
+        m = m * c // math.gcd(m, c)
+    return m
+
+
 def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
                       first_frame) -> Dict[str, Any]:
     """Analytic warm-up: fill every ring buffer with the steady-state activation
@@ -179,7 +191,8 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     out = out + params["shrink"]["bias"]
     out = out.reshape(b, config.num_joints_out, 3).astype(jnp.float32)
 
-    new_state = {"bufs": bufs, "ptr": ptr + 1}
+    new_state = {"bufs": bufs,
+                 "ptr": jnp.mod(ptr + 1, _ptr_modulus(config))}
     return out, new_state
 
 
