@@ -78,3 +78,27 @@ def test_sampler_chunk_overhang_centering():
     starts = sorted(meta[:n_valid, 1].tolist())
     # n_chunks = 3, offset = (12-10)//2 = 1 -> starts -1, 3, 7.
     assert starts == [-1, 3, 7]
+
+
+def test_fused_evaluator_close_to_exact():
+    """Serving-mode Evaluator (fused Pallas path, interpret on CPU via f32)
+    tracks the metric-grade evaluator closely."""
+    from videopose3d_tpu.evaluate import Evaluator
+    from videopose3d_tpu.data.generators import UnchunkedBatcher
+    cfg = TemporalModelConfig(num_joints_in=17, in_features=2,
+                              num_joints_out=17, filter_widths=(3, 3),
+                              dropout=0.0, channels=128)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    seq = rng.standard_normal((40, 17, 2)).astype(np.float32) * 0.5
+    pad = (receptive_field(cfg) - 1) // 2
+    perm = np.arange(17)
+    b = UnchunkedBatcher(None, None, [seq], pad=pad, augment=False,
+                         kps_flip_perm=perm, joints_flip_perm=perm, bucket=16)
+    _, _, b2, n = next(b.next_epoch())
+
+    exact = Evaluator(cfg, joints_flip_perm=perm)
+    fused = Evaluator(cfg, joints_flip_perm=perm, fused=True)
+    p_exact = exact.predict(params, state, b2, augment=False)[:, :n]
+    p_fused = fused.predict(params, state, b2, augment=False)[:, :n]
+    np.testing.assert_allclose(p_fused, p_exact, atol=5e-4)

@@ -24,22 +24,34 @@ from videopose3d_tpu.ops.losses import mpjpe, n_mpjpe, p_mpjpe, mean_velocity_er
 
 
 class Evaluator:
-    """Jitted whole-sequence inference, cached per (bucketed) input length."""
+    """Jitted whole-sequence inference, cached per (bucketed) input length.
+
+    Two modes: metric-grade (default — full-precision matmuls, protocol errors
+    are reported to 0.1 mm) and ``fused=True`` serving mode (the Pallas fused
+    residual-block kernel at the model's compute dtype, ~15% faster at bf16 —
+    use for bulk lifting where sub-mm metric precision is not the point).
+    """
 
     def __init__(self, model_cfg: TemporalModelConfig,
-                 joints_flip_perm: Optional[np.ndarray] = None):
+                 joints_flip_perm: Optional[np.ndarray] = None,
+                 fused: bool = False):
         self.model_cfg = model_cfg
+        self.fused = fused
         self.joints_flip_perm = (None if joints_flip_perm is None
                                  else tuple(int(i) for i in joints_flip_perm))
         self._infer = jax.jit(
             self._infer_impl, static_argnames=("augment",))
 
     def _infer_impl(self, params, state, batch_2d, *, augment: bool):
-        # Full-precision MXU matmuls for metric-grade inference: protocol errors
-        # are reported to 0.1 mm, below the noise floor of bf16-input matmuls.
-        with jax.default_matmul_precision("highest"):
-            pred, _ = forward_dilated(self.model_cfg, params, state, batch_2d,
-                                      train=False)
+        if self.fused:
+            from videopose3d_tpu.models.temporal import forward_dilated_fused
+            pred = forward_dilated_fused(self.model_cfg, params, state,
+                                         batch_2d, t_tile=512)
+        else:
+            # Full-precision MXU matmuls for metric-grade inference.
+            with jax.default_matmul_precision("highest"):
+                pred, _ = forward_dilated(self.model_cfg, params, state,
+                                          batch_2d, train=False)
         if augment:
             # Undo flipping on row 1 and average (parity: run.py:675-680).
             flipped = pred[1]

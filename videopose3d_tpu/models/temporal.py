@@ -441,6 +441,10 @@ def forward_dilated_fused(
     from videopose3d_tpu.ops.pallas.temporal_block import (
         fused_dilated_block, fold_batchnorm)
 
+    # Pallas TPU kernels only compile for TPU; fall back to the interpreter on
+    # CPU (tests / local runs) automatically.
+    interpret = interpret or jax.default_backend() == "cpu"
+
     compute_dtype = jnp.dtype(config.compute_dtype)
     x = _prep_input(config, x)
 
