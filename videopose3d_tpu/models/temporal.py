@@ -445,18 +445,57 @@ def forward_dilated_fused(
     # CPU (tests / local runs) automatically.
     interpret = interpret or jax.default_backend() == "cpu"
 
+    from videopose3d_tpu.ops.pallas.temporal_block import (
+        fused_expand_block, fused_shrink_block)
+
     compute_dtype = jnp.dtype(config.compute_dtype)
     x = _prep_input(config, x)
+    n_blocks = len(config.filter_widths) - 1
 
-    x = _conv_matmul(x, params["expand_conv"]["weight"], 1, compute_dtype)
-    scale, shift = fold_batchnorm(params["expand_bn"], state["expand_bn"])
-    x = jax.nn.relu(x * scale.astype(x.dtype) + shift.astype(x.dtype))
-
-    for i in range(len(config.filter_widths) - 1):
+    def block_affines(i):
         s1, b1 = fold_batchnorm(params["layers_bn"][2 * i],
                                 state["layers_bn"][2 * i])
         s2, b2 = fold_batchnorm(params["layers_bn"][2 * i + 1],
                                 state["layers_bn"][2 * i + 1])
+        return s1, b1, s2, b2
+
+    if n_blocks == 0:
+        # Degenerate single-layer model: expand + shrink only, XLA path.
+        x = _conv_matmul(x, params["expand_conv"]["weight"], 1, compute_dtype)
+        scale, shift = fold_batchnorm(params["expand_bn"], state["expand_bn"])
+        x = jax.nn.relu(x * scale.astype(x.dtype) + shift.astype(x.dtype))
+        x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
+        x = x + params["shrink"]["bias"].astype(x.dtype)
+        return _finish_output(config, x.astype(jnp.float32))
+
+    # First block with the expand conv fused in (saves the (B, T, C) expand
+    # round-trip to HBM).
+    s0, b0 = fold_batchnorm(params["expand_bn"], state["expand_bn"])
+    s1, b1, s2, b2 = block_affines(0)
+    if n_blocks == 1:
+        # The single block would need both expand and shrink fused; fuse the
+        # expand side and run the cheap shrink in XLA.
+        x = fused_expand_block(
+            x, params["expand_conv"]["weight"].astype(compute_dtype), s0, b0,
+            params["layers_conv"][0]["weight"].astype(compute_dtype), s1, b1,
+            params["layers_conv"][1]["weight"].astype(compute_dtype), s2, b2,
+            dilation=config.dilations[1],
+            causal_shift=config.causal_shifts_dilated[1],
+            t_tile=t_tile, interpret=interpret)
+        x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
+        x = x + params["shrink"]["bias"].astype(x.dtype)
+        return _finish_output(config, x.astype(jnp.float32))
+
+    x = fused_expand_block(
+        x, params["expand_conv"]["weight"].astype(compute_dtype), s0, b0,
+        params["layers_conv"][0]["weight"].astype(compute_dtype), s1, b1,
+        params["layers_conv"][1]["weight"].astype(compute_dtype), s2, b2,
+        dilation=config.dilations[1],
+        causal_shift=config.causal_shifts_dilated[1],
+        t_tile=t_tile, interpret=interpret)
+
+    for i in range(1, n_blocks - 1):
+        s1, b1, s2, b2 = block_affines(i)
         x = fused_dilated_block(
             x,
             params["layers_conv"][2 * i]["weight"].astype(compute_dtype),
@@ -469,8 +508,19 @@ def forward_dilated_fused(
             interpret=interpret,
         )
 
-    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
-    x = x + params["shrink"]["bias"].astype(x.dtype)
+    # Last block with the shrink projection fused in (writes J*3 lanes instead
+    # of C).
+    i = n_blocks - 1
+    s1, b1, s2, b2 = block_affines(i)
+    x = fused_shrink_block(
+        x,
+        params["layers_conv"][2 * i]["weight"].astype(compute_dtype), s1, b1,
+        params["layers_conv"][2 * i + 1]["weight"].astype(compute_dtype),
+        s2, b2,
+        params["shrink"]["weight"], params["shrink"]["bias"],
+        dilation=config.dilations[i + 1],
+        causal_shift=config.causal_shifts_dilated[i + 1],
+        t_tile=t_tile, interpret=interpret)
     return _finish_output(config, x.astype(jnp.float32))
 
 

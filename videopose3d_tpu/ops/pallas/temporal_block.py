@@ -181,3 +181,274 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
     if pad_amount > 0:
         out = out[:, :t_out]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Variants fusing the cheap boundary convolutions into the first/last block,
+# eliminating the HBM round-trips of the expand output (B, T, C) and the final
+# block's C-wide output (the shrink only needs J*3 lanes).
+# ---------------------------------------------------------------------------
+
+
+def _expand_block_kernel(x_hbm, w0, s0, b0, w_taps, s1, b1, w2, s2, b2, out,
+                         x_vmem, sems, *, t_tile, dilation, res_offset, n_taps,
+                         k0, win, raw_win):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    slot = jax.lax.rem(t, 2)
+    next_slot = jax.lax.rem(t + 1, 2)
+
+    def window_dma(dst_slot, tile_idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile_idx * t_tile, raw_win)],
+            x_vmem.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(slot, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        window_dma(next_slot, t + 1).start()
+
+    window_dma(slot, t).wait()
+    raw = x_vmem[slot]
+
+    # Expand conv (width k0, dilation 1) over the raw window -> (win, C).
+    eacc = jnp.dot(raw[0:win], w0[0, :, :], preferred_element_type=jnp.float32)
+    for j in range(1, k0):
+        eacc += jnp.dot(raw[j: j + win], w0[j, :, :],
+                        preferred_element_type=jnp.float32)
+    e = jnp.maximum(eacc * s0[0, :] + b0[0, :], 0.0).astype(out.dtype)
+
+    # Residual block over the in-register expand activations.
+    acc = jnp.dot(e[0:t_tile], w_taps[0, :, :],
+                  preferred_element_type=jnp.float32)
+    for j in range(1, n_taps):
+        acc += jnp.dot(e[j * dilation: j * dilation + t_tile], w_taps[j, :, :],
+                       preferred_element_type=jnp.float32)
+    h = jnp.maximum(acc * s1[0, :] + b1[0, :], 0.0).astype(out.dtype)
+    acc2 = jnp.dot(h, w2[:, :], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc2 * s2[0, :] + b2[0, :], 0.0)
+    res = e[res_offset: res_offset + t_tile].astype(jnp.float32)
+    out[0] = (res + y).astype(out.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "causal_shift", "t_tile", "interpret"))
+def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
+                       bn1_shift, w2, bn2_scale, bn2_shift, *, dilation: int,
+                       causal_shift: int = 0, t_tile: int = 256,
+                       interpret: bool = False):
+    """Expand conv + first residual block in one kernel.
+
+    Args:
+      x_raw: (B, T, C_in) raw inputs (C_in = J*F, e.g. 34).
+      w0: (k0, C_in, C) expand conv weights; bn0_*: folded expand BN affine.
+      remaining args as :func:`fused_dilated_block` for the first block.
+
+    Returns:
+      (B, T - (k0-1) - (k-1)*d, C) first-block output.
+    """
+    if w2.ndim == 3:
+        w2 = w2[0]
+    k0 = w0.shape[0]
+    n_taps = w_taps.shape[0]
+    c = w0.shape[2]
+    b, t, c_in = x_raw.shape
+
+    # Mosaic HBM slices need the minor (lane) dim 128-aligned; zero-pad the raw
+    # feature dim (J*F, e.g. 34) and the matching conv input dim.  The padded
+    # lanes multiply zero weights, and the raw array is tiny (<10 MB padded).
+    c_in_pad = -(-c_in // 128) * 128
+    if c_in_pad != c_in:
+        x_raw = jnp.pad(x_raw, ((0, 0), (0, 0), (0, c_in_pad - c_in)))
+        w0 = jnp.pad(w0, ((0, 0), (0, c_in_pad - c_in), (0, 0)))
+        c_in = c_in_pad
+    pad = (n_taps - 1) * dilation // 2
+    res_offset = pad + causal_shift
+    t_expand = t - (k0 - 1)                      # expand output length
+    t_out = t_expand - (n_taps - 1) * dilation   # block output length
+    assert t_out >= 1, (t, dilation)
+
+    t_tile = min(t_tile, t_out)
+    t_tile = -(-t_tile // 8) * 8
+    n_tiles = -(-t_out // t_tile)
+    t_padded_out = n_tiles * t_tile
+    win = t_tile + (n_taps - 1) * dilation       # expand rows needed per tile
+    raw_win = -(-(win + k0 - 1) // 8) * 8        # raw rows per tile, aligned
+    t_needed = (n_tiles - 1) * t_tile + raw_win
+    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    if pad_amount > 0:
+        x_raw = jnp.pad(x_raw, ((0, 0), (0, pad_amount), (0, 0)))
+
+    dtype = w_taps.dtype
+    as_row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _expand_block_kernel, t_tile=t_tile, dilation=dilation,
+        res_offset=res_offset, n_taps=n_taps, k0=k0, win=win, raw_win=raw_win)
+
+    vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, c), dtype),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # raw x in HBM
+            pl.BlockSpec((k0, c_in, c), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((n_taps, c, c), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((c, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, c), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, raw_win, c_in), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100)),
+        interpret=interpret,
+    )(x_raw.astype(dtype), w0.astype(dtype), as_row(bn0_scale), as_row(bn0_shift),
+      w_taps.astype(dtype), as_row(bn1_scale), as_row(bn1_shift),
+      w2.astype(dtype), as_row(bn2_scale), as_row(bn2_shift))
+
+    if t_padded_out > t_out:
+        out = out[:, :t_out]
+    return out
+
+
+def _shrink_block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, ws, bs, out,
+                         x_vmem, sems, *, t_tile, dilation, res_offset,
+                         n_taps, win):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    slot = jax.lax.rem(t, 2)
+    next_slot = jax.lax.rem(t + 1, 2)
+
+    def window_dma(dst_slot, tile_idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            x_vmem.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(slot, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        window_dma(next_slot, t + 1).start()
+
+    window_dma(slot, t).wait()
+    x = x_vmem[slot]
+
+    acc = jnp.dot(x[0:t_tile], w_taps[0, :, :],
+                  preferred_element_type=jnp.float32)
+    for j in range(1, n_taps):
+        acc += jnp.dot(x[j * dilation: j * dilation + t_tile], w_taps[j, :, :],
+                       preferred_element_type=jnp.float32)
+    h = jnp.maximum(acc * s1[0, :] + b1[0, :], 0.0).astype(x.dtype)
+    acc2 = jnp.dot(h, w2[:, :], preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc2 * s2[0, :] + b2[0, :], 0.0)
+    res = x[res_offset: res_offset + t_tile].astype(jnp.float32)
+    block_out = (res + y).astype(x.dtype)
+
+    # Shrink projection fused in-register: (t_tile, C) @ (C, J3) + bias.
+    proj = jnp.dot(block_out, ws[:, :], preferred_element_type=jnp.float32)
+    out[0] = (proj + bs[0, :]).astype(out.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "causal_shift", "t_tile", "interpret"))
+def fused_shrink_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
+                       bn2_shift, w_shrink, b_shrink, *, dilation: int,
+                       causal_shift: int = 0, t_tile: int = 256,
+                       interpret: bool = False):
+    """Last residual block + the 1x1 shrink projection in one kernel.
+
+    Args as :func:`fused_dilated_block` plus ``w_shrink``: (C, J_out*3) (or
+    (1, C, J3)) and ``b_shrink``: (J_out*3,).
+
+    Returns:
+      (B, T - (k-1)*d, J_out*3) projected outputs in float32.
+    """
+    if w2.ndim == 3:
+        w2 = w2[0]
+    if w_shrink.ndim == 3:
+        w_shrink = w_shrink[0]
+    n_taps = w_taps.shape[0]
+    b, t, c = x.shape
+    j3 = w_shrink.shape[1]
+    pad = (n_taps - 1) * dilation // 2
+    res_offset = pad + causal_shift
+    t_out = t - (n_taps - 1) * dilation
+    assert t_out >= 1, (t, dilation)
+
+    t_tile = min(t_tile, t_out)
+    t_tile = -(-t_tile // 8) * 8
+    n_tiles = -(-t_out // t_tile)
+    t_padded_out = n_tiles * t_tile
+    win = t_tile + (n_taps - 1) * dilation
+    win = -(-win // 8) * 8
+    t_needed = (n_tiles - 1) * t_tile + win
+    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    if pad_amount > 0:
+        x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
+
+    dtype = x.dtype
+    as_row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _shrink_block_kernel, t_tile=t_tile, dilation=dilation,
+        res_offset=res_offset, n_taps=n_taps, win=win)
+
+    vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, j3), jnp.float32),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_taps, c, c), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((c, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((c, j3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, j3), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100)),
+        interpret=interpret,
+    )(x, w_taps.astype(dtype), as_row(bn1_scale), as_row(bn1_shift),
+      w2.astype(dtype), as_row(bn2_scale), as_row(bn2_shift),
+      w_shrink.astype(dtype), as_row(b_shrink))
+
+    if t_padded_out > t_out:
+        out = out[:, :t_out]
+    return out
