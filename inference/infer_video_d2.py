@@ -1,15 +1,14 @@
 #!/usr/bin/env python
 """In-the-wild 2D keypoint extraction with Detectron2 keypoint R-CNN.
 
-Capability parity target: ``/root/reference/inference/infer_video_d2.py`` — runs a
-Detectron2 ``DefaultPredictor`` over every frame of one video (or every
-``--image-ext`` video in a folder), re-packs outputs into the Detectron1-style
-``[[], tensor]`` format, and writes per-video ``.npz`` files with
-boxes/segments/keypoints + the video resolution.  The output feeds
-``videopose3d_tpu.data.prepare.custom_2d``.
+Capability parity target: ``/root/reference/inference/infer_video_d2.py`` — runs
+a Detectron2 ``DefaultPredictor`` over every frame of one video (or every
+``--image-ext`` video in a folder) and writes per-video ``.npz`` files of
+boxes/segments/keypoints (Detectron1-compatible packing) plus the video
+resolution.  The output feeds ``videopose3d_tpu.data.prepare.custom_2d``.
 
-Requires detectron2 + ffmpeg/ffprobe (external tools; this script is an adapter,
-the TPU framework itself has no torch/detectron dependency).
+Requires detectron2 + ffmpeg/ffprobe (external tools; this script is an adapter
+— the TPU framework itself has no torch/detectron dependency).
 
 Usage::
 
@@ -21,7 +20,7 @@ Usage::
 import argparse
 import glob
 import os
-import subprocess as sp
+import subprocess
 import sys
 import time
 
@@ -36,98 +35,109 @@ try:
 except ImportError:
     HAVE_DETECTRON2 = False
 
+SCORE_THRESHOLD = 0.7
+
 
 def parse_args():
-    parser = argparse.ArgumentParser(description="End-to-end inference")
-    parser.add_argument("--cfg", dest="cfg", default=None, type=str,
-                        help="cfg model file (/path/to/model_config.yaml)")
-    parser.add_argument("--output-dir", dest="output_dir",
-                        default="/tmp/infer_simple", type=str,
-                        help="output directory for the .npz files")
-    parser.add_argument("--image-ext", dest="image_ext", default="mp4",
-                        type=str, help="video file extension (default: mp4)")
-    parser.add_argument("im_or_folder", help="video file or folder of videos")
+    p = argparse.ArgumentParser(description="End-to-end 2D keypoint inference")
+    p.add_argument("--cfg", default=None, type=str,
+                   help="detectron2 model-zoo config yaml")
+    p.add_argument("--output-dir", default="/tmp/infer_simple", type=str,
+                   help="output directory for the .npz files")
+    p.add_argument("--image-ext", default="mp4", type=str,
+                   help="video file extension")
+    p.add_argument("im_or_folder", help="video file or folder of videos")
     if len(sys.argv) == 1:
-        parser.print_help()
+        p.print_help()
         sys.exit(1)
-    return parser.parse_args()
+    return p.parse_args()
 
 
-def get_resolution(filename):
-    command = ["ffprobe", "-v", "error", "-select_streams", "v:0",
-               "-show_entries", "stream=width,height", "-of", "csv=p=0", filename]
-    pipe = sp.Popen(command, stdout=sp.PIPE, bufsize=-1)
-    for line in pipe.stdout:
-        w, h = line.decode().strip().split(",")
-        return int(w), int(h)
+def probe_resolution(path):
+    out = subprocess.check_output(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height", "-of", "csv=p=0", path])
+    w, h = out.decode().strip().split(",")
+    return int(w), int(h)
 
 
-def read_video(filename):
-    w, h = get_resolution(filename)
-    command = ["ffmpeg", "-i", filename, "-f", "image2pipe", "-pix_fmt", "bgr24",
-               "-vsync", "0", "-vcodec", "rawvideo", "-"]
-    pipe = sp.Popen(command, stdout=sp.PIPE, bufsize=-1)
+def decode_frames(path):
+    """Yield BGR24 frames through an ffmpeg raw-video pipe."""
+    w, h = probe_resolution(path)
+    proc = subprocess.Popen(
+        ["ffmpeg", "-i", path, "-f", "image2pipe", "-pix_fmt", "bgr24",
+         "-vsync", "0", "-vcodec", "rawvideo", "-"],
+        stdout=subprocess.PIPE, bufsize=-1)
+    frame_bytes = w * h * 3
     while True:
-        data = pipe.stdout.read(w * h * 3)
-        if not data:
-            break
-        yield np.frombuffer(data, dtype="uint8").reshape((h, w, 3))
+        buf = proc.stdout.read(frame_bytes)
+        if len(buf) < frame_bytes:
+            return
+        yield np.frombuffer(buf, dtype=np.uint8).reshape((h, w, 3))
 
 
-def main(args):
+def build_predictor(cfg_name):
     cfg = get_cfg()
-    cfg.merge_from_file(model_zoo.get_config_file(args.cfg))
-    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.7
-    cfg.MODEL.WEIGHTS = model_zoo.get_checkpoint_url(args.cfg)
-    predictor = DefaultPredictor(cfg)
+    cfg.merge_from_file(model_zoo.get_config_file(cfg_name))
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = SCORE_THRESHOLD
+    cfg.MODEL.WEIGHTS = model_zoo.get_checkpoint_url(cfg_name)
+    return DefaultPredictor(cfg)
+
+
+def detect_frame(predictor, frame):
+    """Run the predictor on one frame and re-pack into the Detectron1 layout
+    ([background, person-class tensor]) that prepare.custom_2d consumes."""
+    instances = predictor(frame)["instances"].to("cpu")
+
+    if not instances.has("pred_boxes") or len(instances.pred_boxes) == 0:
+        return [[], []], [[], []]
+
+    bboxes = instances.pred_boxes.tensor.numpy()
+    scores = instances.scores.numpy()[:, None]
+    bboxes_with_scores = np.concatenate((bboxes, scores), axis=1)
+
+    kp = instances.pred_keypoints.numpy()          # (N, 17, 3): x, y, prob
+    # Columns expected downstream: x, y, logit (unavailable -> 0), prob.
+    packed = np.concatenate(
+        (kp[:, :, :2], np.zeros_like(kp[:, :, 2:3]), kp[:, :, 2:3]), axis=2)
+    packed = packed.transpose(0, 2, 1)             # (N, 4, 17)
+
+    return [[], bboxes_with_scores], [[], packed]
+
+
+def process_video(predictor, video_path, out_dir):
+    print(f"Processing {video_path}")
+    boxes, segments, keypoints = [], [], []
+    width = height = None
+
+    for i, frame in enumerate(decode_frames(video_path)):
+        height, width = frame.shape[:2]
+        t0 = time.time()
+        cls_boxes, cls_keyps = detect_frame(predictor, frame)
+        print(f"Frame {i} processed in {time.time() - t0:.3f}s")
+        boxes.append(cls_boxes)
+        segments.append(None)
+        keypoints.append(cls_keyps)
+
+    out_path = os.path.join(out_dir, os.path.basename(video_path))
+    np.savez_compressed(out_path, boxes=boxes, segments=segments,
+                        keypoints=keypoints,
+                        metadata={"w": width, "h": height})
+
+
+def main():
+    args = parse_args()
+    predictor = build_predictor(args.cfg)
 
     if os.path.isdir(args.im_or_folder):
-        im_list = glob.iglob(args.im_or_folder + "/*." + args.image_ext)
+        videos = sorted(glob.glob(
+            os.path.join(args.im_or_folder, "*." + args.image_ext)))
     else:
-        im_list = [args.im_or_folder]
+        videos = [args.im_or_folder]
 
     os.makedirs(args.output_dir, exist_ok=True)
-    for video_name in im_list:
-        out_name = os.path.join(args.output_dir, os.path.basename(video_name))
-        print("Processing {}".format(video_name))
-
-        boxes = []
-        segments = []
-        keypoints = []
-        im = None
-
-        for frame_i, im in enumerate(read_video(video_name)):
-            t = time.time()
-            outputs = predictor(im)["instances"].to("cpu")
-            print("Frame {} processed in {:.3f}s".format(frame_i, time.time() - t))
-
-            has_bbox = False
-            bbox_tensor = []
-            if outputs.has("pred_boxes"):
-                bbox_tensor = outputs.pred_boxes.tensor.numpy()
-                if len(bbox_tensor) > 0:
-                    has_bbox = True
-                    scores = outputs.scores.numpy()[:, None]
-                    bbox_tensor = np.concatenate((bbox_tensor, scores), axis=1)
-            if has_bbox:
-                kps = outputs.pred_keypoints.numpy()
-                kps_xy = kps[:, :, :2]
-                kps_prob = kps[:, :, 2:3]
-                kps_logit = np.zeros_like(kps_prob)  # not provided by d2
-                kps = np.concatenate((kps_xy, kps_logit, kps_prob), axis=2)
-                kps = kps.transpose(0, 2, 1)
-            else:
-                kps = []
-                bbox_tensor = []
-
-            # Detectron1-compatible packing: [background, person-class tensor].
-            boxes.append([[], bbox_tensor])
-            segments.append(None)
-            keypoints.append([[], kps])
-
-        metadata = {"w": im.shape[1], "h": im.shape[0]}
-        np.savez_compressed(out_name, boxes=boxes, segments=segments,
-                            keypoints=keypoints, metadata=metadata)
+    for video in videos:
+        process_video(predictor, video, args.output_dir)
 
 
 if __name__ == "__main__":
@@ -137,4 +147,4 @@ if __name__ == "__main__":
               "re-run; the rest of the TPU framework does not depend on it.")
         sys.exit(1)
     setup_logger()
-    main(parse_args())
+    main()
