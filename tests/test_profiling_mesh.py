@@ -1,0 +1,59 @@
+"""Unit tests for the profiling utilities and mesh helpers."""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from videopose3d_tpu.parallel import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch_size)
+from videopose3d_tpu.profiling import StepTimer, device_trace, log_metrics_jsonl
+
+
+class TestMeshHelpers:
+    def test_make_mesh_all_devices(self):
+        mesh = make_mesh()
+        assert mesh.size == jax.device_count() == 8
+        assert mesh.axis_names == ("data",)
+
+    def test_shardings_place_arrays(self):
+        mesh = make_mesh()
+        x = np.zeros((16, 4), np.float32)
+        xb = jax.device_put(x, batch_sharding(mesh))
+        xr = jax.device_put(x, replicated_sharding(mesh))
+        # Batch-sharded: each device holds 2 rows; replicated: all 16.
+        assert xb.sharding.shard_shape(xb.shape) == (2, 4)
+        assert xr.sharding.shard_shape(xr.shape) == (16, 4)
+
+    def test_shard_batch_size_rounds_up(self):
+        mesh = make_mesh()
+        assert shard_batch_size(16, mesh) == 16
+        assert shard_batch_size(17, mesh) == 24
+        assert shard_batch_size(1, mesh) == 8
+
+
+class TestStepTimer:
+    def test_summary_stats(self):
+        t = StepTimer()
+        t.start()
+        for _ in range(5):
+            t.tick()
+        s = t.summary()
+        assert s["steps"] == 5
+        assert s["mean_ms"] >= 0
+        assert s["p95_ms"] >= s["p50_ms"] >= 0
+        assert "mean" in t.report()
+        t.reset()
+        assert t.summary() == {}
+
+    def test_device_trace_noop(self):
+        with device_trace(None):
+            pass  # no-op path must not raise
+
+    def test_metrics_jsonl(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        log_metrics_jsonl(path, {"epoch": 1, "loss": 0.5})
+        log_metrics_jsonl(path, {"epoch": 2, "loss": 0.25})
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["epoch"] == 1 and lines[1]["loss"] == 0.25
