@@ -36,6 +36,7 @@ scalar argument — no graph retracing.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Tuple
 
@@ -65,6 +66,10 @@ class TemporalModelConfig:
     # TPU knob (no reference equivalent): compute in bfloat16 on the MXU while
     # keeping parameters and BN statistics in float32.
     compute_dtype: str = "float32"
+    # TPU knob: rematerialize residual blocks in the backward pass (saves the
+    # HBM traffic of stored intermediates at the cost of one extra forward
+    # matmul per block).  Bit-identical gradients.
+    remat_blocks: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "filter_widths", tuple(int(f) for f in self.filter_widths))
@@ -397,23 +402,40 @@ def forward_strided(
         x, params["expand_bn"], state["expand_bn"], train=train, momentum=momentum)
     x = _dropout(jax.nn.relu(x), config.dropout if train else 0.0, rngs[0])
 
-    for i in range(n_blocks):
+    def block(i, x, block_params, block_state, rng_a, rng_b):
         fw = config.filter_widths[i + 1]
         shift = config.causal_shifts_strided[i + 1]
         res = x[:, shift + fw // 2:: fw]
 
-        y = _conv_strided(x, params["layers_conv"][2 * i]["weight"], compute_dtype)
-        y, new_state["layers_bn"][2 * i] = _batchnorm(
-            y, params["layers_bn"][2 * i], state["layers_bn"][2 * i],
-            train=train, momentum=momentum)
-        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 1])
+        y = _conv_strided(x, block_params["conv_a"]["weight"], compute_dtype)
+        y, bn_a = _batchnorm(y, block_params["bn_a"], block_state["bn_a"],
+                             train=train, momentum=momentum)
+        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rng_a)
 
-        y = _conv_matmul(y, params["layers_conv"][2 * i + 1]["weight"], 1, compute_dtype)
-        y, new_state["layers_bn"][2 * i + 1] = _batchnorm(
-            y, params["layers_bn"][2 * i + 1], state["layers_bn"][2 * i + 1],
-            train=train, momentum=momentum)
-        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 2])
-        x = res + y
+        y = _conv_matmul(y, block_params["conv_b"]["weight"], 1, compute_dtype)
+        y, bn_b = _batchnorm(y, block_params["bn_b"], block_state["bn_b"],
+                             train=train, momentum=momentum)
+        y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rng_b)
+        return res + y, bn_a, bn_b
+
+    if config.remat_blocks and train:
+        # Rematerialize each residual block in the backward pass: only the
+        # block inputs are saved; intermediates (conv outputs, masks) are
+        # recomputed, trading ~1 extra fwd matmul per block for several HBM
+        # round-trips of saved activations.
+        block = functools.partial(jax.checkpoint, static_argnums=(0,))(block)
+
+    for i in range(n_blocks):
+        block_params = {"conv_a": params["layers_conv"][2 * i],
+                        "bn_a": params["layers_bn"][2 * i],
+                        "conv_b": params["layers_conv"][2 * i + 1],
+                        "bn_b": params["layers_bn"][2 * i + 1]}
+        block_state = {"bn_a": state["layers_bn"][2 * i],
+                       "bn_b": state["layers_bn"][2 * i + 1]}
+        x, bn_a, bn_b = block(i, x, block_params, block_state,
+                              rngs[2 * i + 1], rngs[2 * i + 2])
+        new_state["layers_bn"][2 * i] = bn_a
+        new_state["layers_bn"][2 * i + 1] = bn_b
 
     x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
     x = x + params["shrink"]["bias"].astype(x.dtype)
