@@ -137,6 +137,10 @@ def parse_args(argv=None):
                              "uses the TPU hardware generator (~2x faster "
                              "training steps); 'threefry2x32' is the JAX "
                              "default, reproducible across backends")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize residual blocks in the backward "
+                             "pass (saves activation memory for very large "
+                             "batches; measured ~1.5x slower steps at b=1024)")
     parser.add_argument("--no-scan-epoch", dest="scan_epoch",
                         action="store_false",
                         help="dispatch train steps one-by-one instead of "
