@@ -1,89 +1,129 @@
 #!/usr/bin/env python
 """In-the-wild 2D keypoint extraction with Detectron1 (Caffe2) — legacy adapter.
 
-Capability parity target: ``/root/reference/inference/infer_video.py``.  Like the
-reference, this script must be copied into the Detectron repository's ``tools/``
-directory so that ``infer_simple``'s imports resolve (see the reference
-INFERENCE.md:49); it extends Detectron's ``infer_simple.py`` with an
-ffmpeg-frame-pipe video loop and saves per-video .npz detections in the format
-``videopose3d_tpu.data.prepare.custom_2d`` consumes.
+Capability parity target: ``/root/reference/inference/infer_video.py`` (same
+per-video ``.npz`` output contract, consumed by
+``videopose3d_tpu.data.prepare.custom_2d``).  Redesigned as a standalone
+adapter: it imports the ``detectron`` package directly instead of relying on
+being copied into Detectron's ``tools/`` directory for ``infer_simple``'s
+star-imports, and carries its own minimal CLI.
 
 Detectron1/Caffe2 is deprecated upstream — prefer ``infer_video_d2.py``.
+
+Usage::
+
+    python inference/infer_video.py --cfg e2e_keypoint_rcnn_R-101-FPN.yaml \
+        --wts model_final.pkl --output-dir out/ video_or_dir [--ext mp4]
 """
 
-import subprocess as sp
+import argparse
+import glob
+import os
+import subprocess
+import sys
+import time
 
 import numpy as np
 
 try:
-    from infer_simple import *  # noqa: F401,F403 — Detectron tools/ namespace
+    from caffe2.python import workspace
+    import detectron.core.test_engine as infer_engine
+    import detectron.utils.c2 as c2_utils
+    from detectron.core.config import (assert_and_infer_cfg, cfg,
+                                       merge_cfg_from_file)
+    from detectron.utils.io import cache_url
+    from detectron.utils.logging import setup_logging
     HAVE_DETECTRON1 = True
 except ImportError:
     HAVE_DETECTRON1 = False
 
 
-def get_resolution(filename):
-    command = ["ffprobe", "-v", "error", "-select_streams", "v:0",
-               "-show_entries", "stream=width,height", "-of", "csv=p=0", filename]
-    pipe = sp.Popen(command, stdout=sp.PIPE, bufsize=-1)
-    for line in pipe.stdout:
-        w, h = line.decode().strip().split(",")
-        return int(w), int(h)
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="2D keypoint detection over whole videos (Detectron1)")
+    parser.add_argument("--cfg", required=True, help="model config yaml")
+    parser.add_argument("--wts", required=True,
+                        help="model weights .pkl (path or URL)")
+    parser.add_argument("--output-dir", required=True,
+                        help="directory for the per-video .npz outputs")
+    parser.add_argument("--ext", default="mp4",
+                        help="video extension when the input is a directory")
+    parser.add_argument("input", help="a video file or a directory of videos")
+    return parser.parse_args(argv)
 
 
-def read_video(filename):
-    w, h = get_resolution(filename)
-    command = ["ffmpeg", "-i", filename, "-f", "image2pipe", "-pix_fmt", "bgr24",
-               "-vsync", "0", "-vcodec", "rawvideo", "-"]
-    pipe = sp.Popen(command, stdout=sp.PIPE, bufsize=-1)
-    while True:
-        data = pipe.stdout.read(w * h * 3)
-        if not data:
-            break
-        yield np.frombuffer(data, dtype="uint8").reshape((h, w, 3))
+def iter_bgr_frames(path):
+    """Decode a video into BGR24 frames through an ffmpeg raw pipe (Caffe2
+    models expect OpenCV-style BGR channel order)."""
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height", "-of", "csv=p=0", path],
+        check=True, capture_output=True, text=True).stdout
+    width, height = (int(v) for v in probe.strip().split("\n")[0].split(","))
+    nbytes = width * height * 3
+    proc = subprocess.Popen(
+        ["ffmpeg", "-nostdin", "-i", path, "-f", "rawvideo", "-pix_fmt",
+         "bgr24", "-vsync", "0", "-"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, bufsize=nbytes)
+    try:
+        while True:
+            chunk = proc.stdout.read(nbytes)
+            if len(chunk) < nbytes:
+                break
+            yield np.frombuffer(chunk, np.uint8).reshape(height, width, 3)
+    finally:
+        proc.stdout.close()
+        proc.terminate()
+        proc.wait()
+
+
+def detect_video(model, path):
+    """Run the keypoint R-CNN on every frame; returns (boxes, segments,
+    keypoints, metadata) lists in the Detectron per-class format that
+    ``prepare.custom_2d`` decodes."""
+    boxes, segments, keypoints = [], [], []
+    resolution = None
+    for i, frame in enumerate(iter_bgr_frames(path)):
+        started = time.time()
+        with c2_utils.NamedCudaScope(0):
+            cls_boxes, cls_segms, cls_keyps = infer_engine.im_detect_all(
+                model, frame, None)
+        print(f"  frame {i}: {time.time() - started:.3f}s", file=sys.stderr)
+        boxes.append(cls_boxes)
+        segments.append(cls_segms)
+        keypoints.append(cls_keyps)
+        resolution = {"w": frame.shape[1], "h": frame.shape[0]}
+    if resolution is None:
+        raise RuntimeError(f"{path}: decoded zero frames")
+    return boxes, segments, keypoints, resolution
 
 
 def main(args):
-    logger = logging.getLogger(__name__)  # noqa: F821 — from infer_simple
-    merge_cfg_from_file(args.cfg)  # noqa: F821
-    cfg.NUM_GPUS = 1  # noqa: F821
-    args.weights = cache_url(args.weights, cfg.DOWNLOAD_CACHE)  # noqa: F821
-    assert_and_infer_cfg(cache_urls=False)  # noqa: F821
-    model = infer_engine.initialize_model_from_cfg(args.weights)  # noqa: F821
+    merge_cfg_from_file(args.cfg)
+    cfg.NUM_GPUS = 1
+    weights = cache_url(args.wts, cfg.DOWNLOAD_CACHE)
+    assert_and_infer_cfg(cache_urls=False)
+    model = infer_engine.initialize_model_from_cfg(weights)
 
-    if os.path.isdir(args.im_or_folder):  # noqa: F821
-        im_list = glob.iglob(args.im_or_folder + "/*." + args.image_ext)  # noqa: F821
+    if os.path.isdir(args.input):
+        videos = sorted(glob.glob(os.path.join(args.input, f"*.{args.ext}")))
     else:
-        im_list = [args.im_or_folder]
+        videos = [args.input]
 
-    for video_name in im_list:
-        out_name = os.path.join(args.output_dir, os.path.basename(video_name))  # noqa: F821
-        print("Processing {}".format(video_name))
-
-        boxes, segments, keypoints = [], [], []
-        im = None
-        for frame_i, im in enumerate(read_video(video_name)):
-            logger.info("Frame {}".format(frame_i))
-            timers = defaultdict(Timer)  # noqa: F821
-            t = time.time()  # noqa: F821
-            with c2_utils.NamedCudaScope(0):  # noqa: F821
-                cls_boxes, cls_segms, cls_keyps = infer_engine.im_detect_all(  # noqa: F821
-                    model, im, None, timers=timers)
-            logger.info("Inference time: {:.3f}s".format(time.time() - t))  # noqa: F821
-            boxes.append(cls_boxes)
-            segments.append(cls_segms)
-            keypoints.append(cls_keyps)
-
-        metadata = {"w": im.shape[1], "h": im.shape[0]}
-        np.savez_compressed(out_name, boxes=boxes, segments=segments,
+    os.makedirs(args.output_dir, exist_ok=True)
+    for video in videos:
+        print(f"Processing {video}")
+        boxes, segments, keypoints, metadata = detect_video(model, video)
+        out = os.path.join(args.output_dir, os.path.basename(video))
+        np.savez_compressed(out, boxes=boxes, segments=segments,
                             keypoints=keypoints, metadata=metadata)
 
 
 if __name__ == "__main__":
     if not HAVE_DETECTRON1:
         raise SystemExit(
-            "ERROR: this script must be placed in Detectron's tools/ directory "
-            "(Caffe2 Detectron1). Prefer infer_video_d2.py with Detectron2.")
-    workspace.GlobalInit(["caffe2", "--caffe2_log_level=0"])  # noqa: F821
-    setup_logging(__name__)  # noqa: F821
-    main(parse_args())  # noqa: F821
+            "ERROR: the 'detectron' (Caffe2) package is not importable. "
+            "Prefer infer_video_d2.py with Detectron2.")
+    workspace.GlobalInit(["caffe2", "--caffe2_log_level=0"])
+    setup_logging(__name__)
+    main(parse_args())

@@ -51,22 +51,28 @@ def suggest_metadata(name: str) -> dict:
 
 
 def import_detectron_poses(path):
-    """Detectron per-video .npz: pick the best-scored bbox per frame, soft-argmax
-    keypoint columns; repeat the previous pose on detection failure."""
-    data = np.load(path, encoding="latin1", allow_pickle=True)
-    kp = data["keypoints"]
-    bb = data["boxes"]
-    results = []
-    for i in range(len(bb)):
-        if len(bb[i][1]) == 0:
-            assert i > 0, "no detection in the first frame"
-            results.append(results[-1])
+    """Detectron per-video .npz: best-scored detection per frame, soft-argmax
+    coordinate rows.  Detection gaps are repaired by repeating the most recent
+    pose (behavior parity: ``/root/reference/data/data_utils.py:63-79``),
+    implemented as a vectorized forward-fill index map."""
+    archive = np.load(path, encoding="latin1", allow_pickle=True)
+    picked = []
+    found = []
+    for frame_boxes, frame_kps in zip(archive["boxes"], archive["keypoints"]):
+        candidates = frame_boxes[1]
+        if len(candidates) == 0:
+            found.append(False)
             continue
-        best_match = np.argmax(bb[i][1][:, 4])
-        keypoints = kp[i][1][best_match].T.copy()
-        results.append(keypoints)
-    results = np.array(results)
-    return results[:, :, 4:6]  # soft-argmax coordinates
+        winner = int(np.argmax(candidates[:, 4]))
+        picked.append(frame_kps[1][winner].T.copy())
+        found.append(True)
+    found = np.asarray(found, bool)
+    if found.size == 0 or not found[0]:
+        raise ValueError(f"{path}: detector found nobody in the first frame")
+    # Frame -> index of its most recent successful detection.
+    source = np.cumsum(found) - 1
+    poses = np.stack(picked)[source]
+    return poses[:, :, 4:6]  # soft-argmax coordinate rows
 
 
 def import_cpn_poses(path):

@@ -75,47 +75,52 @@ def n_mpjpe(predicted, target, mask=None):
     return mpjpe(scale * predicted, target, mask=mask)
 
 
+def _similarity_align(points, anchor):
+    """Per-frame similarity transform (rotation + scale + translation) mapping
+    ``points`` onto ``anchor``, least-squares optimal (orthogonal Procrustes).
+
+    Both inputs are (N, J, 3); returns the transformed ``points``.  The rotation
+    is the proper-orthogonal polar factor of the centered cross-covariance
+    points^T·anchor, with the smallest-singular-axis reflected whenever the raw
+    polar factor would be a reflection.
+    """
+    pts_center = points.mean(axis=1, keepdims=True)
+    anc_center = anchor.mean(axis=1, keepdims=True)
+    pts_c = points - pts_center
+    anc_c = anchor - anc_center
+    pts_scale = np.linalg.norm(pts_c, axis=(1, 2), keepdims=True)
+    anc_scale = np.linalg.norm(anc_c, axis=(1, 2), keepdims=True)
+    pts_c = pts_c / pts_scale
+    anc_c = anc_c / anc_scale
+
+    # (N, 3, 3) cross-covariance of the unit-scale clouds, points-to-anchor.
+    xcov = np.einsum("nji,njk->nik", pts_c, anc_c)
+    left, sv, right_t = np.linalg.svd(xcov)
+    improper = np.linalg.det(left @ right_t) < 0
+    left[improper, :, -1] = -left[improper, :, -1]
+    sv[improper, -1] = -sv[improper, -1]
+    rot = left @ right_t
+
+    # Optimal scale is the (reflection-corrected) nuclear norm of the
+    # cross-covariance, rescaled back to the original cloud magnitudes.
+    gain = sv.sum(axis=1)[:, None, None] * anc_scale / pts_scale
+    shift = anc_center - gain * (pts_center @ rot)
+    return gain * (points @ rot) + shift
+
+
 def p_mpjpe(predicted, target):
     """Protocol #2: MPJPE after rigid (Procrustes) alignment — host-side numpy.
 
-    Parity: ``/root/reference/common/loss.py:27-66`` including the reflection fix
-    (flip the sign of the last singular vector when det(R) < 0).
+    Behavior parity: ``/root/reference/common/loss.py:27-66`` (same alignment,
+    including the det<0 reflection fix), validated by the golden test against
+    the reference on random poses.
 
     Args:
       predicted, target: (N, J, 3) numpy arrays (one row per frame).
     """
     assert predicted.shape == target.shape, (predicted.shape, target.shape)
-    predicted = np.asarray(predicted)
-    target = np.asarray(target)
-
-    muX = np.mean(target, axis=1, keepdims=True)
-    muY = np.mean(predicted, axis=1, keepdims=True)
-
-    X0 = target - muX
-    Y0 = predicted - muY
-
-    normX = np.sqrt(np.sum(X0**2, axis=(1, 2), keepdims=True))
-    normY = np.sqrt(np.sum(Y0**2, axis=(1, 2), keepdims=True))
-    X0 = X0 / normX
-    Y0 = Y0 / normY
-
-    H = np.matmul(X0.transpose(0, 2, 1), Y0)
-    U, s, Vt = np.linalg.svd(H)
-    V = Vt.transpose(0, 2, 1)
-    R = np.matmul(V, U.transpose(0, 2, 1))
-
-    # Avoid improper rotations (reflections): det(R) must be +1.
-    sign_detR = np.sign(np.expand_dims(np.linalg.det(R), axis=1))
-    V[:, :, -1] *= sign_detR
-    s[:, -1] *= sign_detR.flatten()
-    R = np.matmul(V, U.transpose(0, 2, 1))
-
-    tr = np.expand_dims(np.sum(s, axis=1, keepdims=True), axis=2)
-    a = tr * normX / normY                  # optimal scale
-    t = muX - a * np.matmul(muY, R)         # optimal translation
-
-    predicted_aligned = a * np.matmul(predicted, R) + t
-    return np.mean(np.linalg.norm(predicted_aligned - target, axis=-1))
+    aligned = _similarity_align(np.asarray(predicted), np.asarray(target))
+    return np.mean(np.linalg.norm(aligned - np.asarray(target), axis=-1))
 
 
 def mean_velocity_error(predicted, target):

@@ -1,20 +1,24 @@
-"""Rendering: side-by-side 2D input + 3D reconstruction animations.
+"""Animation rendering: a 2D input viewport plus one 3D viewport per pose series.
 
-Capability parity target: ``/root/reference/common/visualization.py`` — the ffprobe
-resolution/fps probes (:17-31), the raw-frame ffmpeg pipe decoder (:33-53),
-mean-pooling downsampler (:58-60), and ``render_animation`` (:62-209).
+Capability parity target: ``/root/reference/common/visualization.py:17-209``
+(video probing/decoding, temporal downsampling, trajectory-following 3D axes,
+mp4/gif export).  Independent implementation: each skeleton is one
+``LineCollection`` / ``Line3DCollection`` artist updated from vectorized bone
+segment arrays per frame (rather than one Line2D per bone), and video metadata
+comes from a single ffprobe call.
 
-Host-side and not performance-critical; the only changes from the reference
-behaviour are (a) ffmpeg/ffprobe are optional — rendering on a black background
-works without them, and a clear error is raised if a video path is given on a
-machine without ffmpeg; (b) GIF export uses matplotlib's ``pillow`` writer (always
-available) instead of requiring imagemagick.
+Host-side and not performance-critical.  Intentional deviations from the
+reference: ffmpeg/ffprobe are optional (black-background rendering works
+without them, with a clear error if a video path is supplied on a machine
+without ffmpeg), and GIF export uses matplotlib's always-available ``pillow``
+writer instead of imagemagick.
 """
 
 from __future__ import annotations
 
 import shutil
-import subprocess as sp
+import subprocess
+from typing import Iterator, Optional, Tuple
 
 import matplotlib
 
@@ -23,210 +27,235 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 from matplotlib.animation import FuncAnimation, writers  # noqa: E402
+from matplotlib.collections import LineCollection  # noqa: E402
+from mpl_toolkits.mplot3d.art3d import Line3DCollection  # noqa: E402
+
+_AXIS_SPAN = 1.7  # metres of world space shown around the subject
 
 
-def _require_ffmpeg(tool: str):
+def _need(tool: str) -> None:
     if shutil.which(tool) is None:
-        raise RuntimeError(
-            f"{tool} is required for video decoding but was not found on PATH")
+        raise RuntimeError(f"'{tool}' is required to decode input video but "
+                           "was not found on PATH")
 
 
-def get_resolution(filename):
-    """Probe (width, height) of the first video stream via ffprobe."""
-    _require_ffmpeg("ffprobe")
-    command = ["ffprobe", "-v", "error", "-select_streams", "v:0",
-               "-show_entries", "stream=width,height", "-of", "csv=p=0", filename]
-    with sp.Popen(command, stdout=sp.PIPE, bufsize=-1) as pipe:
-        for line in pipe.stdout:
-            w, h = line.decode().strip().split(",")
-            return int(w), int(h)
+def probe_video(path: str) -> Tuple[int, int, float]:
+    """Return (width, height, fps) of the first video stream (one ffprobe call)."""
+    _need("ffprobe")
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height,r_frame_rate", "-of", "csv=p=0", path],
+        check=True, capture_output=True, text=True).stdout
+    width, height, rate = out.strip().split("\n")[0].split(",")
+    num, den = rate.split("/")
+    return int(width), int(height), int(num) / int(den)
 
 
-def get_fps(filename):
-    """Probe the frame rate of the first video stream via ffprobe."""
-    _require_ffmpeg("ffprobe")
-    command = ["ffprobe", "-v", "error", "-select_streams", "v:0",
-               "-show_entries", "stream=r_frame_rate", "-of", "csv=p=0", filename]
-    with sp.Popen(command, stdout=sp.PIPE, bufsize=-1) as pipe:
-        for line in pipe.stdout:
-            a, b = line.decode().strip().split("/")
-            return int(a) / int(b)
+def get_resolution(path: str) -> Tuple[int, int]:
+    w, h, _ = probe_video(path)
+    return w, h
 
 
-def read_video(filename, skip=0, limit=-1):
-    """Yield RGB24 frames decoded through an ffmpeg raw-video pipe."""
-    _require_ffmpeg("ffmpeg")
-    w, h = get_resolution(filename)
-    command = ["ffmpeg", "-i", filename, "-f", "image2pipe", "-pix_fmt", "rgb24",
-               "-vsync", "0", "-vcodec", "rawvideo", "-"]
-    i = 0
-    with sp.Popen(command, stdout=sp.PIPE, bufsize=-1) as pipe:
+def get_fps(path: str) -> float:
+    return probe_video(path)[2]
+
+
+def read_video(path: str, skip: int = 0, limit: int = -1
+               ) -> Iterator[np.ndarray]:
+    """Yield RGB24 frames ``skip..skip+limit`` decoded via an ffmpeg raw pipe."""
+    _need("ffmpeg")
+    width, height, _ = probe_video(path)
+    frame_bytes = width * height * 3
+    proc = subprocess.Popen(
+        ["ffmpeg", "-nostdin", "-i", path, "-f", "rawvideo", "-pix_fmt",
+         "rgb24", "-vsync", "0", "-"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, bufsize=frame_bytes)
+    try:
+        emitted = 0
+        index = 0
         while True:
-            data = pipe.stdout.read(w * h * 3)
-            if not data:
+            chunk = proc.stdout.read(frame_bytes)
+            if len(chunk) < frame_bytes:
                 break
-            i += 1
-            if i > limit and limit != -1:
+            index += 1
+            if index <= skip:
                 continue
-            if i > skip:
-                yield np.frombuffer(data, dtype="uint8").reshape((h, w, 3))
+            if limit >= 0 and emitted >= limit:
+                break
+            emitted += 1
+            yield np.frombuffer(chunk, np.uint8).reshape(height, width, 3)
+    finally:
+        proc.stdout.close()
+        proc.terminate()
+        proc.wait()
 
 
-def downsample_tensor(X, factor):
+def downsample_tensor(x: np.ndarray, factor: int) -> np.ndarray:
     """Mean-pool along the leading (time) axis by an integer factor."""
-    length = X.shape[0] // factor * factor
-    return np.mean(X[:length].reshape(-1, factor, *X.shape[1:]), axis=1)
+    usable = (x.shape[0] // factor) * factor
+    return x[:usable].reshape(-1, factor, *x.shape[1:]).mean(axis=1)
 
 
-def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps, bitrate,
-                     azim, output, viewport, limit=-1, downsample=1, size=6,
-                     input_video_path=None, input_video_skip=0):
-    """Render an animation of the 2D input keypoints next to one 3D subplot per
-    pose series (e.g. reconstruction + ground truth), with trajectory-following
-    3D axes.  Output: ``.mp4`` (ffmpeg writer) or ``.gif`` (pillow writer).
+class _SceneArtists:
+    """All mutable artists for one rendered scene, updated vectorized per frame.
+
+    One ``LineCollection`` carries every 2D bone, one ``Line3DCollection`` per
+    3D viewport carries every 3D bone; per-frame updates are a single
+    ``set_segments`` call each instead of a Python loop over Line2D objects.
     """
-    plt.ioff()
-    fig = plt.figure(figsize=(size * (1 + len(poses)), size))
-    ax_in = fig.add_subplot(1, 1 + len(poses), 1)
-    ax_in.get_xaxis().set_visible(False)
-    ax_in.get_yaxis().set_visible(False)
-    ax_in.set_axis_off()
-    ax_in.set_title("Input")
 
-    ax_3d = []
-    lines_3d = []
-    trajectories = []
-    radius = 1.7
-    for index, (title, data) in enumerate(poses.items()):
-        ax = fig.add_subplot(1, 1 + len(poses), index + 2, projection="3d")
-        ax.view_init(elev=15.0, azim=azim)
-        ax.set_xlim3d([-radius / 2, radius / 2])
-        ax.set_zlim3d([0, radius])
-        ax.set_ylim3d([-radius / 2, radius / 2])
-        try:
-            ax.set_aspect("equal")
-        except NotImplementedError:
-            ax.set_aspect("auto")
-        ax.set_xticklabels([])
-        ax.set_yticklabels([])
-        ax.set_zticklabels([])
-        try:
-            ax.dist = 7.5
-        except AttributeError:
-            pass  # removed in newer matplotlib
-        ax.set_title(title)
-        ax_3d.append(ax)
-        lines_3d.append([])
-        trajectories.append(data[:, 0, [0, 1]])
-    poses = list(poses.values())
+    def __init__(self, fig, n_views: int, azim: float, titles, size: float):
+        self.ax_in = fig.add_subplot(1, 1 + n_views, 1)
+        self.ax_in.set_axis_off()
+        self.ax_in.set_title("Input")
+        self.image = None
+        self.joint_dots = None
+        self.bones_2d = None
+        self.bones_3d = []
+        self.ax_3d = []
+        for k, title in enumerate(titles):
+            ax = fig.add_subplot(1, 1 + n_views, k + 2, projection="3d")
+            ax.view_init(elev=15.0, azim=azim)
+            ax.set_zlim3d([0, _AXIS_SPAN])
+            try:
+                ax.set_aspect("equal")
+            except NotImplementedError:
+                ax.set_aspect("auto")
+            ax.set_xticklabels([])
+            ax.set_yticklabels([])
+            ax.set_zticklabels([])
+            try:
+                ax.dist = 7.5
+            except AttributeError:
+                pass  # attribute removed in newer matplotlib
+            ax.set_title(title)
+            self.ax_3d.append(ax)
 
+    def follow(self, view: int, xy: np.ndarray) -> None:
+        """Centre a 3D viewport's x/y limits on the subject's trajectory."""
+        half = _AXIS_SPAN / 2
+        ax = self.ax_3d[view]
+        ax.set_xlim3d([xy[0] - half, xy[0] + half])
+        ax.set_ylim3d([xy[1] - half, xy[1] + half])
+
+
+def _bone_segments(pose: np.ndarray, children: np.ndarray,
+                   parents: np.ndarray) -> np.ndarray:
+    """(n_bones, 2, D) segment array for one pose (J, D)."""
+    return np.stack([pose[children], pose[parents]], axis=1)
+
+
+def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
+                     bitrate, azim, output, viewport, limit=-1, downsample=1,
+                     size=6, input_video_path=None, input_video_skip=0):
+    """Render the 2D inputs next to one 3D subplot per pose series (e.g.
+    reconstruction + ground truth), with trajectory-following 3D axes.
+
+    Output format is chosen by extension: ``.mp4`` (ffmpeg writer) or ``.gif``
+    (pillow writer).  Behavior parity with
+    ``/root/reference/common/visualization.py:62-209``.
+    """
+    titles = list(poses.keys())
+    series = [np.asarray(p) for p in poses.values()]
+    trajectories = [p[:, 0, :2] for p in series]
+    keypoints = np.asarray(keypoints)
+
+    # -- background frames -------------------------------------------------
     if input_video_path is None:
-        # Black background behind the keypoint overlay.
-        all_frames = np.zeros(
-            (keypoints.shape[0], viewport[1], viewport[0]), dtype="uint8")
+        background = np.zeros(
+            (keypoints.shape[0], viewport[1], viewport[0]), np.uint8)
         if fps is None:
-            # Custom (wild) datasets carry no frame rate; without a source
-            # video to probe, fall back to a sane default.
+            # Wild/custom datasets carry no frame rate and there is no source
+            # video to probe; pick a sane playback default.
             print("INFO: unknown frame rate, assuming 50 FPS")
             fps = 50
     else:
-        all_frames = list(read_video(
-            input_video_path, skip=input_video_skip, limit=limit))
-        effective_length = min(keypoints.shape[0], len(all_frames))
-        all_frames = all_frames[:effective_length]
-
+        frames = list(read_video(input_video_path, skip=input_video_skip,
+                                 limit=limit))
+        n = min(keypoints.shape[0], len(frames))
+        background = np.stack(frames[:n]) if n else np.zeros(
+            (0, viewport[1], viewport[0], 3), np.uint8)
         keypoints = keypoints[input_video_skip:]
-        for idx in range(len(poses)):
-            poses[idx] = poses[idx][input_video_skip:]
+        series = [p[input_video_skip:] for p in series]
         if fps is None:
-            fps = get_fps(input_video_path)
+            fps = probe_video(input_video_path)[2]
 
+    # -- temporal downsampling ---------------------------------------------
     if downsample > 1:
         keypoints = downsample_tensor(keypoints, downsample)
-        all_frames = downsample_tensor(
-            np.array(all_frames), downsample).astype("uint8")
-        for idx in range(len(poses)):
-            poses[idx] = downsample_tensor(poses[idx], downsample)
-            trajectories[idx] = downsample_tensor(trajectories[idx], downsample)
+        background = downsample_tensor(
+            np.asarray(background), downsample).astype(np.uint8)
+        series = [downsample_tensor(p, downsample) for p in series]
+        trajectories = [downsample_tensor(t, downsample)
+                        for t in trajectories]
         fps /= downsample
 
-    state = {"initialized": False, "image": None, "lines": [], "points": None}
+    total = len(background) if limit < 1 else min(limit, len(background))
 
-    if limit < 1:
-        limit = len(all_frames)
-    else:
-        limit = min(limit, len(all_frames))
+    # -- static skeleton structure ------------------------------------------
+    parent_of = np.asarray(skeleton.parents())
+    bone_child = np.flatnonzero(parent_of >= 0)
+    bone_parent = parent_of[bone_child]
+    is_right = np.zeros(len(parent_of), bool)
+    is_right[skeleton.joints_right()] = True
+    bone_colors_3d = np.where(is_right[bone_child], "red", "black")
 
-    parents = skeleton.parents()
-    joints_right_2d = keypoints_metadata["keypoints_symmetry"][1]
-    colors_2d = np.full(keypoints.shape[1], "black", dtype=object)
-    colors_2d[joints_right_2d] = "red"
-    draw_2d_skeleton = (len(parents) == keypoints.shape[1]
-                        and keypoints_metadata["layout_name"] != "coco")
+    dot_colors = np.full(keypoints.shape[1], "black", object)
+    dot_colors[keypoints_metadata["keypoints_symmetry"][1]] = "red"
+    # A 2D skeleton overlay only makes sense when the detector layout matches
+    # the 3D skeleton's joint set.
+    overlay_2d = (len(parent_of) == keypoints.shape[1]
+                  and keypoints_metadata["layout_name"] != "coco")
 
-    def update_video(i):
-        for n, ax in enumerate(ax_3d):
-            ax.set_xlim3d([-radius / 2 + trajectories[n][i, 0],
-                           radius / 2 + trajectories[n][i, 0]])
-            ax.set_ylim3d([-radius / 2 + trajectories[n][i, 1],
-                           radius / 2 + trajectories[n][i, 1]])
+    # -- figure & artists -----------------------------------------------------
+    plt.ioff()
+    fig = plt.figure(figsize=(size * (1 + len(series)), size))
+    scene = _SceneArtists(fig, len(series), azim, titles, size)
 
-        if not state["initialized"]:
-            state["image"] = ax_in.imshow(all_frames[i], aspect="equal")
-            for j, j_parent in enumerate(parents):
-                if j_parent == -1:
-                    continue
-                if draw_2d_skeleton:
-                    state["lines"].append(ax_in.plot(
-                        [keypoints[i, j, 0], keypoints[i, j_parent, 0]],
-                        [keypoints[i, j, 1], keypoints[i, j_parent, 1]],
-                        color="pink"))
-                col = "red" if j in skeleton.joints_right() else "black"
-                for n, ax in enumerate(ax_3d):
-                    pos = poses[n][i]
-                    lines_3d[n].append(ax.plot(
-                        [pos[j, 0], pos[j_parent, 0]],
-                        [pos[j, 1], pos[j_parent, 1]],
-                        [pos[j, 2], pos[j_parent, 2]], zdir="z", c=col))
-            state["points"] = ax_in.scatter(
-                *keypoints[i].T, 10, color=colors_2d, edgecolors="white",
+    def draw(i):
+        for view, traj in enumerate(trajectories):
+            scene.follow(view, traj[i])
+
+        if scene.image is None:  # first frame: create the artists
+            scene.image = scene.ax_in.imshow(background[i], aspect="equal")
+            if overlay_2d:
+                scene.bones_2d = LineCollection(
+                    _bone_segments(keypoints[i], bone_child, bone_parent),
+                    colors="pink")
+                scene.ax_in.add_collection(scene.bones_2d)
+            for view, ax in enumerate(scene.ax_3d):
+                coll = Line3DCollection(
+                    _bone_segments(series[view][i], bone_child, bone_parent),
+                    colors=bone_colors_3d)
+                ax.add_collection3d(coll)
+                scene.bones_3d.append(coll)
+            scene.joint_dots = scene.ax_in.scatter(
+                *keypoints[i].T, 10, color=dot_colors, edgecolors="white",
                 zorder=10)
-            state["initialized"] = True
         else:
-            state["image"].set_data(all_frames[i])
-            for j, j_parent in enumerate(parents):
-                if j_parent == -1:
-                    continue
-                if draw_2d_skeleton:
-                    state["lines"][j - 1][0].set_data(
-                        [keypoints[i, j, 0], keypoints[i, j_parent, 0]],
-                        [keypoints[i, j, 1], keypoints[i, j_parent, 1]])
-                for n, ax in enumerate(ax_3d):
-                    pos = poses[n][i]
-                    lines_3d[n][j - 1][0].set_xdata(
-                        np.array([pos[j, 0], pos[j_parent, 0]]))
-                    lines_3d[n][j - 1][0].set_ydata(
-                        np.array([pos[j, 1], pos[j_parent, 1]]))
-                    lines_3d[n][j - 1][0].set_3d_properties(
-                        np.array([pos[j, 2], pos[j_parent, 2]]), zdir="z")
-            state["points"].set_offsets(keypoints[i])
+            scene.image.set_data(background[i])
+            if overlay_2d:
+                scene.bones_2d.set_segments(
+                    _bone_segments(keypoints[i], bone_child, bone_parent))
+            for view, coll in enumerate(scene.bones_3d):
+                coll.set_segments(
+                    _bone_segments(series[view][i], bone_child, bone_parent))
+            scene.joint_dots.set_offsets(keypoints[i])
 
-        print(f"{i}/{limit}      ", end="\r")
+        print(f"frame {i + 1}/{total}   ", end="\r")
 
     fig.tight_layout()
-
-    anim = FuncAnimation(fig, update_video, frames=np.arange(0, limit),
+    anim = FuncAnimation(fig, draw, frames=np.arange(total),
                          interval=1000 / fps, repeat=False)
     if output.endswith(".mp4"):
         if "ffmpeg" not in writers.list():
-            raise RuntimeError(
-                "matplotlib's ffmpeg writer is unavailable (ffmpeg not "
-                "installed); use a .gif output instead")
-        writer = writers["ffmpeg"](fps=fps, metadata={}, bitrate=bitrate)
-        anim.save(output, writer=writer)
+            raise RuntimeError("matplotlib's ffmpeg writer is unavailable "
+                               "(ffmpeg not installed); use a .gif output")
+        anim.save(output, writer=writers["ffmpeg"](
+            fps=fps, metadata={}, bitrate=bitrate))
     elif output.endswith(".gif"):
         anim.save(output, dpi=80, writer="pillow", fps=int(round(fps)))
     else:
-        raise ValueError(
-            "Unsupported output format (only .mp4 and .gif are supported)")
-    plt.close()
+        raise ValueError("unsupported output extension "
+                         f"'{output}' (expected .mp4 or .gif)")
+    plt.close(fig)
