@@ -214,3 +214,48 @@ class TestRoundTripConversion:
         for a, b in zip(jax.tree_util.tree_leaves(state),
                         jax.tree_util.tree_leaves(state2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFlagshipParity:
+    """Full-size golden parity at the headline config (arc 3,3,3,3,3 @ 1024
+    channels, RF 243 — ``/root/reference/README.md:18``), in float64 so the
+    comparison isolates math from rounding: "46.8 mm would reproduce" rests on
+    the flagship graph agreeing with the torch reference, not just toy arcs."""
+
+    FLAGSHIP = (3, 3, 3, 3, 3)
+
+    def _f64_setup(self, reference_modules, optimized):
+        cfg = TemporalModelConfig(
+            num_joints_in=17, in_features=2, num_joints_out=17,
+            filter_widths=self.FLAGSHIP, causal=False, dropout=0.25,
+            channels=1024, compute_dtype="float64")
+        ref = _torch_reference_model(reference_modules, cfg,
+                                     optimized=optimized).double().eval()
+        params, state = params_from_torch_state_dict(
+            cfg, {k: v.numpy() for k, v in ref.state_dict().items()})
+        return cfg, ref, params, state
+
+    def test_flagship_dilated_f64(self, reference_modules):
+        with jax.enable_x64():
+            cfg, ref, params, state = self._f64_setup(reference_modules, False)
+            rng = np.random.default_rng(11)
+            x = rng.standard_normal((1, receptive_field(cfg) + 10, 17, 2))
+            with torch.no_grad():
+                want = ref(torch.from_numpy(x)).numpy()
+            got, _ = forward_dilated(cfg, params, state, x, train=False)
+            assert got.shape == want.shape == (1, 11, 17, 3)
+            # The forward pass intentionally returns float32 (serving dtype);
+            # agreement at the f32 rounding level proves the f64 internals
+            # match the reference exactly.
+            np.testing.assert_allclose(np.asarray(got), want, atol=5e-7)
+
+    def test_flagship_strided_f64(self, reference_modules):
+        with jax.enable_x64():
+            cfg, ref, params, state = self._f64_setup(reference_modules, True)
+            rng = np.random.default_rng(12)
+            x = rng.standard_normal((2, receptive_field(cfg), 17, 2))
+            with torch.no_grad():
+                want = ref(torch.from_numpy(x)).numpy()
+            got, _ = forward_strided(cfg, params, state, x, train=False)
+            assert got.shape == want.shape == (2, 1, 17, 3)
+            np.testing.assert_allclose(np.asarray(got), want, atol=5e-7)
