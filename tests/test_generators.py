@@ -161,6 +161,43 @@ def test_contiguous_assembly_equals_clamping(pad, causal_shift, chunk):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.parametrize("pad,causal_shift,chunk", [
+    (3, 0, 1), (13, 13, 1), (4, 0, 5),
+])
+def test_baked_flip_assembly_equals_clamping(pad, causal_shift, chunk):
+    """The flip-as-index path (pre-flipped flat copies selected by a row
+    offset) produces byte-identical batches to the clamping gather path's
+    in-graph permutation + sign flip."""
+    from videopose3d_tpu.data.generators import (
+        FlatSequenceDataset, assemble_chunked_batch_contiguous)
+    poses_2d, poses_3d, cams = _make_data(seed=11)
+    margins = FlatSequenceDataset.training_margins(pad, causal_shift, chunk)
+    perm = tuple(_flip_perm().tolist())
+    ds = FlatSequenceDataset(poses_2d, poses_3d, cams, margins=margins,
+                             flip_perms=(perm, perm))
+    dev = ds.to_device()
+    assert dev.has_baked_flip and dev.aug_offset_3d > 0
+
+    sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, chunk,
+                                 augment=True)
+    for (meta, n_valid), _ in zip(sampler.next_epoch(), range(6)):
+        meta = np.asarray(meta)
+        want = assemble_chunked_batch(
+            dev.flat_2d, dev.flat_3d, dev.cameras, dev.seq_bounds,
+            meta, pad=pad, causal_shift=causal_shift,
+            chunk_length=chunk, kps_flip_perm=perm, joints_flip_perm=perm,
+            with_3d=True, with_cameras=True)
+        got = assemble_chunked_batch_contiguous(
+            dev.flat_2d_padded, dev.flat_3d_padded, dev.cameras,
+            dev.base_2d, dev.base_3d, meta, pad=pad,
+            causal_shift=causal_shift, chunk_length=chunk,
+            kps_flip_perm=perm, joints_flip_perm=perm,
+            with_3d=True, with_cameras=True,
+            aug_offset_2d=dev.aug_offset_2d, aug_offset_3d=dev.aug_offset_3d)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 @pytest.mark.parametrize("pad,causal_shift,augment", [
     (13, 0, False), (13, 0, True), (13, 13, True), (0, 0, True),
 ])

@@ -52,7 +52,9 @@ class FlatSequenceDataset:
     def __init__(self, poses_2d: Sequence[np.ndarray],
                  poses_3d: Optional[Sequence[np.ndarray]] = None,
                  cameras: Optional[Sequence[np.ndarray]] = None,
-                 margins: Optional[Tuple[int, int, int, int]] = None):
+                 margins: Optional[Tuple[int, int, int, int]] = None,
+                 flip_perms: Optional[Tuple[Sequence[int],
+                                            Optional[Sequence[int]]]] = None):
         assert poses_3d is None or len(poses_3d) == len(poses_2d)
         assert cameras is None or len(cameras) == len(poses_2d)
 
@@ -92,6 +94,28 @@ class FlatSequenceDataset:
             if poses_3d is not None:
                 self.flat_3d_padded, self.base_3d = pad_concat(poses_3d, l3, r3)
 
+        # Flip-as-index trick: store a pre-flipped copy (x negated + left/right
+        # joints swapped) appended after the normal one, so horizontal-flip
+        # augmentation in the jitted step is pure index arithmetic
+        # (row += flip * offset) instead of a joint-permutation gather + x-sign
+        # scatter (measured ~1.5 ms/step at B=1024 on v5e).  Costs 2x HBM for
+        # the flat training arrays.
+        self.aug_offset_2d = self.aug_offset_3d = 0
+        if flip_perms is not None and self.flat_2d_padded is not None:
+            kps_perm, joints_perm = flip_perms
+
+            def with_flipped(arr, perm):
+                flipped = arr[:, np.asarray(perm, np.int64)].copy()
+                flipped[..., 0] *= -1
+                return np.concatenate([arr, flipped], axis=0)
+
+            self.aug_offset_2d = self.flat_2d_padded.shape[0]
+            self.flat_2d_padded = with_flipped(self.flat_2d_padded, kps_perm)
+            if self.flat_3d_padded is not None and joints_perm is not None:
+                self.aug_offset_3d = self.flat_3d_padded.shape[0]
+                self.flat_3d_padded = with_flipped(
+                    self.flat_3d_padded, joints_perm)
+
     @staticmethod
     def training_margins(pad: int, causal_shift: int, chunk_length: int):
         """Margins covering every window the chunk enumeration can request:
@@ -123,6 +147,8 @@ class FlatSequenceDataset:
             flat_3d_padded=maybe(self.flat_3d_padded),
             base_2d=maybe(self.base_2d),
             base_3d=maybe(self.base_3d),
+            aug_offset_2d=self.aug_offset_2d,
+            aug_offset_3d=self.aug_offset_3d,
         )
 
 
@@ -131,7 +157,8 @@ class DeviceArrays:
 
     def __init__(self, flat_2d, flat_3d, cameras, seq_bounds,
                  flat_2d_padded=None, flat_3d_padded=None,
-                 base_2d=None, base_3d=None):
+                 base_2d=None, base_3d=None,
+                 aug_offset_2d=0, aug_offset_3d=0):
         self.flat_2d = flat_2d
         self.flat_3d = flat_3d
         self.cameras = cameras
@@ -140,10 +167,16 @@ class DeviceArrays:
         self.flat_3d_padded = flat_3d_padded
         self.base_2d = base_2d
         self.base_3d = base_3d
+        self.aug_offset_2d = aug_offset_2d
+        self.aug_offset_3d = aug_offset_3d
 
     @property
     def has_contiguous(self) -> bool:
         return self.base_2d is not None
+
+    @property
+    def has_baked_flip(self) -> bool:
+        return self.aug_offset_2d > 0
 
 
 class ChunkedPairSampler:
@@ -247,16 +280,22 @@ class ChunkedPairSampler:
 def _apply_flip(flip, batch_2d, batch_3d, cam, kps_flip_perm, joints_flip_perm):
     """Shared augmentation tail: negate x and permute left<->right columns on
     the flipped rows; negate camera intrinsics 2 (center x) and 7 (tangential x).
-    Parity: generators.py:120-149."""
-    kps_perm = jnp.asarray(np.array(kps_flip_perm, dtype=np.int32))
-    flipped_2d = batch_2d[:, :, kps_perm, :]
-    flipped_2d = flipped_2d.at[..., 0].multiply(-1.0)
-    batch_2d = jnp.where(flip[:, None, None, None], flipped_2d, batch_2d)
+    Parity: generators.py:120-149.  The x negation is a broadcast sign multiply
+    (fuses into the select) rather than an indexed update (which lowers to a
+    full-tensor dynamic-update-slice on TPU)."""
+
+    def neg_x(arr):
+        sign = jnp.ones((arr.shape[-1],), arr.dtype).at[0].set(-1.0)
+        return arr * sign
+
+    if batch_2d is not None:
+        kps_perm = jnp.asarray(np.array(kps_flip_perm, dtype=np.int32))
+        flipped_2d = neg_x(batch_2d[:, :, kps_perm, :])
+        batch_2d = jnp.where(flip[:, None, None, None], flipped_2d, batch_2d)
 
     if batch_3d is not None:
         joints_perm = jnp.asarray(np.array(joints_flip_perm, dtype=np.int32))
-        flipped_3d = batch_3d[:, :, joints_perm, :]
-        flipped_3d = flipped_3d.at[..., 0].multiply(-1.0)
+        flipped_3d = neg_x(batch_3d[:, :, joints_perm, :])
         batch_3d = jnp.where(flip[:, None, None, None], flipped_3d, batch_3d)
 
     if cam is not None:
@@ -322,25 +361,34 @@ def assemble_chunked_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("pad", "causal_shift", "chunk_length", "kps_flip_perm",
-                     "joints_flip_perm", "with_3d", "with_cameras"),
+                     "joints_flip_perm", "with_3d", "with_cameras",
+                     "aug_offset_2d", "aug_offset_3d"),
 )
 def assemble_chunked_batch_contiguous(
     flat_2d_padded, flat_3d_padded, cameras, base_2d, base_3d, meta, *,
     pad: int, causal_shift: int, chunk_length: int,
     kps_flip_perm: Tuple[int, ...], joints_flip_perm: Tuple[int, ...],
     with_3d: bool = True, with_cameras: bool = False,
+    aug_offset_2d: int = 0, aug_offset_3d: int = 0,
 ):
     """Fast-path batch assembly over margin-padded flat arrays: every window is
     one contiguous ``dynamic_slice`` (requires ``FlatSequenceDataset(...,
     margins=FlatSequenceDataset.training_margins(...))``).  Semantically
     identical to :func:`assemble_chunked_batch` — the baked-in edge replication
-    equals the index clamp."""
+    equals the index clamp.
+
+    With ``aug_offset_*`` > 0 (``FlatSequenceDataset(..., flip_perms=...)``),
+    the flat arrays carry a pre-flipped copy and horizontal flip reduces to
+    adding the offset to the window start — no permutation gather, no sign
+    scatter in the step."""
     seq = meta[:, 0]
     start_3d = meta[:, 1]
     flip = meta[:, 3].astype(bool)
 
     win_2d = chunk_length + 2 * pad
     row0_2d = base_2d[seq] + start_3d - pad - causal_shift
+    if aug_offset_2d:
+        row0_2d = row0_2d + meta[:, 3] * aug_offset_2d
 
     def slice_window(flat, length):
         def one(r):
@@ -352,11 +400,20 @@ def assemble_chunked_batch_contiguous(
     batch_3d = None
     if with_3d:
         row0_3d = base_3d[seq] + start_3d
+        if aug_offset_3d:
+            row0_3d = row0_3d + meta[:, 3] * aug_offset_3d
         batch_3d = slice_window(flat_3d_padded, chunk_length)(row0_3d)
     cam = cameras[seq] if with_cameras else None
 
-    batch_2d, batch_3d, cam = _apply_flip(
-        flip, batch_2d, batch_3d, cam, kps_flip_perm, joints_flip_perm)
+    batch_2d_flip = None if aug_offset_2d else batch_2d
+    batch_3d_flip = None if (aug_offset_3d or not with_3d) else batch_3d
+    flipped_2d, flipped_3d, cam = _apply_flip(
+        flip, batch_2d_flip, batch_3d_flip, cam, kps_flip_perm,
+        joints_flip_perm)
+    if not aug_offset_2d:
+        batch_2d = flipped_2d
+    if with_3d and not aug_offset_3d:
+        batch_3d = flipped_3d
     return cam, batch_3d, batch_2d
 
 

@@ -70,6 +70,15 @@ class TemporalModelConfig:
     # HBM traffic of stored intermediates at the cost of one extra forward
     # matmul per block).  Bit-identical gradients.
     remat_blocks: bool = False
+    # TPU knob: rematerialization policy for the strided train form.
+    #   "none"  — store every intermediate (XLA default autodiff).
+    #   "dots"  — save matmul outputs only; recompute the elementwise chains
+    #             (BN normalize, ReLU, dropout masks) in the backward pass.
+    #             Cuts the saved-activation HBM traffic at ~zero FLOP cost
+    #             (the recompute is elementwise, fused into the backward).
+    #   "full"  — save block inputs only (max memory saving, recomputes the
+    #             matmuls; same as remat_blocks=True).
+    remat_policy: str = "none"
 
     def __post_init__(self):
         object.__setattr__(self, "filter_widths", tuple(int(f) for f in self.filter_widths))
@@ -243,11 +252,23 @@ def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
 
 
 def _dropout(x, rate: float, rng):
+    """Inverted dropout from 8-bit random draws.
+
+    ``jax.random.bernoulli`` spends a uint32 per element — at B=1024 that is
+    ~600 MB/step of random bits written and re-read.  One byte per element
+    quarters that traffic; the keep probability quantizes to 1/256 (exact for
+    the reference default rate 0.25 -> keep 192/256), and the inverse-keep
+    scale uses the quantized value so the expectation stays exactly 1.
+    """
     if rate == 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    threshold = int(round((1.0 - rate) * 256))
+    if threshold >= 256:
+        return x
+    keep = threshold / 256.0
+    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+    mask = bits < jnp.uint8(threshold)
+    return x * (mask.astype(x.dtype) * (1.0 / keep))
 
 
 def _conv_matmul(x, weight, dilation: int = 1, compute_dtype=jnp.float32):
@@ -397,17 +418,38 @@ def forward_strided(
     rngs = _split_rngs(rng if train else None, 2 * n_blocks + 1)
     new_state: State = {"layers_bn": [None] * (2 * n_blocks)}
 
-    x = _conv_strided(x, params["expand_conv"]["weight"], compute_dtype)
-    x, new_state["expand_bn"] = _batchnorm(
-        x, params["expand_bn"], state["expand_bn"], train=train, momentum=momentum)
-    x = _dropout(jax.nn.relu(x), config.dropout if train else 0.0, rngs[0])
+    def prologue(p_expand, p_bn, s_bn, x, rng0):
+        u = _conv_strided(x, p_expand["weight"], compute_dtype)
+        u, new_bn = _batchnorm(u, p_bn, s_bn, train=train, momentum=momentum)
+        return _dropout(jax.nn.relu(u), config.dropout if train else 0.0,
+                        rng0), new_bn
+
+    if train and config.remat_policy == "dots":
+        prologue = jax.checkpoint(
+            prologue, policy=jax.checkpoint_policies.dots_saveable)
+
+    x, new_state["expand_bn"] = prologue(
+        params["expand_conv"], params["expand_bn"], state["expand_bn"],
+        x, rngs[0])
 
     def block(i, x, block_params, block_state, rng_a, rng_b):
         fw = config.filter_widths[i + 1]
-        shift = config.causal_shifts_strided[i + 1]
-        res = x[:, shift + fw // 2:: fw]
+        b, t, c = x.shape
+        # One reshape serves both the strided conv (taps @ W) and the residual
+        # (the center tap = a contiguous column slice).  This matters for the
+        # backward pass: d(res) becomes a pad that fuses into d(taps) plus a
+        # free bitcast back to (b, t, c), where the reference-style strided
+        # slice ``x[:, off::fw]`` differentiates into a scatter-add whose
+        # layout forces three full-tensor copies per block (measured ~1.5 ms
+        # per block at B=1024/C=1024 on v5e).
+        taps = x.reshape(b, t // fw, fw * c)
+        center = config.causal_shifts_strided[i + 1] + fw // 2
+        res = jax.lax.slice_in_dim(taps, center * c, (center + 1) * c, axis=2)
 
-        y = _conv_strided(x, block_params["conv_a"]["weight"], compute_dtype)
+        w_a = block_params["conv_a"]["weight"]
+        y = jnp.dot(taps.astype(compute_dtype),
+                    w_a.reshape(fw * c, w_a.shape[2]).astype(compute_dtype),
+                    preferred_element_type=jnp.float32).astype(compute_dtype)
         y, bn_a = _batchnorm(y, block_params["bn_a"], block_state["bn_a"],
                              train=train, momentum=momentum)
         y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rng_a)
@@ -418,12 +460,21 @@ def forward_strided(
         y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rng_b)
         return res + y, bn_a, bn_b
 
-    if config.remat_blocks and train:
-        # Rematerialize each residual block in the backward pass: only the
-        # block inputs are saved; intermediates (conv outputs, masks) are
-        # recomputed, trading ~1 extra fwd matmul per block for several HBM
-        # round-trips of saved activations.
-        block = functools.partial(jax.checkpoint, static_argnums=(0,))(block)
+    if train and (config.remat_blocks or config.remat_policy != "none"):
+        # Rematerialize residual blocks in the backward pass.  With the "dots"
+        # policy only matmul outputs are stored and the elementwise chains
+        # (BN normalize / ReLU / dropout mask generation) are recomputed —
+        # dropout masks regenerate bit-identically from the same PRNG key, so
+        # gradients are exact.  "full" (or remat_blocks=True) stores only the
+        # block inputs and recomputes the matmuls too (memory option).
+        if config.remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif config.remat_policy in ("full", "none"):
+            policy = None
+        else:
+            raise ValueError(f"unknown remat_policy {config.remat_policy!r}")
+        block = functools.partial(jax.checkpoint, static_argnums=(0,),
+                                  policy=policy)(block)
 
     for i in range(n_blocks):
         block_params = {"conv_a": params["layers_conv"][2 * i],

@@ -414,9 +414,10 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
 
     margins = FlatSequenceDataset.training_margins(
         pad, causal_shift, loop_cfg.chunk_length)
+    flip_perms = (kps_perm, joints_perm) if args.data_augmentation else None
     dev = FlatSequenceDataset(
         poses_train_2d, poses_train, cameras_train,
-        margins=margins).to_device(rep_sharding)
+        margins=margins, flip_perms=flip_perms).to_device(rep_sharding)
     sampler = ChunkedPairSampler(
         [p.shape[0] for p in poses_train_2d], loop_cfg.batch_size,
         loop_cfg.chunk_length, shuffle=True, augment=args.data_augmentation)
@@ -435,7 +436,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             parse_3d_poses=False)
         dev_semi = FlatSequenceDataset(
             poses_semi_2d, None, cameras_semi,
-            margins=margins).to_device(rep_sharding)
+            margins=margins, flip_perms=flip_perms).to_device(rep_sharding)
         sampler_semi = ChunkedPairSampler(
             [p.shape[0] for p in poses_semi_2d], loop_cfg.batch_size,
             loop_cfg.chunk_length, shuffle=True, random_seed=4321,

@@ -109,8 +109,8 @@ class SupervisedTrainer:
         self.optimizer = make_optimizer(loop_cfg.learning_rate)
         self.mesh = mesh
 
-        jit_kwargs = {"donate_argnums": (0, 1, 2, 3)}
-        epoch_kwargs = {"donate_argnums": (0, 1, 2, 3)}
+        jit_kwargs = {"donate_argnums": (0, 1, 2, 3), "static_argnums": (8,)}
+        epoch_kwargs = {"donate_argnums": (0, 1, 2, 3), "static_argnums": (8,)}
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -151,7 +151,8 @@ class SupervisedTrainer:
             d["cameras"] = dev.cameras
         return {k: v for k, v in d.items() if v is not None}
 
-    def _assemble(self, data, meta, *, with_3d=True, with_cameras=False):
+    def _assemble(self, data, meta, *, with_3d=True, with_cameras=False,
+                  aug=(0, 0)):
         loop = self.loop_cfg
         common = dict(pad=loop.pad, causal_shift=loop.causal_shift,
                       chunk_length=loop.chunk_length,
@@ -163,15 +164,16 @@ class SupervisedTrainer:
                 assemble_chunked_batch_contiguous)
             return assemble_chunked_batch_contiguous(
                 data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
-                data["base_2d"], data.get("base_3d"), meta, **common)
+                data["base_2d"], data.get("base_3d"), meta,
+                aug_offset_2d=aug[0], aug_offset_3d=aug[1], **common)
         return assemble_chunked_batch(
             data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
             data["seq_bounds"], meta, **common)
 
     def _step_core(self, params, state, opt_state, rng, data, meta, n_valid,
-                   momentum):
+                   momentum, aug=(0, 0)):
         cfg, loop = self.model_cfg, self.loop_cfg
-        _, batch_3d, batch_2d = self._assemble(data, meta)
+        _, batch_3d, batch_2d = self._assemble(data, meta, aug=aug)
 
         # Root-center: zero the hip, trajectory handled separately (run.py:407).
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -192,12 +194,12 @@ class SupervisedTrainer:
         return new_params, new_state, new_opt_state, rng, loss
 
     def _step_impl(self, params, state, opt_state, rng, data, meta, n_valid,
-                   momentum):
+                   momentum, aug):
         return self._step_core(params, state, opt_state, rng, data, meta,
-                               n_valid, momentum)
+                               n_valid, momentum, aug)
 
     def _epoch_impl(self, params, state, opt_state, rng, data, metas, n_valids,
-                    momentum):
+                    momentum, aug):
         """A whole epoch as one XLA program: lax.scan over the per-step chunk
         descriptors.  Removes all per-step host dispatch (the TPU-native answer
         to the reference's Python hot loop, run.py:401-420)."""
@@ -206,7 +208,8 @@ class SupervisedTrainer:
             params, state, opt_state, rng = carry
             meta, n_valid = xs
             params, state, opt_state, rng, loss = self._step_core(
-                params, state, opt_state, rng, data, meta, n_valid, momentum)
+                params, state, opt_state, rng, data, meta, n_valid, momentum,
+                aug)
             return (params, state, opt_state, rng), loss
 
         (params, state, opt_state, rng), losses = jax.lax.scan(
@@ -227,14 +230,16 @@ class SupervisedTrainer:
         return self._epoch(params, state, opt_state, rng, self._data_dict(dev),
                            jnp.asarray(metas),
                            jnp.asarray(n_valids, jnp.int32),
-                           jnp.asarray(momentum, jnp.float32))
+                           jnp.asarray(momentum, jnp.float32),
+                           (dev.aug_offset_2d, dev.aug_offset_3d))
 
     def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
         """One training step.  ``dev``: DeviceArrays for the labeled set."""
         return self._step(params, state, opt_state, rng, self._data_dict(dev),
                           jnp.asarray(meta),
                           jnp.asarray(n_valid, jnp.int32),
-                          jnp.asarray(momentum, jnp.float32))
+                          jnp.asarray(momentum, jnp.float32),
+                          (dev.aug_offset_2d, dev.aug_offset_3d))
 
 
 class SemiSupervisedTrainer:
@@ -264,8 +269,8 @@ class SemiSupervisedTrainer:
         self.optimizer = make_optimizer(loop_cfg.learning_rate)
         self.mesh = mesh
 
-        jit_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11,)}
-        epoch_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11,)}
+        jit_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11, 12)}
+        epoch_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11, 12)}
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -293,10 +298,11 @@ class SemiSupervisedTrainer:
         return self.optimizer.init(params)
 
     def _step_impl(self, params, states, opt_state, rng, data, data_semi,
-                   meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
+                   meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool,
+                   augs=((0, 0), (0, 0))):
         cfg, tcfg, loop = self.model_cfg, self.traj_cfg, self.loop_cfg
 
-        _, batch_3d, batch_2d = self._assemble(data, meta)
+        _, batch_3d, batch_2d = self._assemble(data, meta, aug=augs[0])
 
         inputs_traj = batch_3d[:, :, :1]                      # before root-zeroing
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -305,7 +311,8 @@ class SemiSupervisedTrainer:
 
         if not skip:
             cam_semi, _, batch_2d_semi = self._assemble(
-                data_semi, meta_semi, with_3d=False, with_cameras=True)
+                data_semi, meta_semi, with_3d=False, with_cameras=True,
+                aug=augs[1])
             inputs_2d_cat = jnp.concatenate([batch_2d, batch_2d_semi], axis=0)
             mask_u = (jnp.arange(meta_semi.shape[0]) < n_valid_semi).astype(jnp.float32)
         else:
@@ -379,11 +386,13 @@ class SemiSupervisedTrainer:
             self._data_dict(dev), self._data_dict(dev_semi, with_cameras=True),
             jnp.asarray(meta), jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(meta_semi), jnp.asarray(n_valid_semi, jnp.int32),
-            jnp.asarray(momentum, jnp.float32), bool(skip))
+            jnp.asarray(momentum, jnp.float32), bool(skip),
+            ((dev.aug_offset_2d, dev.aug_offset_3d),
+             (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d)))
 
     def _epoch_impl(self, params, states, opt_state, rng, data, data_semi,
                     metas, n_valids, metas_semi, n_valids_semi, momentum,
-                    skip: bool):
+                    skip: bool, augs=((0, 0), (0, 0))):
         """Whole semi-supervised epoch as one XLA scan (see
         SupervisedTrainer._epoch_impl)."""
 
@@ -393,7 +402,7 @@ class SemiSupervisedTrainer:
             (params, states, opt_state, rng,
              loss_pos, loss_traj, loss_recon, loss_total) = self._step_impl(
                 params, states, opt_state, rng, data, data_semi,
-                meta, n_valid, meta_semi, n_valid_semi, momentum, skip)
+                meta, n_valid, meta_semi, n_valid_semi, momentum, skip, augs)
             return ((params, states, opt_state, rng),
                     (loss_pos, loss_traj, loss_recon, loss_total))
 
@@ -414,4 +423,6 @@ class SemiSupervisedTrainer:
             self._data_dict(dev), self._data_dict(dev_semi, with_cameras=True),
             jnp.asarray(metas), jnp.asarray(n_valids, jnp.int32),
             jnp.asarray(metas_semi), jnp.asarray(n_valids_semi, jnp.int32),
-            jnp.asarray(momentum, jnp.float32), bool(skip))
+            jnp.asarray(momentum, jnp.float32), bool(skip),
+            ((dev.aug_offset_2d, dev.aug_offset_3d),
+             (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d)))
