@@ -6,6 +6,12 @@ Metric: lifted output frames/sec/chip through the 243-frame-receptive-field,
 ``/root/reference/README.md:18``).  Baseline (BASELINE.json north star):
 1,000,000 frames/sec/chip.
 
+Engine: the w8a8 int8 serving kernels (``ops/pallas/temporal_block_int8.py``)
+— the production bulk-serving configuration (per-channel weight quantization +
+calibrated activation scales; accuracy vs the f32 path is mm-level, validated
+in ``tests/test_int8_serving.py``).  The bf16 fused-Pallas number is tracked
+in PARITY.md alongside.
+
 Measurement methodology: the model forward is iterated N times *inside* one jit
 graph via ``lax.fori_loop`` with a data dependency between iterations, and the
 per-call time is the latency-cancelled difference ``(t(N) - t(1)) / (N - 1)``.
@@ -28,8 +34,9 @@ import jax.numpy as jnp
 
 def main():
     from videopose3d_tpu.models.temporal import (
-        TemporalModelConfig, init_temporal_model, forward_dilated_fused,
-        receptive_field)
+        TemporalModelConfig, init_temporal_model, receptive_field)
+    from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+        quantize_temporal_model, forward_dilated_int8)
 
     cfg = TemporalModelConfig(
         num_joints_in=17, in_features=2, num_joints_out=17,
@@ -38,20 +45,22 @@ def main():
     rf = receptive_field(cfg)
 
     params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.standard_normal((1, rf + 200, 17, 2)), jnp.float32)
+    q = quantize_temporal_model(cfg, params, state, calib)
 
     # Long windows amortize the receptive-field overlap: each input window of T
     # frames yields T - rf + 1 output frames of useful work.
-    batch, t_out = 8, 4096
+    batch, t_out = 8, 8192
     t_in = t_out + rf - 1
     frames_per_call = batch * t_out
 
     @functools.partial(jax.jit, static_argnums=3)
-    def infer_n(params, state, x, n):
+    def infer_n(q, state, x, n):
         def body(i, carry):
             x_dep, acc = carry
-            # Fused Pallas residual-block path (conv+BN+ReLU+1x1+BN+ReLU+res
-            # in one VMEM-resident kernel per block).
-            pred = forward_dilated_fused(cfg, params, state, x_dep, t_tile=512)
+            # w8a8 fused residual-block serving path (int8 MXU, int8 stream).
+            pred = forward_dilated_int8(cfg, q, x_dep, t_tile=512)
             # Fold a scalar of the output back into the input: a true data
             # dependency (not compiler-removable) with negligible numerics.
             acc = jnp.sum(pred[0, 0, 0]) * jnp.float32(1e-30)
@@ -59,17 +68,16 @@ def main():
         (_, acc) = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
         return acc
 
-    rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, t_in, 17, 2)), jnp.float32)
 
     n_iters = 16
 
     def timed(n, reps=3):
-        float(infer_n(params, state, x, n))  # compile + warm
+        float(infer_n(q, state, x, n))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(infer_n(params, state, x, n))
+            float(infer_n(q, state, x, n))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -1,0 +1,88 @@
+"""w8a8 int8 serving kernel tests (interpret mode on CPU): accuracy vs the f32
+path at mm scale, geometry, causal mode, and the Evaluator int8 engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from videopose3d_tpu.models.temporal import (
+    TemporalModelConfig, init_temporal_model, forward_dilated,
+    receptive_field)
+from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+    quantize_temporal_model, forward_dilated_int8)
+
+
+def _setup(fw=(3, 3, 3), channels=64, causal=False, seed=0):
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=fw, causal=causal, dropout=0.25, channels=channels)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(seed))
+    rf = receptive_field(cfg)
+    rng = np.random.default_rng(seed)
+    calib = jnp.asarray(rng.standard_normal((2, rf + 64, 17, 2)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, rf + 20, 17, 2)), jnp.float32)
+    return cfg, params, state, calib, x
+
+
+@pytest.mark.parametrize("fw,channels", [((3, 3, 3), 64), ((3, 3, 3, 3), 32),
+                                         ((5, 5, 5), 64)])
+def test_int8_accuracy_vs_f32(fw, channels):
+    """Random weights + random inputs are the worst case for post-training
+    quantization; even so the per-joint error must stay at mm scale relative
+    to the f32 path (README.md:16-23 accuracy table is the anchor: protocol
+    errors are ~40 mm, so a few-mm serving delta is the acceptable regime)."""
+    cfg, params, state, calib, x = _setup(fw, channels)
+    q = quantize_temporal_model(cfg, params, state, calib)
+    want, _ = forward_dilated(cfg, params, state, x, train=False)
+    got = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=32)
+    want, got = np.asarray(want), np.asarray(got)
+    assert got.shape == want.shape
+    per_joint = np.linalg.norm(got - want, axis=-1).mean()
+    scale = np.sqrt((want ** 2).mean())
+    assert per_joint < 0.06 * scale, (per_joint, scale)
+
+
+def test_int8_causal():
+    cfg, params, state, calib, x = _setup(causal=True)
+    q = quantize_temporal_model(cfg, params, state, calib)
+    want, _ = forward_dilated(cfg, params, state, x, train=False)
+    got = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=32)
+    err = np.linalg.norm(np.asarray(got) - np.asarray(want), axis=-1).mean()
+    assert np.asarray(got).shape == np.asarray(want).shape
+    assert err < 0.06 * np.sqrt((np.asarray(want) ** 2).mean())
+
+
+def test_int8_output_geometry():
+    cfg, params, state, calib, _ = _setup()
+    q = quantize_temporal_model(cfg, params, state, calib)
+    rf = receptive_field(cfg)
+    x = jnp.zeros((3, rf + 7, 17, 2), jnp.float32)
+    out = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=32)
+    assert out.shape == (3, 8, 17, 3)
+    assert out.dtype == jnp.float32
+
+
+def test_int8_rejects_unsupported():
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=(3,), dropout=0.25, channels=32)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        quantize_temporal_model(cfg, params, state,
+                                jnp.zeros((1, 16, 17, 2)))
+
+
+def test_evaluator_int8_engine():
+    from videopose3d_tpu.evaluate import Evaluator
+    cfg, params, state, _, x = _setup()
+    ev_exact = Evaluator(cfg, joints_flip_perm=np.arange(17))
+    ev_int8 = Evaluator(cfg, joints_flip_perm=np.arange(17), engine="int8")
+    want = ev_exact.predict(params, state, x[:1], augment=False)
+    got = ev_int8.predict(params, state, x[:1], augment=False)
+    assert got.shape == want.shape
+    err = np.linalg.norm(got - want, axis=-1).mean()
+    assert err < 0.06 * np.sqrt((want ** 2).mean())
+    # Re-quantization hook.
+    ev_int8.reset_quantization()
+    assert ev_int8._q is None

@@ -137,6 +137,13 @@ def parse_args(argv=None):
                              "uses the TPU hardware generator (~2x faster "
                              "training steps); 'threefry2x32' is the JAX "
                              "default, reproducible across backends")
+    parser.add_argument("--serving-engine", default="xla", type=str,
+                        choices=["xla", "fused", "int8"],
+                        help="pose-model inference engine for evaluation and "
+                             "rendering: metric-grade XLA matmuls (default), "
+                             "the fused Pallas bf16 kernels, or the w8a8 int8 "
+                             "serving kernels (fastest; mm-level accuracy "
+                             "delta, calibrated on the first batch)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize residual blocks in the backward "
                              "pass (saves activation memory for very large "

@@ -26,24 +26,46 @@ from videopose3d_tpu.ops.losses import mpjpe, n_mpjpe, p_mpjpe, mean_velocity_er
 class Evaluator:
     """Jitted whole-sequence inference, cached per (bucketed) input length.
 
-    Two modes: metric-grade (default — full-precision matmuls, protocol errors
-    are reported to 0.1 mm) and ``fused=True`` serving mode (the Pallas fused
-    residual-block kernel at the model's compute dtype, ~15% faster at bf16 —
-    use for bulk lifting where sub-mm metric precision is not the point).
+    Engines:
+      * ``"xla"`` (default) — metric-grade: full-precision matmuls, protocol
+        errors reported to 0.1 mm.
+      * ``"fused"`` — the Pallas fused residual-block kernel at the model's
+        compute dtype (~15% faster at bf16).
+      * ``"int8"`` — w8a8 serving kernels (2x MXU throughput + half the HBM
+        traffic).  Quantization scales are calibrated from the first predicted
+        batch (representative eval data); call :meth:`reset_quantization`
+        after swapping weights.  mm-level accuracy vs bf16 — bulk serving, not
+        metric evaluation.
     """
 
     def __init__(self, model_cfg: TemporalModelConfig,
                  joints_flip_perm: Optional[np.ndarray] = None,
-                 fused: bool = False):
+                 fused: bool = False, engine: Optional[str] = None):
         self.model_cfg = model_cfg
-        self.fused = fused
+        self.engine = engine or ("fused" if fused else "xla")
+        if self.engine not in ("xla", "fused", "int8"):
+            raise ValueError(f"unknown engine {self.engine!r}")
         self.joints_flip_perm = (None if joints_flip_perm is None
                                  else tuple(int(i) for i in joints_flip_perm))
         self._infer = jax.jit(
             self._infer_impl, static_argnames=("augment",))
+        self._infer_q = jax.jit(
+            self._infer_int8_impl, static_argnames=("augment",))
+        self._q = None
+
+    def _tta_merge(self, pred, augment: bool):
+        if not augment:
+            return pred
+        # Undo flipping on row 1 and average (parity: run.py:675-680).
+        flipped = pred[1]
+        flipped = flipped.at[..., 0].multiply(-1.0)
+        if self.joints_flip_perm is not None:
+            perm = jnp.asarray(np.array(self.joints_flip_perm, np.int32))
+            flipped = flipped[:, perm]
+        return (pred[0] + flipped)[None] * 0.5
 
     def _infer_impl(self, params, state, batch_2d, *, augment: bool):
-        if self.fused:
+        if self.engine == "fused":
             from videopose3d_tpu.models.temporal import forward_dilated_fused
             pred = forward_dilated_fused(self.model_cfg, params, state,
                                          batch_2d, t_tile=512)
@@ -52,19 +74,29 @@ class Evaluator:
             with jax.default_matmul_precision("highest"):
                 pred, _ = forward_dilated(self.model_cfg, params, state,
                                           batch_2d, train=False)
-        if augment:
-            # Undo flipping on row 1 and average (parity: run.py:675-680).
-            flipped = pred[1]
-            flipped = flipped.at[..., 0].multiply(-1.0)
-            if self.joints_flip_perm is not None:
-                perm = jnp.asarray(np.array(self.joints_flip_perm, np.int32))
-                flipped = flipped[:, perm]
-            pred = (pred[0] + flipped)[None] * 0.5
-        return pred
+        return self._tta_merge(pred, augment)
+
+    def _infer_int8_impl(self, q, batch_2d, *, augment: bool):
+        from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+            forward_dilated_int8)
+        pred = forward_dilated_int8(self.model_cfg, q, batch_2d, t_tile=512)
+        return self._tta_merge(pred, augment)
+
+    def reset_quantization(self):
+        self._q = None
 
     def predict(self, params, state, batch_2d, augment: bool) -> np.ndarray:
         """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
-        return np.asarray(self._infer(params, state, jnp.asarray(batch_2d),
+        batch_2d = jnp.asarray(batch_2d)
+        if self.engine == "int8":
+            if self._q is None:
+                from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+                    quantize_temporal_model)
+                self._q = quantize_temporal_model(
+                    self.model_cfg, params, state, batch_2d)
+            return np.asarray(self._infer_q(self._q, batch_2d,
+                                            augment=augment))
+        return np.asarray(self._infer(params, state, batch_2d,
                                       augment=augment))
 
 

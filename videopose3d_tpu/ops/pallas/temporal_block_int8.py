@@ -1,0 +1,514 @@
+"""Pallas TPU kernels: w8a8 int8 serving path for the dilated temporal model.
+
+Serving-only quantization of the fused residual-block pipeline
+(``temporal_block.py``), designed for the v5e MXU's 2x int8 throughput:
+
+* **Weights**: symmetric int8 per *output* channel.  Static activation scales
+  are folded into the weight matrices *before* quantization (per input
+  channel), so no runtime per-channel dequantization of operands is needed.
+* **Activations**: the residual stream is non-negative (every block output is
+  a sum of post-ReLU terms), so it quantizes to int8 values 0..127 with a
+  static per-channel scale calibrated offline.  The stream travels between
+  kernels as int8 — half the HBM traffic of the bf16 path on top of the MXU
+  speedup.
+* **Epilogues**: BatchNorm affine, ReLU, requantization, and the residual add
+  all fold into two per-channel f32 multiply-adds on the int32 accumulators,
+  entirely in VMEM.
+
+Parity anchor: ``/root/reference/common/model.py:126-138`` inference
+semantics; accuracy is validated against the f32 path at mm scale
+(``tests/test_int8_serving.py``), with the README accuracy table
+(``/root/reference/README.md:16-23``) as the tolerance anchor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from videopose3d_tpu.models.temporal import (
+    TemporalModelConfig, _conv_matmul, receptive_field)
+from videopose3d_tpu.ops.pallas.temporal_block import fold_batchnorm
+
+QMAX = 127.0
+
+
+def _per_out_channel_int8(w_eff: jnp.ndarray):
+    """Symmetric int8 quantization of (..., C_out) weights with one scale per
+    output channel.  Returns (int8 weights, (C_out,) f32 dequant scales)."""
+    absmax = jnp.maximum(jnp.max(jnp.abs(w_eff),
+                                 axis=tuple(range(w_eff.ndim - 1))), 1e-8)
+    scale = absmax / QMAX
+    q = jnp.clip(jnp.round(w_eff / scale), -QMAX, QMAX).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _calibration_ranges(config, params, state, x_calib):
+    """Run the f32 eval forward on calibration inputs, recording per-channel
+    absmax of every quantization point: the expand output stream, each block's
+    mid activation ``h``, and each block's output stream."""
+    x = x_calib.reshape(x_calib.shape[0], x_calib.shape[1], -1)
+    n_blocks = len(config.filter_widths) - 1
+    caps: Dict[str, Any] = {"h": [], "stream": []}
+
+    def absmax(v):
+        return jnp.maximum(jnp.max(jnp.abs(v), axis=(0, 1)), 1e-6)
+
+    s0, b0 = fold_batchnorm(params["expand_bn"], state["expand_bn"])
+    x = _conv_matmul(x, params["expand_conv"]["weight"], 1, jnp.float32)
+    x = jax.nn.relu(x * s0 + b0)
+    caps["expand"] = absmax(x)
+
+    for i in range(n_blocks):
+        pad = config.pads[i + 1]
+        shift = config.causal_shifts_dilated[i + 1]
+        res = x[:, pad + shift: x.shape[1] - pad + shift]
+        s1, b1 = fold_batchnorm(params["layers_bn"][2 * i],
+                                state["layers_bn"][2 * i])
+        s2, b2 = fold_batchnorm(params["layers_bn"][2 * i + 1],
+                                state["layers_bn"][2 * i + 1])
+        h = jax.nn.relu(_conv_matmul(
+            x, params["layers_conv"][2 * i]["weight"],
+            config.dilations[i + 1], jnp.float32) * s1 + b1)
+        caps["h"].append(absmax(h))
+        y = jax.nn.relu(_conv_matmul(
+            h, params["layers_conv"][2 * i + 1]["weight"], 1,
+            jnp.float32) * s2 + b2)
+        x = res + y
+        caps["stream"].append(absmax(x))
+    return caps
+
+
+def quantize_temporal_model(config: TemporalModelConfig, params, state,
+                            x_calib, *, margin: float = 1.25
+                            ) -> Dict[str, Any]:
+    """Build the int8 serving pytree.
+
+    Args:
+      x_calib: (B, T, J, F) calibration keypoints (a few hundred frames of
+        representative data; T >= receptive_field).
+      margin: headroom multiplier on the calibrated activation ranges —
+        values up to ``margin * calib_absmax`` quantize without clipping on
+        data that exceeds the calibration set's extremes.
+
+    Returns a dict of per-layer int8 weights and folded f32 epilogue vectors,
+    consumed by :func:`forward_dilated_int8`.
+    """
+    if config.dense:
+        raise ValueError("int8 path does not support dense convolutions")
+    n_blocks = len(config.filter_widths) - 1
+    if n_blocks < 2:
+        raise ValueError("int8 path expects at least 2 residual blocks")
+
+    caps = _calibration_ranges(config, params, state, x_calib)
+    caps = jax.tree.map(lambda v: v * margin, caps)
+    q: Dict[str, Any] = {"blocks": []}
+
+    # Expand stage stays bf16 (34-channel matmul, negligible FLOPs); its output
+    # is quantized into the first int8 stream.
+    s0, b0 = fold_batchnorm(params["expand_bn"], state["expand_bn"])
+    v0 = caps["expand"]
+    q["expand_w"] = params["expand_conv"]["weight"].astype(jnp.bfloat16)
+    q["expand_scale"] = (s0 * QMAX / v0).astype(jnp.float32)
+    q["expand_shift"] = (b0 * QMAX / v0).astype(jnp.float32)
+
+    v_in = v0
+    for i in range(n_blocks):
+        s1, b1 = fold_batchnorm(params["layers_bn"][2 * i],
+                                state["layers_bn"][2 * i])
+        s2, b2 = fold_batchnorm(params["layers_bn"][2 * i + 1],
+                                state["layers_bn"][2 * i + 1])
+        h_max = caps["h"][i]
+        v_out = caps["stream"][i]
+        last = i == n_blocks - 1
+
+        # Fold the input stream's per-channel dequant into the conv weights,
+        # then quantize per output channel.
+        w_a = params["layers_conv"][2 * i]["weight"]       # (k, C, C)
+        wq_a, wsc_a = _per_out_channel_int8(w_a * (v_in / QMAX)[None, :, None])
+        w_b = params["layers_conv"][2 * i + 1]["weight"][0]  # (C, C)
+        wq_b, wsc_b = _per_out_channel_int8(w_b * (h_max / QMAX)[:, None])
+
+        blk = {
+            "wq_a": wq_a, "wq_b": wq_b,
+            # h = relu(acc1 * A1 + B1) lands directly in 0..127 h units.
+            "A1": (wsc_a * s1 * QMAX / h_max).astype(jnp.float32),
+            "B1": (b1 * QMAX / h_max).astype(jnp.float32),
+        }
+        if last:
+            # Final block: keep f32 outputs for the shrink projection.
+            blk["A2"] = (wsc_b * s2).astype(jnp.float32)
+            blk["B2"] = b2.astype(jnp.float32)
+            blk["R"] = (v_in / QMAX).astype(jnp.float32)
+        else:
+            blk["A2"] = (wsc_b * s2 * QMAX / v_out).astype(jnp.float32)
+            blk["B2"] = (b2 * QMAX / v_out).astype(jnp.float32)
+            blk["R"] = (v_in / v_out).astype(jnp.float32)
+        q["blocks"].append(blk)
+        v_in = v_out
+
+    q["shrink_w"] = params["shrink"]["weight"][0].astype(jnp.bfloat16)
+    q["shrink_b"] = params["shrink"]["bias"].astype(jnp.float32)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _i8dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _quantize_relu(acc_i32, scale_row, shift_row):
+    """relu + affine from an int32 accumulator, then *per-row dynamic*
+    requantization into 0..127 int8.
+
+    ``scale_row`` already folds the static per-channel calibration (so values
+    land in "127 = calibrated max" units); the dynamic row scale then stretches
+    each row to the full int8 range.  Row scales factor out of the following
+    matmul's contraction, so the consumer just multiplies its accumulator rows
+    by ``rowscale/127``.  Returns (int8 values, (rows, 1) f32 row maxima)."""
+    real = jnp.maximum(acc_i32.astype(jnp.float32) * scale_row + shift_row, 0.0)
+    rowmax = jnp.maximum(jnp.max(real, axis=1, keepdims=True), 1.0)
+    q = jnp.round(real * (QMAX / rowmax)).astype(jnp.int8)
+    return q, rowmax
+
+
+def _mid_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, out,
+                         x_vmem, sems, *, t_tile, dilation, res_offset,
+                         n_taps, win):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    slot = jax.lax.rem(t, 2)
+    next_slot = jax.lax.rem(t + 1, 2)
+
+    def window_dma(dst_slot, tile_idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            x_vmem.at[dst_slot], sems.at[dst_slot])
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(slot, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        window_dma(next_slot, t + 1).start()
+
+    window_dma(slot, t).wait()
+    x = x_vmem[slot]
+
+    acc = _i8dot(x[0:t_tile], wq_a[0])
+    for j in range(1, n_taps):
+        acc += _i8dot(x[j * dilation: j * dilation + t_tile], wq_a[j])
+    hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
+
+    acc2 = _i8dot(hq, wq_b[:, :])
+    y = jnp.maximum(
+        acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
+        + b2[0, :], 0.0)
+    res = x[res_offset: res_offset + t_tile].astype(jnp.float32) * r[0, :]
+    out[0] = jnp.clip(jnp.round(res + y), 0.0, QMAX).astype(jnp.int8)
+
+
+def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
+                            r, out, raw_vmem, sems, *, t_tile, dilation,
+                            res_offset, n_taps, k0, win, raw_win):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    slot = jax.lax.rem(t, 2)
+    next_slot = jax.lax.rem(t + 1, 2)
+
+    def window_dma(dst_slot, tile_idx):
+        return pltpu.make_async_copy(
+            raw_hbm.at[b, pl.ds(tile_idx * t_tile, raw_win)],
+            raw_vmem.at[dst_slot], sems.at[dst_slot])
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(slot, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        window_dma(next_slot, t + 1).start()
+
+    window_dma(slot, t).wait()
+    raw = raw_vmem[slot]
+
+    eacc = jnp.dot(raw[0:win], w0[0], preferred_element_type=jnp.float32)
+    for j in range(1, k0):
+        eacc += jnp.dot(raw[j: j + win], w0[j],
+                        preferred_element_type=jnp.float32)
+    eq = jnp.clip(jnp.round(jnp.maximum(
+        eacc * s0[0, :] + b0[0, :], 0.0)), 0.0, QMAX).astype(jnp.int8)
+
+    acc = _i8dot(eq[0:t_tile], wq_a[0])
+    for j in range(1, n_taps):
+        acc += _i8dot(eq[j * dilation: j * dilation + t_tile], wq_a[j])
+    hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
+
+    acc2 = _i8dot(hq, wq_b[:, :])
+    y = jnp.maximum(
+        acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
+        + b2[0, :], 0.0)
+    res = eq[res_offset: res_offset + t_tile].astype(jnp.float32) * r[0, :]
+    out[0] = jnp.clip(jnp.round(res + y), 0.0, QMAX).astype(jnp.int8)
+
+
+def _shrink_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, ws, bs, out,
+                            x_vmem, sems, *, t_tile, dilation, res_offset,
+                            n_taps, win):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    slot = jax.lax.rem(t, 2)
+    next_slot = jax.lax.rem(t + 1, 2)
+
+    def window_dma(dst_slot, tile_idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            x_vmem.at[dst_slot], sems.at[dst_slot])
+
+    @pl.when(t == 0)
+    def _():
+        window_dma(slot, 0).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        window_dma(next_slot, t + 1).start()
+
+    window_dma(slot, t).wait()
+    x = x_vmem[slot]
+
+    acc = _i8dot(x[0:t_tile], wq_a[0])
+    for j in range(1, n_taps):
+        acc += _i8dot(x[j * dilation: j * dilation + t_tile], wq_a[j])
+    hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
+
+    acc2 = _i8dot(hq, wq_b[:, :])
+    y = jnp.maximum(
+        acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
+        + b2[0, :], 0.0)
+    res = x[res_offset: res_offset + t_tile].astype(jnp.float32) * r[0, :]
+    block_out = (res + y).astype(jnp.bfloat16)
+
+    proj = jnp.dot(block_out, ws[:, :], preferred_element_type=jnp.float32)
+    out[0] = proj + bs[0, :]
+
+
+# ---------------------------------------------------------------------------
+# Host-side drivers
+# ---------------------------------------------------------------------------
+
+
+def _tile_geometry(t: int, t_out: int, t_tile: int, reach: int,
+                   align: int = 32):
+    """Round tiles to int8 sublane alignment and compute padding so t_out
+    divides into tiles and every DMA window is in range."""
+    t_tile = min(t_tile, t_out)
+    t_tile = -(-t_tile // align) * align
+    n_tiles = -(-t_out // t_tile)
+    t_padded_out = n_tiles * t_tile
+    win = -(-(t_tile + reach) // align) * align
+    t_needed = (n_tiles - 1) * t_tile + win
+    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    return t_tile, n_tiles, t_padded_out, win, pad_amount
+
+
+def _rowvec(v):
+    return v.reshape(1, -1).astype(jnp.float32)
+
+
+def _mid_block_i8(xq, blk, *, dilation, causal_shift, t_tile, interpret):
+    n_taps = blk["wq_a"].shape[0]
+    b, t, c = xq.shape
+    res_offset = (n_taps - 1) * dilation // 2 + causal_shift
+    t_out = t - (n_taps - 1) * dilation
+    t_tile, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+        t, t_out, t_tile, (n_taps - 1) * dilation)
+    if pad_amount > 0:
+        xq = jnp.pad(xq, ((0, 0), (0, pad_amount), (0, 0)))
+
+    kernel = functools.partial(
+        _mid_block_i8_kernel, t_tile=t_tile, dilation=dilation,
+        res_offset=res_offset, n_taps=n_taps, win=win)
+    vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, c), jnp.int8),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_taps, c, c), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((c, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, c), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, c), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_padded_out * c * c * (n_taps + 1),
+            bytes_accessed=b * (t_padded_out + t) * c * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xq, blk["wq_a"], _rowvec(blk["A1"]), _rowvec(blk["B1"]), blk["wq_b"],
+      _rowvec(blk["A2"]), _rowvec(blk["B2"]), _rowvec(blk["R"]))
+    return out[:, :t_out] if t_padded_out > t_out else out
+
+
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("t_tile", "interpret"))
+def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
+                         t_tile: int = 512, interpret: bool = False):
+    """w8a8 int8 inference over the full dilated model.
+
+    Args:
+      q: pytree from :func:`quantize_temporal_model`.
+      x: (B, T, J_in, F) keypoints, T >= receptive_field.
+
+    Returns:
+      (B, T - receptive_field + 1, J_out, 3) f32 poses.
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_blocks = len(config.filter_widths) - 1
+    assert n_blocks >= 2
+    b, t, j_in, f = x.shape
+    x = x.reshape(b, t, j_in * f)
+
+    # --- expand + block 0, int8 stream out -------------------------------
+    k0 = int(q["expand_w"].shape[0])
+    n_taps = int(q["blocks"][0]["wq_a"].shape[0])
+    dilation = config.dilations[1]
+    c_in = j_in * f
+    c = q["expand_w"].shape[2]
+    c_in_pad = -(-c_in // 128) * 128
+    w0 = q["expand_w"]
+    if c_in_pad != c_in:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, c_in_pad - c_in)))
+        w0 = jnp.pad(w0, ((0, 0), (0, c_in_pad - c_in), (0, 0)))
+
+    res_offset = (n_taps - 1) * dilation // 2 + config.causal_shifts_dilated[1]
+    t_expand = t - (k0 - 1)
+    t_out = t_expand - (n_taps - 1) * dilation
+    t_tile0, n_tiles, t_padded_out, win, _ = _tile_geometry(
+        t_expand, t_out, t_tile, (n_taps - 1) * dilation)
+    raw_win = -(-(win + k0 - 1) // 8) * 8
+    t_needed = (n_tiles - 1) * t_tile0 + raw_win
+    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    if pad_amount > 0:
+        x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
+
+    blk = q["blocks"][0]
+    kernel = functools.partial(
+        _expand_block_i8_kernel, t_tile=t_tile0, dilation=dilation,
+        res_offset=res_offset, n_taps=n_taps, k0=k0, win=win, raw_win=raw_win)
+    vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+    stream = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, c), jnp.int8),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k0, c_in_pad, c), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((n_taps, c, c), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((c, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile0, c), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, raw_win, c_in_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100)),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w0, _rowvec(q["expand_scale"]),
+      _rowvec(q["expand_shift"]), blk["wq_a"], _rowvec(blk["A1"]),
+      _rowvec(blk["B1"]), blk["wq_b"], _rowvec(blk["A2"]),
+      _rowvec(blk["B2"]), _rowvec(blk["R"]))
+    if t_padded_out > t_out:
+        stream = stream[:, :t_out]
+
+    # --- middle blocks ----------------------------------------------------
+    for i in range(1, n_blocks - 1):
+        stream = _mid_block_i8(
+            stream, q["blocks"][i], dilation=config.dilations[i + 1],
+            causal_shift=config.causal_shifts_dilated[i + 1],
+            t_tile=t_tile, interpret=interpret)
+
+    # --- last block + shrink ----------------------------------------------
+    i = n_blocks - 1
+    blk = q["blocks"][i]
+    dilation = config.dilations[i + 1]
+    n_taps = int(blk["wq_a"].shape[0])
+    bq, t, c = stream.shape
+    j3 = q["shrink_w"].shape[1]
+    res_offset = ((n_taps - 1) * dilation // 2
+                  + config.causal_shifts_dilated[i + 1])
+    t_out = t - (n_taps - 1) * dilation
+    t_tile_l, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+        t, t_out, t_tile, (n_taps - 1) * dilation)
+    if pad_amount > 0:
+        stream = jnp.pad(stream, ((0, 0), (0, pad_amount), (0, 0)))
+
+    kernel = functools.partial(
+        _shrink_block_i8_kernel, t_tile=t_tile_l, dilation=dilation,
+        res_offset=res_offset, n_taps=n_taps, win=win)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bq, t_padded_out, j3), jnp.float32),
+        grid=(bq, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n_taps, c, c), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec(), vec(),
+            pl.BlockSpec((c, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(),
+            pl.BlockSpec((c, j3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j3), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile_l, j3), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, win, c), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100)),
+        interpret=interpret,
+    )(stream, blk["wq_a"], _rowvec(blk["A1"]), _rowvec(blk["B1"]),
+      blk["wq_b"], _rowvec(blk["A2"]), _rowvec(blk["B2"]), _rowvec(blk["R"]),
+      q["shrink_w"], _rowvec(q["shrink_b"]))
+    if t_padded_out > t_out:
+        out = out[:, :t_out]
+    return out.reshape(out.shape[0], out.shape[1], -1, 3)

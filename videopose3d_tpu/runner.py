@@ -352,7 +352,12 @@ def main(argv=None):
         bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
     print("INFO: Testing on {} frames".format(test_batcher.num_frames()))
 
-    evaluator = Evaluator(model_cfg, joints_flip_perm=joints_perm)
+    # Per-epoch eval during training must stay metric-grade (and int8
+    # calibration would go stale as weights change); the serving engine
+    # applies to evaluate/render-only runs.
+    engine = args.serving_engine if args.evaluate else "xla"
+    evaluator = Evaluator(model_cfg, joints_flip_perm=joints_perm,
+                          engine=engine)
     traj_evaluator = Evaluator(traj_cfg, joints_flip_perm=None)
 
     mesh = None

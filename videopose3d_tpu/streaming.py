@@ -147,12 +147,18 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
             buf, value[:, None, :], (0, jnp.mod(ptr, cap), 0))
 
     def taps(buf, cap, width, dilation):
-        """Gather tap activations at lags (width-1-j)*dilation, j=0..width-1,
-        newest last; returns (B, width*C)."""
-        lags = (jnp.arange(width - 1, -1, -1, dtype=jnp.int32)) * dilation
-        idx = jnp.mod(ptr - lags, cap)  # (width,)
-        g = jnp.take(buf, idx, axis=1)  # (B, width, C)
-        return g.reshape(b, -1)
+        """Tap activations at lags (width-1-j)*dilation, j=0..width-1, newest
+        last; returns (B, width*C).  One single-row ``dynamic_slice`` per tap —
+        a dynamic-index ``take`` along the ring axis lowers to a gather that
+        materializes the whole ring buffer (measured ~1 ms/frame at cap=163,
+        B=1024 on v5e)."""
+        rows = []
+        for j in range(width):
+            lag = (width - 1 - j) * dilation
+            idx = jnp.mod(ptr - lag, cap)
+            rows.append(jax.lax.dynamic_slice(
+                buf, (0, idx, 0), (b, 1, buf.shape[2])))
+        return jnp.concatenate(rows, axis=1).reshape(b, -1)
 
     # Raw input layer.
     bufs[0] = push(bufs[0], caps[0], x)
