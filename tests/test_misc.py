@@ -141,3 +141,37 @@ class TestDatasets:
         # Camera tables replicated under all split prefixes.
         for prefix in ["Train/", "Validate/", "Unlabeled/", "Unlabeled/Train/"]:
             assert prefix + "S1" in ds.cameras()
+
+
+class TestAsyncCheckpointer:
+    def test_roundtrip_and_callable_payload(self, tmp_path):
+        from videopose3d_tpu.checkpoint import AsyncCheckpointer, load_checkpoint
+        cp = AsyncCheckpointer()
+        path = str(tmp_path / "ck.bin")
+        cp.save(path, lambda: {"epoch": 3, "w": np.arange(5.0)})
+        cp.wait()
+        loaded = load_checkpoint(path)
+        assert loaded["epoch"] == 3
+        np.testing.assert_array_equal(loaded["w"], np.arange(5.0))
+
+    def test_background_error_surfaces_on_wait(self, tmp_path):
+        from videopose3d_tpu.checkpoint import AsyncCheckpointer
+        cp = AsyncCheckpointer()
+
+        def boom():
+            raise RuntimeError("payload failure")
+
+        cp.save(str(tmp_path / "x.bin"), boom)
+        with pytest.raises(RuntimeError, match="payload failure"):
+            cp.wait()
+        # The error is consumed; the checkpointer remains usable.
+        cp.save(str(tmp_path / "y.bin"), {"ok": 1})
+        cp.wait()
+
+    def test_save_serializes_with_previous(self, tmp_path):
+        from videopose3d_tpu.checkpoint import AsyncCheckpointer, load_checkpoint
+        cp = AsyncCheckpointer()
+        for i in range(4):
+            cp.save(str(tmp_path / "same.bin"), {"i": i})
+        cp.wait()
+        assert load_checkpoint(str(tmp_path / "same.bin"))["i"] == 3

@@ -57,3 +57,39 @@ class TestStepTimer:
         log_metrics_jsonl(path, {"epoch": 2, "loss": 0.25})
         lines = [json.loads(l) for l in open(path)]
         assert lines[0]["epoch"] == 1 and lines[1]["loss"] == 0.25
+
+
+class TestDistributedHelpers:
+    def test_initialize_distributed_is_noop_single_host(self, monkeypatch):
+        from videopose3d_tpu.parallel import initialize_distributed
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        assert initialize_distributed() is False
+
+    def test_process_info(self):
+        from videopose3d_tpu.parallel import process_info
+        info = process_info()
+        assert info["process_count"] == 1
+        assert info["global_device_count"] == jax.device_count()
+        assert info["local_device_count"] * info["process_count"] == \
+            info["global_device_count"]
+
+    def test_global_batch_array_shards_and_roundtrips(self):
+        from videopose3d_tpu.parallel import make_mesh, global_batch_array
+        mesh = make_mesh()
+        meta = np.arange(8 * mesh.size * 4, dtype=np.int32).reshape(-1, 4)
+        arr = global_batch_array(meta, mesh)
+        assert arr.shape == meta.shape
+        # Sharded on the batch axis: each device holds B/mesh.size rows.
+        shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+        assert shard_rows == {meta.shape[0] // mesh.size}
+        np.testing.assert_array_equal(np.asarray(arr), meta)
+
+    def test_replicated_array_places_full_copy(self):
+        from videopose3d_tpu.parallel import make_mesh, replicated_array
+        mesh = make_mesh()
+        x = np.arange(24, dtype=np.float32).reshape(6, 4)
+        arr = replicated_array(x, mesh)
+        shard_shapes = {s.data.shape for s in arr.addressable_shards}
+        assert shard_shapes == {x.shape}
+        np.testing.assert_array_equal(np.asarray(arr), x)

@@ -400,22 +400,29 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
     k0 = int(q["expand_w"].shape[0])
     n_taps = int(q["blocks"][0]["wq_a"].shape[0])
     dilation = config.dilations[1]
-    c_in = j_in * f
     c = q["expand_w"].shape[2]
+    t_expand = t - (k0 - 1)
+    # Pre-tap the (tiny) raw input in XLA: the expand conv becomes ONE
+    # K=k0*C_in matmul per tile instead of k0 separate K=C_in dots each
+    # MXU-padded to 128 lanes (34 -> 128 was 3.7x wasted MXU per tap).
+    if k0 > 1:
+        x = jnp.concatenate([x[:, j: j + t_expand] for j in range(k0)],
+                            axis=-1)
+    c_in = k0 * j_in * f
+    w0 = q["expand_w"].reshape(c_in, c)[None]      # one-tap form (1, kC_in, C)
     c_in_pad = -(-c_in // 128) * 128
-    w0 = q["expand_w"]
     if c_in_pad != c_in:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, c_in_pad - c_in)))
         w0 = jnp.pad(w0, ((0, 0), (0, c_in_pad - c_in), (0, 0)))
+    k0 = 1
 
     res_offset = (n_taps - 1) * dilation // 2 + config.causal_shifts_dilated[1]
-    t_expand = t - (k0 - 1)
     t_out = t_expand - (n_taps - 1) * dilation
     t_tile0, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t_expand, t_out, t_tile, (n_taps - 1) * dilation)
-    raw_win = -(-(win + k0 - 1) // 8) * 8
+    raw_win = -(-win // 8) * 8
     t_needed = (n_tiles - 1) * t_tile0 + raw_win
-    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    pad_amount = max(t_padded_out - t_out, t_needed - t_expand)
     if pad_amount > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
 

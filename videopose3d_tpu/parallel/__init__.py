@@ -3,6 +3,12 @@ from videopose3d_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch_size,
+    initialize_distributed,
+    process_info,
+    global_batch_array,
+    replicated_array,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch_size"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch_size", "initialize_distributed", "process_info",
+           "global_batch_array", "replicated_array"]

@@ -20,6 +20,7 @@ lever.  (See SURVEY.md §2: no other parallelism exists in the workload.)
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -27,8 +28,54 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           local_device_ids=None) -> bool:
+    """Connect this process to the JAX distributed runtime (multi-host pod).
+
+    After this, ``jax.devices()`` returns the *global* device set and
+    :func:`make_mesh` spans the whole pod; GSPMD then rides ICI within hosts
+    and DCN across them with no further code changes.  Must be called once per
+    process before any other jax API touches a backend.
+
+    Arguments default from the standard launcher environment
+    (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``).
+    On Cloud TPU pod slices all three are auto-detected by jax itself, so an
+    explicit coordinator is only needed for manual launches.
+
+    Returns True if the distributed runtime was initialized; False when
+    running single-process (guarded no-op — safe to call unconditionally).
+    """
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and not num_processes:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address, num_processes=num_processes,
+        process_id=process_id, local_device_ids=local_device_ids)
+    return True
+
+
+def process_info() -> dict:
+    """This process's place in the (possibly multi-host) topology."""
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+        "global_device_count": jax.device_count(),
+    }
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
-    """A 1-D data-parallel mesh over all (or the given) devices."""
+    """A 1-D data-parallel mesh over all (or the given) devices.
+
+    After :func:`initialize_distributed`, ``jax.devices()`` is the global pod
+    device list, so the same call builds a pod-wide mesh."""
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
@@ -49,3 +96,27 @@ def shard_batch_size(batch_size: int, mesh: Mesh) -> int:
     divides evenly across chips."""
     n = mesh.size
     return -(-batch_size // n) * n
+
+
+def global_batch_array(host_array: np.ndarray, mesh: Mesh,
+                       axis_name: str = "data") -> jax.Array:
+    """Build a global batch-sharded ``jax.Array`` from a host array that every
+    process holds identically (e.g. the sampler's chunk descriptors, which are
+    deterministic per seed).
+
+    Single-host this is just a sharded ``device_put``; multi-host, each process
+    materializes only its addressable shards — the supported way to feed
+    global-batch inputs to a pod-wide ``jit`` (a plain ``jnp.asarray`` of a
+    host array is invalid across processes).
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx])
+
+
+def replicated_array(host_array: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Replicate a host array (identical on every process) across the mesh —
+    multi-host-safe counterpart of ``device_put(x, replicated_sharding(mesh))``."""
+    sharding = NamedSharding(mesh, P())
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx])

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from videopose3d_tpu.arguments import parse_args
-from videopose3d_tpu.checkpoint import save_checkpoint, load_checkpoint
+from videopose3d_tpu.checkpoint import (AsyncCheckpointer, save_checkpoint,
+    load_checkpoint)
 from videopose3d_tpu.data.generators import (
     FlatSequenceDataset, ChunkedPairSampler, UnchunkedBatcher)
 from videopose3d_tpu.evaluate import (Evaluator, evaluate,
@@ -362,9 +363,12 @@ def main(argv=None):
 
     mesh = None
     if not args.no_mesh and jax.device_count() > 1:
-        from videopose3d_tpu.parallel import make_mesh
+        from videopose3d_tpu.parallel import make_mesh, process_info
         mesh = make_mesh()
-        print(f"INFO: Data-parallel mesh over {mesh.size} devices")
+        info = process_info()
+        extra = (f" ({info['process_count']} hosts)"
+                 if info["process_count"] > 1 else "")
+        print(f"INFO: Data-parallel mesh over {mesh.size} devices{extra}")
 
     if not args.evaluate:
         params, state, params_traj, state_traj = _train(
@@ -513,6 +517,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
     from videopose3d_tpu.profiling import device_trace, StepTimer, log_metrics_jsonl
     step_timer = StepTimer()
     first_epoch = epoch
+    checkpointer = AsyncCheckpointer()
 
     while epoch < args.epochs:
         start_time = time()
@@ -667,25 +672,40 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         opt_state = set_learning_rate(opt_state, lr)
         epoch += 1
 
-        # Checkpointing (parity: run.py:595-608).
+        # Checkpointing (parity: run.py:595-608).  The device->host fetch,
+        # pickling, and file write run on a background thread (jax arrays are
+        # immutable, so the captured pytrees snapshot this epoch exactly); the
+        # next epoch starts immediately.
         if epoch % args.checkpoint_frequency == 0:
             chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.bin")
             print("Saving checkpoint to", chk_path)
-            save_checkpoint(chk_path, {
-                "epoch": epoch,
-                "lr": lr,
-                "random_state": sampler.random_state(),
-                "optimizer": jax.tree_util.tree_map(np.asarray, opt_state),
-                "model_pos": params_to_torch_state_dict(params, state),
-                "model_traj": (params_to_torch_state_dict(params_traj, state_traj)
-                               if semi_supervised else None),
-                "random_state_semi": (sampler_semi.random_state()
-                                      if semi_supervised else None),
-                # Dropout PRNG key: resuming reproduces the exact mask sequence
-                # (the reference does not checkpoint torch's RNG, so its resumes
-                # are only sampler-exact; ours are fully bit-exact).
-                "step_rng": np.asarray(step_rng),
-            })
+            # Host-side sampler state must snapshot NOW (it advances next
+            # epoch); device pytrees are safe to convert lazily.
+            rng_state = sampler.random_state()
+            rng_state_semi = (sampler_semi.random_state()
+                              if semi_supervised else None)
+
+            def payload(epoch=epoch, lr=lr, params=params, state=state,
+                        opt_state=opt_state, params_traj=params_traj,
+                        state_traj=state_traj, step_rng=step_rng,
+                        rng_state=rng_state, rng_state_semi=rng_state_semi):
+                return {
+                    "epoch": epoch,
+                    "lr": lr,
+                    "random_state": rng_state,
+                    "optimizer": jax.tree_util.tree_map(np.asarray, opt_state),
+                    "model_pos": params_to_torch_state_dict(params, state),
+                    "model_traj": (params_to_torch_state_dict(
+                        params_traj, state_traj) if semi_supervised else None),
+                    "random_state_semi": rng_state_semi,
+                    # Dropout PRNG key: resuming reproduces the exact mask
+                    # sequence (the reference does not checkpoint torch's RNG,
+                    # so its resumes are only sampler-exact; ours are fully
+                    # bit-exact).
+                    "step_rng": np.asarray(step_rng),
+                }
+
+            checkpointer.save(chk_path, payload)
 
         if args.export_training_curves and epoch > 3:
             _export_training_curves(
@@ -695,6 +715,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                 losses_2d_train_labeled_eval, losses_2d_train_unlabeled,
                 losses_2d_train_unlabeled_eval, losses_2d_valid)
 
+    checkpointer.wait()  # flush the last in-flight save before eval/exit
     return params, state, (params_traj if semi_supervised else None), \
         (state_traj if semi_supervised else None)
 
