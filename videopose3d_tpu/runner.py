@@ -82,98 +82,110 @@ def prepare_dataset_3d(dataset):
                 anim["positions_3d"] = positions_3d
 
 
-def load_2d_detections(args, dataset):
-    """Load the 2D keypoint archive, trim to mocap length, normalize screen
-    coordinates (parity: run.py:64-97)."""
-    print("Loading 2D detections...")
-    path = os.path.join(args.data_dir,
-                        "data_2d_" + args.dataset + "_" + args.keypoints + ".npz")
-    archive = np.load(path, allow_pickle=True)
-    keypoints_metadata = archive["metadata"].item()
-    keypoints_symmetry = keypoints_metadata["keypoints_symmetry"]
-    kps_left, kps_right = list(keypoints_symmetry[0]), list(keypoints_symmetry[1])
-    keypoints = archive["positions_2d"].item()
-
+def _align_detections_with_mocap(dataset, detections):
+    """Every mocap (subject, action, camera) must have a detection stream at
+    least as long as its mocap stream; surplus detection frames (some H36M
+    videos run past the mocap) are trimmed off in place."""
     for subject in dataset.subjects():
-        assert subject in keypoints, (
-            f"Subject {subject} is missing from the 2D detections dataset")
-        for action in dataset[subject].keys():
-            assert action in keypoints[subject], (
-                f"Action {action} of subject {subject} is missing from the 2D "
-                f"detections dataset")
-            if "positions_3d" not in dataset[subject][action]:
+        if subject not in detections:
+            raise KeyError(f"no 2D detections for subject {subject}")
+        for action, anim in dataset[subject].items():
+            if action not in detections[subject]:
+                raise KeyError(f"no 2D detections for {subject}/{action}")
+            if "positions_3d" not in anim:
                 continue
-            for cam_idx in range(len(keypoints[subject][action])):
-                # Some H36M videos have extra frames past the mocap stream.
-                mocap_length = dataset[subject][action]["positions_3d"][cam_idx].shape[0]
-                assert keypoints[subject][action][cam_idx].shape[0] >= mocap_length
-                if keypoints[subject][action][cam_idx].shape[0] > mocap_length:
-                    keypoints[subject][action][cam_idx] = \
-                        keypoints[subject][action][cam_idx][:mocap_length]
-            assert len(keypoints[subject][action]) == \
-                len(dataset[subject][action]["positions_3d"])
+            cams = detections[subject][action]
+            if len(cams) != len(anim["positions_3d"]):
+                raise ValueError(f"{subject}/{action}: {len(cams)} detection "
+                                 f"cameras vs {len(anim['positions_3d'])} "
+                                 "mocap cameras")
+            for ci, mocap in enumerate(anim["positions_3d"]):
+                if len(cams[ci]) < len(mocap):
+                    raise ValueError(
+                        f"{subject}/{action} cam {ci}: detection stream "
+                        f"shorter than mocap ({len(cams[ci])} < {len(mocap)})")
+                cams[ci] = cams[ci][:len(mocap)]
 
-    for subject in keypoints.keys():
-        for action in keypoints[subject]:
-            for cam_idx, kps in enumerate(keypoints[subject][action]):
-                cam = dataset.cameras()[subject][cam_idx]
+
+def _to_normalized_screen(dataset, detections):
+    """Map pixel keypoints to aspect-preserving unit screen coordinates, in
+    place (confidence columns beyond (x, y) pass through untouched)."""
+    for subject, actions in detections.items():
+        for cams in actions.values():
+            for ci, kps in enumerate(cams):
+                cam = dataset.cameras()[subject][ci]
                 kps[..., :2] = np.asarray(normalize_screen_coordinates(
                     kps[..., :2], w=cam["res_w"], h=cam["res_h"]))
-                keypoints[subject][action][cam_idx] = kps
 
-    return keypoints, keypoints_metadata, kps_left, kps_right
+
+def load_2d_detections(args, dataset):
+    """Load the 2D keypoint archive, trim to mocap length, normalize screen
+    coordinates (behavior parity: run.py:64-97)."""
+    print("Loading 2D detections...")
+    archive = np.load(
+        os.path.join(args.data_dir,
+                     f"data_2d_{args.dataset}_{args.keypoints}.npz"),
+        allow_pickle=True)
+    keypoints_metadata = archive["metadata"].item()
+    kps_left, kps_right = (list(side) for side in
+                           keypoints_metadata["keypoints_symmetry"])
+    detections = archive["positions_2d"].item()
+    _align_detections_with_mocap(dataset, detections)
+    _to_normalized_screen(dataset, detections)
+    return detections, keypoints_metadata, kps_left, kps_right
+
+
+def _subsample_sequences(seqs_2d, seqs_3d, step: int, subset: float):
+    """Temporal downsampling by ``step``; with ``subset`` < 1 additionally keep
+    one deterministic contiguous window per sequence (seeded by the sequence
+    length, matching the reference's reproducible --subset selection,
+    run.py:148-154)."""
+    if subset < 1:
+        for i, seq in enumerate(seqs_2d):
+            kept = int(round(len(seq) // step * subset) * step)
+            start = deterministic_random(0, len(seq) - kept + 1, str(len(seq)))
+            window = slice(start, start + kept, step)
+            seqs_2d[i] = seq[window]
+            if seqs_3d is not None:
+                seqs_3d[i] = seqs_3d[i][window]
+    elif step > 1:
+        seqs_2d[:] = [s[::step] for s in seqs_2d]
+        if seqs_3d is not None:
+            seqs_3d[:] = [s[::step] for s in seqs_3d]
 
 
 def fetch(args, dataset, keypoints, subjects, action_filter=None, subset=1,
           parse_3d_poses=True):
-    """Gather per-(subject, action, camera) sequences (parity: run.py:110-163)."""
-    out_poses_3d = []
-    out_poses_2d = []
-    out_camera_params = []
+    """Gather per-(subject, action, camera) sequences (behavior parity:
+    run.py:110-163).  Returns (intrinsics | None, poses_3d | None, poses_2d),
+    one list entry per camera view."""
+    seqs_2d, seqs_3d, intrinsics = [], [], []
     for subject in subjects:
-        for action in keypoints[subject].keys():
-            if action_filter is not None:
-                if not any(action.startswith(a) for a in action_filter):
-                    continue
+        for action, kp_cams in keypoints[subject].items():
+            if action_filter is not None and not any(
+                    action.startswith(a) for a in action_filter):
+                continue
 
-            poses_2d = keypoints[subject][action]
-            for i in range(len(poses_2d)):
-                out_poses_2d.append(poses_2d[i])
+            seqs_2d.extend(kp_cams)
 
-            if subject in dataset.cameras():
-                cams = dataset.cameras()[subject]
-                assert len(cams) == len(poses_2d), "Camera count mismatch"
-                for cam in cams:
-                    if "intrinsic" in cam:
-                        out_camera_params.append(cam["intrinsic"])
+            subject_cams = dataset.cameras().get(subject)
+            if subject_cams is not None:
+                if len(subject_cams) != len(kp_cams):
+                    raise ValueError(f"{subject}/{action}: camera count "
+                                     "mismatch vs detections")
+                intrinsics.extend(c["intrinsic"] for c in subject_cams
+                                  if "intrinsic" in c)
 
             if parse_3d_poses and "positions_3d" in dataset[subject][action]:
-                poses_3d = dataset[subject][action]["positions_3d"]
-                assert len(poses_3d) == len(poses_2d), "Camera count mismatch"
-                for i in range(len(poses_3d)):
-                    out_poses_3d.append(poses_3d[i])
+                gt_cams = dataset[subject][action]["positions_3d"]
+                if len(gt_cams) != len(kp_cams):
+                    raise ValueError(f"{subject}/{action}: camera count "
+                                     "mismatch vs mocap")
+                seqs_3d.extend(gt_cams)
 
-    if len(out_camera_params) == 0:
-        out_camera_params = None
-    if len(out_poses_3d) == 0:
-        out_poses_3d = None
-
-    stride = args.downsample
-    if subset < 1:
-        for i in range(len(out_poses_2d)):
-            n_frames = int(round(len(out_poses_2d[i]) // stride * subset) * stride)
-            start = deterministic_random(
-                0, len(out_poses_2d[i]) - n_frames + 1, str(len(out_poses_2d[i])))
-            out_poses_2d[i] = out_poses_2d[i][start:start + n_frames:stride]
-            if out_poses_3d is not None:
-                out_poses_3d[i] = out_poses_3d[i][start:start + n_frames:stride]
-    elif stride > 1:
-        for i in range(len(out_poses_2d)):
-            out_poses_2d[i] = out_poses_2d[i][::stride]
-            if out_poses_3d is not None:
-                out_poses_3d[i] = out_poses_3d[i][::stride]
-
-    return out_camera_params, out_poses_3d, out_poses_2d
+    seqs_3d = seqs_3d or None
+    _subsample_sequences(seqs_2d, seqs_3d, args.downsample, subset)
+    return (intrinsics or None), seqs_3d, seqs_2d
 
 
 # ---------------------------------------------------------------------------
@@ -786,23 +798,19 @@ def _final_evaluation(args, dataset, keypoints, subjects_test, action_filter,
             all_actions[action_name].append((subject, action))
             all_actions_by_subject[subject][action_name].append((subject, action))
 
-    def fetch_actions(actions):
-        out_poses_3d = []
-        out_poses_2d = []
-        for subject, action in actions:
-            poses_2d = keypoints[subject][action]
-            for i in range(len(poses_2d)):
-                out_poses_2d.append(poses_2d[i])
-            poses_3d = dataset[subject][action]["positions_3d"]
-            assert len(poses_3d) == len(poses_2d), "Camera count mismatch"
-            for i in range(len(poses_3d)):
-                out_poses_3d.append(poses_3d[i])
-        stride = args.downsample
-        if stride > 1:
-            for i in range(len(out_poses_2d)):
-                out_poses_2d[i] = out_poses_2d[i][::stride]
-                out_poses_3d[i] = out_poses_3d[i][::stride]
-        return out_poses_3d, out_poses_2d
+    def fetch_actions(pairs):
+        """Per-camera (3D, 2D) sequences for a list of (subject, action)
+        pairs (behavior parity: run.py:831-849)."""
+        seqs_2d, seqs_3d = [], []
+        for subject, action in pairs:
+            kp_cams = keypoints[subject][action]
+            gt_cams = dataset[subject][action]["positions_3d"]
+            if len(kp_cams) != len(gt_cams):
+                raise ValueError(f"{subject}/{action}: camera count mismatch")
+            seqs_2d.extend(kp_cams)
+            seqs_3d.extend(gt_cams)
+        _subsample_sequences(seqs_2d, seqs_3d, args.downsample, 1)
+        return seqs_3d, seqs_2d
 
     def make_batcher(action_pairs):
         poses_act, poses_2d_act = fetch_actions(action_pairs)
