@@ -43,12 +43,14 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.25)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-baked-flip", action="store_true")
+    ap.add_argument("--train-engine", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     cfg = TemporalModelConfig(
         num_joints_in=17, in_features=2, num_joints_out=17,
         filter_widths=(3, 3, 3, 3, 3), causal=False, dropout=args.dropout,
-        channels=1024, compute_dtype=args.dtype, remat_policy=args.remat)
+        channels=1024, compute_dtype=args.dtype, remat_policy=args.remat,
+        train_engine=args.train_engine)
     rf = receptive_field(cfg)
     pad = (rf - 1) // 2
     B = args.batch

@@ -144,6 +144,14 @@ def parse_args(argv=None):
                              "the fused Pallas bf16 kernels, or the w8a8 int8 "
                              "serving kernels (fastest; mm-level accuracy "
                              "delta, calibrated on the first batch)")
+    parser.add_argument("--train-engine", default="xla", type=str,
+                        choices=["xla", "pallas"],
+                        help="strided train-block engine. 'pallas' routes "
+                             "each residual block through the fused "
+                             "custom-VJP kernels (gradient-parity tested; "
+                             "measured slower than 'xla' at B=1024 on v5e "
+                             "because pallas_call boundaries force operand "
+                             "relayouts — kept as experimental infrastructure)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize residual blocks in the backward "
                              "pass (saves activation memory for very large "

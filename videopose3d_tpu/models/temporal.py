@@ -79,6 +79,13 @@ class TemporalModelConfig:
     #   "full"  — save block inputs only (max memory saving, recomputes the
     #             matmuls; same as remat_blocks=True).
     remat_policy: str = "none"
+    # TPU knob: engine for the strided TRAIN blocks.  "pallas" runs each
+    # residual block through the fused custom-VJP kernels
+    # (ops/pallas/train_block.py): BN statistics accumulate in the conv
+    # matmul epilogues and the backward elementwise/reduction chains +
+    # residual-cotangent injection fuse in VMEM.  Same math, same dropout
+    # mask stream as "xla" (gradient-parity tested).
+    train_engine: str = "xla"
 
     def __post_init__(self):
         object.__setattr__(self, "filter_widths", tuple(int(f) for f in self.filter_widths))
@@ -251,24 +258,31 @@ def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
     return y, new_state
 
 
-def _dropout(x, rate: float, rng):
-    """Inverted dropout from 8-bit random draws.
+def _dropout_mask(rate: float, rng, shape, dtype):
+    """Pre-scaled inverted-dropout mask (values 0 or 1/keep) from 8-bit draws.
 
     ``jax.random.bernoulli`` spends a uint32 per element — at B=1024 that is
     ~600 MB/step of random bits written and re-read.  One byte per element
     quarters that traffic; the keep probability quantizes to 1/256 (exact for
     the reference default rate 0.25 -> keep 192/256), and the inverse-keep
     scale uses the quantized value so the expectation stays exactly 1.
+
+    Returns None when dropout is inactive.
     """
     if rate == 0.0 or rng is None:
-        return x
+        return None
     threshold = int(round((1.0 - rate) * 256))
     if threshold >= 256:
-        return x
+        return None
     keep = threshold / 256.0
-    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+    bits = jax.random.bits(rng, shape, dtype=jnp.uint8)
     mask = bits < jnp.uint8(threshold)
-    return x * (mask.astype(x.dtype) * (1.0 / keep))
+    return mask.astype(dtype) * (1.0 / keep)
+
+
+def _dropout(x, rate: float, rng):
+    mask = _dropout_mask(rate, rng, x.shape, x.dtype)
+    return x if mask is None else x * mask
 
 
 def _conv_matmul(x, weight, dilation: int = 1, compute_dtype=jnp.float32):
@@ -460,6 +474,40 @@ def forward_strided(
         y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rng_b)
         return res + y, bn_a, bn_b
 
+    def block_fused(i, x, block_params, block_state, rng_a, rng_b):
+        """Same block through the fused custom-VJP Pallas kernels (identical
+        math and dropout mask stream; see ops/pallas/train_block.py)."""
+        from videopose3d_tpu.ops.pallas.train_block import fused_train_block
+        fw = config.filter_widths[i + 1]
+        b, t, c = x.shape
+        n = b * (t // fw)
+        center = config.causal_shifts_strided[i + 1] + fw // 2
+        shape = (b, t // fw, c)
+        rate = config.dropout if train else 0.0
+        ma = _dropout_mask(rate, rng_a, shape, compute_dtype)
+        mb = _dropout_mask(rate, rng_b, shape, compute_dtype)
+        ones = None
+        if ma is None or mb is None:
+            ones = jnp.ones(shape, compute_dtype)
+        interp = jax.default_backend() == "cpu"
+
+        out, mean_a, var_a, mean_b, var_b = fused_train_block(
+            center, fw, interp,
+            x.astype(compute_dtype),
+            block_params["conv_a"]["weight"].astype(compute_dtype),
+            block_params["conv_b"]["weight"][0].astype(compute_dtype),
+            block_params["bn_a"]["scale"], block_params["bn_a"]["bias"],
+            block_params["bn_b"]["scale"], block_params["bn_b"]["bias"],
+            ma if ma is not None else ones, mb if mb is not None else ones)
+
+        def running(st, mean, var):
+            unbiased = var * (n / max(n - 1, 1))
+            return {"mean": (1.0 - momentum) * st["mean"] + momentum * mean,
+                    "var": (1.0 - momentum) * st["var"] + momentum * unbiased}
+
+        return (out, running(block_state["bn_a"], mean_a, var_a),
+                running(block_state["bn_b"], mean_b, var_b))
+
     if train and (config.remat_blocks or config.remat_policy != "none"):
         # Rematerialize residual blocks in the backward pass.  With the "dots"
         # policy only matmul outputs are stored and the elementwise chains
@@ -476,6 +524,12 @@ def forward_strided(
         block = functools.partial(jax.checkpoint, static_argnums=(0,),
                                   policy=policy)(block)
 
+    if config.train_engine not in ("xla", "pallas"):
+        raise ValueError(f"unknown train_engine {config.train_engine!r}")
+    use_fused = (train and config.train_engine == "pallas"
+                 and not config.dense and not config.remat_blocks
+                 and config.remat_policy == "none")
+
     for i in range(n_blocks):
         block_params = {"conv_a": params["layers_conv"][2 * i],
                         "bn_a": params["layers_bn"][2 * i],
@@ -483,8 +537,15 @@ def forward_strided(
                         "bn_b": params["layers_bn"][2 * i + 1]}
         block_state = {"bn_a": state["layers_bn"][2 * i],
                        "bn_b": state["layers_bn"][2 * i + 1]}
-        x, bn_a, bn_b = block(i, x, block_params, block_state,
-                              rngs[2 * i + 1], rngs[2 * i + 2])
+        block_fn = block
+        if use_fused:
+            from videopose3d_tpu.ops.pallas.train_block import _pick_tile
+            fw_i = config.filter_widths[i + 1]
+            n_rows = x.shape[0] * (x.shape[1] // fw_i)
+            if _pick_tile(n_rows, jnp.dtype(compute_dtype)):
+                block_fn = block_fused
+        x, bn_a, bn_b = block_fn(i, x, block_params, block_state,
+                                 rngs[2 * i + 1], rngs[2 * i + 2])
         new_state["layers_bn"][2 * i] = bn_a
         new_state["layers_bn"][2 * i + 1] = bn_b
 

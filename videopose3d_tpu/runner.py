@@ -317,7 +317,8 @@ def main(argv=None):
         num_joints_out=dataset.skeleton().num_joints(),
         filter_widths=filter_widths, causal=args.causal, dropout=args.dropout,
         channels=args.channels, dense=args.dense,
-        compute_dtype=args.compute_dtype, remat_blocks=args.remat)
+        compute_dtype=args.compute_dtype, remat_blocks=args.remat,
+        train_engine=args.train_engine)
     traj_cfg = TemporalModelConfig(
         num_joints_in=num_kps, in_features=in_features, num_joints_out=1,
         filter_widths=filter_widths, causal=args.causal, dropout=args.dropout,
