@@ -259,3 +259,42 @@ class TestFlagshipParity:
             got, _ = forward_strided(cfg, params, state, x, train=False)
             assert got.shape == want.shape == (2, 1, 17, 3)
             np.testing.assert_allclose(np.asarray(got), want, atol=5e-7)
+
+
+class TestBatchNormNumerics:
+    """One-pass batch statistics must not lose precision to catastrophic
+    cancellation when activations sit far from zero (the shifted formulation
+    centers on the running mean before squaring)."""
+
+    @pytest.mark.parametrize("offset", [0.0, 30.0, 300.0])
+    def test_shifted_one_pass_vs_torch(self, offset):
+        from videopose3d_tpu.models.temporal import _batchnorm
+
+        c = 32
+        rng = np.random.default_rng(5)
+        x = (offset + rng.standard_normal((64, 9, c))).astype(np.float32)
+
+        bn = torch.nn.BatchNorm1d(c, momentum=0.1)
+        with torch.no_grad():
+            bn.running_mean.fill_(offset)  # running stats track the data
+            bn.weight.copy_(torch.from_numpy(
+                rng.uniform(0.5, 1.5, c).astype(np.float32)))
+            bn.bias.copy_(torch.from_numpy(
+                rng.standard_normal(c).astype(np.float32)))
+        bn.train()
+        want = bn(torch.from_numpy(x).permute(0, 2, 1)).detach() \
+            .permute(0, 2, 1).numpy()
+
+        params = {"scale": jnp.asarray(bn.weight.detach().numpy()),
+                  "bias": jnp.asarray(bn.bias.detach().numpy())}
+        state = {"mean": jnp.full((c,), offset, jnp.float32),
+                 "var": jnp.ones((c,), jnp.float32)}
+        got, new_state = _batchnorm(jnp.asarray(x), params, state,
+                                    train=True, momentum=0.1)
+        # Normalized outputs are O(1); the tolerance must not scale with the
+        # offset — that is exactly the cancellation failure mode.
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(new_state["var"]),
+            bn.running_var.detach().numpy(), rtol=1e-3)

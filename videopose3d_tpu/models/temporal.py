@@ -237,13 +237,19 @@ def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
     if train:
         xf = x.astype(jnp.float32)
         n = xf.shape[0] * xf.shape[1]
-        # One-pass statistics (E[x^2] - E[x]^2): a single read of the activation
-        # tensor instead of two — the train step is HBM-bandwidth-bound on these
-        # elementwise passes.  Activations are post-BN/ReLU scale, so the
-        # cancellation error is negligible (verified against torch to 1e-5).
-        mean = jnp.mean(xf, axis=(0, 1))
-        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1))
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)  # biased
+        # Shifted one-pass statistics: a single read of the activation tensor
+        # (the train step is HBM-bandwidth-bound on these elementwise passes),
+        # but centered on the running mean so the E[x^2] - E[x]^2 cancellation
+        # happens near zero regardless of the activation offset — var(x - c) =
+        # var(x) for any constant c, and the running mean tracks the batch
+        # mean, making this as accurate as two-pass in practice (stress-tested
+        # vs torch at offset-30-sigma activations in tests/test_model.py).
+        shift = bn_state["mean"]
+        centered = xf - shift
+        m1 = jnp.mean(centered, axis=(0, 1))
+        m2 = jnp.mean(jnp.square(centered), axis=(0, 1))
+        mean = shift + m1
+        var = jnp.maximum(m2 - jnp.square(m1), 0.0)  # biased
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1.0 - momentum) * bn_state["mean"] + momentum * mean,
