@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from videopose3d_tpu.models.temporal import TemporalModelConfig, forward_dilated
-from videopose3d_tpu.ops.losses import p_mpjpe, mean_velocity_error
+from videopose3d_tpu.ops.losses import (mpjpe_np, n_mpjpe_np, p_mpjpe,
+    mean_velocity_error)
 
 
 class Evaluator:
@@ -130,13 +131,8 @@ def evaluate(evaluator: Evaluator, params, state, batcher, *,
         # dispatch latency (the predictions must come to host anyway for the
         # Procrustes/velocity protocols, exactly like the reference,
         # run.py:698-704).
-        e1 = float(np.mean(np.linalg.norm(pred - target, axis=-1)))
-        norm_pred = np.mean(np.sum(pred ** 2, axis=3, keepdims=True),
-                            axis=2, keepdims=True)
-        norm_target = np.mean(np.sum(target * pred, axis=3, keepdims=True),
-                              axis=2, keepdims=True)
-        scaled = (norm_target / norm_pred) * pred
-        e3 = float(np.mean(np.linalg.norm(scaled - target, axis=-1)))
+        e1 = mpjpe_np(pred, target)
+        e3 = n_mpjpe_np(pred, target)
 
         pred_flat = pred.reshape(-1, pred.shape[-2], pred.shape[-1])
         target_flat = target.reshape(-1, target.shape[-2], target.shape[-1])

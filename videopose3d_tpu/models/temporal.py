@@ -265,24 +265,31 @@ def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
 
 
 def _dropout_mask(rate: float, rng, shape, dtype):
-    """Pre-scaled inverted-dropout mask (values 0 or 1/keep) from 8-bit draws.
+    """Pre-scaled inverted-dropout mask (values 0 or 1/keep) from narrow
+    random draws.
 
     ``jax.random.bernoulli`` spends a uint32 per element — at B=1024 that is
-    ~600 MB/step of random bits written and re-read.  One byte per element
-    quarters that traffic; the keep probability quantizes to 1/256 (exact for
-    the reference default rate 0.25 -> keep 192/256), and the inverse-keep
-    scale uses the quantized value so the expectation stays exactly 1.
+    ~600 MB/step of random bits written and re-read.  When the keep
+    probability is exactly representable as k/256 (true for the reference
+    default rate 0.25 -> keep 192/256) one byte per element quarters that
+    traffic; any other rate uses 16-bit draws (probability exact to 1/65536,
+    half the bernoulli traffic).  The inverse-keep scale uses the realized
+    probability so the expectation stays exactly 1.
 
     Returns None when dropout is inactive.
     """
     if rate == 0.0 or rng is None:
         return None
-    threshold = int(round((1.0 - rate) * 256))
-    if threshold >= 256:
-        return None
-    keep = threshold / 256.0
-    bits = jax.random.bits(rng, shape, dtype=jnp.uint8)
-    mask = bits < jnp.uint8(threshold)
+    keep_exact = 1.0 - rate
+    t8 = round(keep_exact * 256)
+    if abs(keep_exact * 256 - t8) < 1e-9 and 0 < t8 < 256:
+        threshold, denom, bits_dtype = int(t8), 256.0, jnp.uint8
+    else:
+        threshold = min(max(int(round(keep_exact * 65536)), 1), 65535)
+        denom, bits_dtype = 65536.0, jnp.uint16
+    keep = threshold / denom
+    bits = jax.random.bits(rng, shape, dtype=bits_dtype)
+    mask = bits < jnp.asarray(threshold, bits_dtype)
     return mask.astype(dtype) * (1.0 / keep)
 
 
@@ -504,7 +511,8 @@ def forward_strided(
             block_params["conv_b"]["weight"][0].astype(compute_dtype),
             block_params["bn_a"]["scale"], block_params["bn_a"]["bias"],
             block_params["bn_b"]["scale"], block_params["bn_b"]["bias"],
-            ma if ma is not None else ones, mb if mb is not None else ones)
+            ma if ma is not None else ones, mb if mb is not None else ones,
+            block_state["bn_a"]["mean"], block_state["bn_b"]["mean"])
 
         def running(st, mean, var):
             unbiased = var * (n / max(n - 1, 1))

@@ -108,6 +108,24 @@ def _similarity_align(points, anchor):
     return gain * (points @ rot) + shift
 
 
+def mpjpe_np(predicted, target):
+    """Protocol #1 on host numpy (the evaluation loop computes protocols from
+    predictions already fetched for Procrustes; same formula as :func:`mpjpe`)."""
+    assert predicted.shape == target.shape, (predicted.shape, target.shape)
+    return float(np.mean(np.linalg.norm(predicted - target, axis=-1)))
+
+
+def n_mpjpe_np(predicted, target):
+    """Protocol #3 on host numpy (same optimal-scale formula as :func:`n_mpjpe`)."""
+    assert predicted.shape == target.shape, (predicted.shape, target.shape)
+    norm_predicted = np.mean(np.sum(predicted ** 2, axis=3, keepdims=True),
+                             axis=2, keepdims=True)
+    norm_target = np.mean(np.sum(target * predicted, axis=3, keepdims=True),
+                          axis=2, keepdims=True)
+    scale = norm_target / norm_predicted
+    return mpjpe_np(scale * predicted, target)
+
+
 def p_mpjpe(predicted, target):
     """Protocol #2: MPJPE after rigid (Procrustes) alignment — host-side numpy.
 

@@ -82,8 +82,8 @@ _VMEM_CAP = pltpu.CompilerParams(vmem_limit_bytes=int(1024 * 1024 * 100))
 # ---------------------------------------------------------------------------
 
 
-def _conv_stats_kernel(x_ref, w_ref, out_ref, res_ref, s1_ref, s2_ref,
-                       acc1, acc2, *, fw, center):
+def _conv_stats_kernel(x_ref, w_ref, shift_ref, out_ref, res_ref, s1_ref,
+                       s2_ref, acc1, acc2, *, fw, center):
     """u = sum_j x[:, j, :] @ w[j]; accumulate per-channel sum / sum-sq of the
     *cast* values (matching the XLA path, whose batch statistics are computed
     from the compute-dtype activations).  Also copies out the residual (the
@@ -100,7 +100,9 @@ def _conv_stats_kernel(x_ref, w_ref, out_ref, res_ref, s1_ref, s2_ref,
     y = acc.astype(out_ref.dtype)
     out_ref[:, :] = y
 
-    yf = y.astype(jnp.float32)
+    # Shifted one-pass statistics (see models.temporal._batchnorm): center on
+    # the running mean so E[x^2]-E[x]^2 cancellation happens near zero.
+    yf = y.astype(jnp.float32) - shift_ref[0, :]
 
     @pl.when(i == 0)
     def _():
@@ -114,8 +116,8 @@ def _conv_stats_kernel(x_ref, w_ref, out_ref, res_ref, s1_ref, s2_ref,
 
 
 def _norm_drop_matmul_stats_kernel(u_ref, mask_ref, mean_ref, inv_ref, b_ref,
-                                   w_ref, d_ref, v_ref, s1_ref, s2_ref,
-                                   acc1, acc2):
+                                   w_ref, shift_ref, d_ref, v_ref, s1_ref,
+                                   s2_ref, acc1, acc2):
     """d = mask * relu((u - mean) * inv + b); v = d @ w (+ stats of v)."""
     i = pl.program_id(0)
     u = u_ref[:, :]
@@ -126,7 +128,7 @@ def _norm_drop_matmul_stats_kernel(u_ref, mask_ref, mean_ref, inv_ref, b_ref,
     v = v.astype(v_ref.dtype)
     v_ref[:, :] = v
 
-    vf = v.astype(jnp.float32)
+    vf = v.astype(jnp.float32) - shift_ref[0, :]
 
     @pl.when(i == 0)
     def _():
@@ -240,9 +242,10 @@ def _du_dtaps_res_kernel(ga_ref, u_ref, g_ref, coef_ref, mean_ref, w_ref,
 # ---------------------------------------------------------------------------
 
 
-def _finalize_stats(s1, s2, n):
-    mean = s1 / n
-    var = jnp.maximum(s2 / n - mean * mean, 0.0)  # biased, one-pass
+def _finalize_stats(s1, s2, n, shift):
+    m1 = s1 / n
+    mean = shift + m1
+    var = jnp.maximum(s2 / n - m1 * m1, 0.0)  # biased, shifted one-pass
     return mean, var
 
 
@@ -269,7 +272,8 @@ def _bwd_consts(mean, var, scale, s1, s2, n):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def fused_train_block(center: int, fw: int, interpret: bool,
-                      x, wa, wb, sa, ba, sb, bb, mask_a, mask_b):
+                      x, wa, wb, sa, ba, sb, bb, mask_a, mask_b,
+                      shift_a, shift_b):
     """One strided residual block, training mode, fused.
 
     Args:
@@ -279,6 +283,8 @@ def fused_train_block(center: int, fw: int, interpret: bool,
       sa/ba/sb/bb: (C,) f32 BatchNorm scale/bias.
       mask_a/mask_b: (B, T/fw, C) pre-scaled dropout masks (0 or 1/keep) in
         the compute dtype.
+      shift_a/shift_b: (C,) f32 centering points for the one-pass batch
+        statistics (pass the BN running means; stop-gradient).
 
     Returns:
       (out (B, T/fw, C), mean_a, var_a, mean_b, var_b) — biased batch stats
@@ -286,12 +292,12 @@ def fused_train_block(center: int, fw: int, interpret: bool,
       (running statistics carry no gradient).
     """
     primal, _ = _block_fwd(center, fw, interpret, x, wa, wb, sa, ba, sb, bb,
-                           mask_a, mask_b)
+                           mask_a, mask_b, shift_a, shift_b)
     return primal
 
 
 def _block_fwd(center, fw, interpret, x, wa, wb, sa, ba, sb, bb,
-               mask_a, mask_b):
+               mask_a, mask_b, shift_a, shift_b):
     b, t, c = x.shape
     n = b * (t // fw)
     x3 = x.reshape(n, fw, c)  # free view: row j = frames j*fw .. j*fw+fw-1
@@ -308,7 +314,8 @@ def _block_fwd(center, fw, interpret, x, wa, wb, sa, ba, sb, bb,
                    jax.ShapeDtypeStruct((1, c), jnp.float32),
                    jax.ShapeDtypeStruct((1, c), jnp.float32)),
         grid=(n // tile,),
-        in_specs=[_tap_block(tile, fw, c), _const_block(wa.shape)],
+        in_specs=[_tap_block(tile, fw, c), _const_block(wa.shape),
+                  _const_block((1, c))],
         out_specs=(_row_block(tile, c), _row_block(tile, c),
                    _const_block((1, c)), _const_block((1, c))),
         scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),
@@ -319,9 +326,9 @@ def _block_fwd(center, fw, interpret, x, wa, wb, sa, ba, sb, bb,
             bytes_accessed=(x3.size + wa.size + n * c) * x3.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x3, wa)
+    )(x3, wa, shift_a.astype(jnp.float32).reshape(1, -1))
     s1a, s2a = s1a[0], s2a[0]
-    mean_a, var_a = _finalize_stats(s1a, s2a, n)
+    mean_a, var_a = _finalize_stats(s1a, s2a, n, shift_a)
     mean_ac, inv_ac, bias_ac = _affine_consts(mean_a, var_a, sa, ba, dtype)
 
     d, v, s1b, s2b = pl.pallas_call(
@@ -333,7 +340,8 @@ def _block_fwd(center, fw, interpret, x, wa, wb, sa, ba, sb, bb,
         grid=(n // tile,),
         in_specs=[_row_block(tile, c), _row_block(tile, c),
                   _const_block((1, c)), _const_block((1, c)),
-                  _const_block((1, c)), _const_block((c, c))],
+                  _const_block((1, c)), _const_block((c, c)),
+                  _const_block((1, c))],
         out_specs=(_row_block(tile, c), _row_block(tile, c),
                    _const_block((1, c)), _const_block((1, c))),
         scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),
@@ -344,9 +352,10 @@ def _block_fwd(center, fw, interpret, x, wa, wb, sa, ba, sb, bb,
             bytes_accessed=4 * n * c * x3.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(u, ma, mean_ac, inv_ac, bias_ac, wb)
+    )(u, ma, mean_ac, inv_ac, bias_ac, wb,
+      shift_b.astype(jnp.float32).reshape(1, -1))
     s1b, s2b = s1b[0], s2b[0]
-    mean_b, var_b = _finalize_stats(s1b, s2b, n)
+    mean_b, var_b = _finalize_stats(s1b, s2b, n, shift_b)
     mean_bc, inv_bc, bias_bc = _affine_consts(mean_b, var_b, sb, bb, dtype)
 
     out = pl.pallas_call(
@@ -465,7 +474,9 @@ def _block_bwd(center, fw, interpret, residuals, cotangents):
     return (dx, dwa.astype(wa.dtype), dwb.astype(wb.dtype),
             dsa.astype(sa.dtype), dba.astype(ba.dtype),
             dsb.astype(sb.dtype), dbb.astype(bb.dtype),
-            jnp.zeros_like(mask_a), jnp.zeros_like(mask_b))
+            jnp.zeros_like(mask_a), jnp.zeros_like(mask_b),
+            # stats-shift inputs are stop-gradient (running-mean centering)
+            jnp.zeros_like(sa), jnp.zeros_like(sa))
 
 
 fused_train_block.defvjp(_block_fwd, _block_bwd)

@@ -693,15 +693,23 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.bin")
             print("Saving checkpoint to", chk_path)
             # Host-side sampler state must snapshot NOW (it advances next
-            # epoch); device pytrees are safe to convert lazily.
+            # epoch).  Device pytrees must be COPIED on device before the
+            # background thread touches them: the live buffers are donated
+            # (donate_argnums) to the next epoch's jitted call, which would
+            # invalidate them under the fetching thread.  The copies are
+            # ~0.3 GB of HBM for a fraction of a millisecond, vs seconds of
+            # blocking device->host transfer on the step path.
             rng_state = sampler.random_state()
             rng_state_semi = (sampler_semi.random_state()
                               if semi_supervised else None)
+            snap = jax.tree_util.tree_map(
+                jnp.copy, (params, state, opt_state, params_traj, state_traj,
+                           step_rng))
 
-            def payload(epoch=epoch, lr=lr, params=params, state=state,
-                        opt_state=opt_state, params_traj=params_traj,
-                        state_traj=state_traj, step_rng=step_rng,
+            def payload(epoch=epoch, lr=lr, snap=snap,
                         rng_state=rng_state, rng_state_semi=rng_state_semi):
+                params, state, opt_state, params_traj, state_traj, \
+                    step_rng = snap
                 return {
                     "epoch": epoch,
                     "lr": lr,

@@ -62,7 +62,9 @@ def get_fps(path: str) -> float:
 
 def read_video(path: str, skip: int = 0, limit: int = -1
                ) -> Iterator[np.ndarray]:
-    """Yield RGB24 frames ``skip..skip+limit`` decoded via an ffmpeg raw pipe."""
+    """Yield RGB24 frames via an ffmpeg raw pipe: 1-indexed frames
+    ``skip+1 .. limit`` (``limit`` is an absolute frame-index cap, reference
+    semantics — ``/root/reference/common/visualization.py:43-53``; -1 = all)."""
     _need("ffmpeg")
     width, height, _ = probe_video(path)
     frame_bytes = width * height * 3
@@ -71,18 +73,16 @@ def read_video(path: str, skip: int = 0, limit: int = -1
          "rgb24", "-vsync", "0", "-"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, bufsize=frame_bytes)
     try:
-        emitted = 0
         index = 0
         while True:
             chunk = proc.stdout.read(frame_bytes)
             if len(chunk) < frame_bytes:
                 break
             index += 1
+            if limit >= 0 and index > limit:
+                break
             if index <= skip:
                 continue
-            if limit >= 0 and emitted >= limit:
-                break
-            emitted += 1
             yield np.frombuffer(chunk, np.uint8).reshape(height, width, 3)
     finally:
         proc.stdout.close()
