@@ -86,3 +86,23 @@ def test_evaluator_int8_engine():
     # Re-quantization hook.
     ev_int8.reset_quantization()
     assert ev_int8._q is None
+
+
+def test_int8_calibration_transfer_structured_data():
+    """On structured (smooth, pose-like) inputs — the realistic serving case —
+    calibration transfers across segments and the int8 error tightens well
+    below the random-noise worst case."""
+    cfg, params, state, _, _ = _setup(channels=64)
+    rf = receptive_field(cfg)
+    t_axis = np.arange(rf + 300, dtype=np.float32)[None, :, None, None]
+    phase = np.linspace(0, 3, 17 * 2, dtype=np.float32).reshape(1, 1, 17, 2)
+    motion = 0.4 * np.sin(0.07 * t_axis + 6 * phase) + 0.1 * phase
+    x_all = jnp.asarray(np.broadcast_to(motion, (1,) + motion.shape[1:]))
+    calib, test = x_all[:, :rf + 120], x_all[:, rf + 50:]
+
+    q = quantize_temporal_model(cfg, params, state, calib)
+    want, _ = forward_dilated(cfg, params, state, test, train=False)
+    got = forward_dilated_int8(cfg, q, test, interpret=True, t_tile=32)
+    err = np.linalg.norm(np.asarray(got) - np.asarray(want), axis=-1).mean()
+    scale = np.sqrt((np.asarray(want) ** 2).mean())
+    assert err < 0.02 * scale, (err, scale)
