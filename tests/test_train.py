@@ -127,6 +127,38 @@ class TestSupervised:
                 params, state, opt_state, step_rng, dev, meta, n_valid, 0.1)
         assert np.isfinite(float(loss))
 
+    def test_multichip_mesh_baked_flip(self):
+        """DP step over the mesh with the contiguous + flip-as-index dataset
+        (the production training configuration)."""
+        mesh = make_mesh()
+        rng = np.random.default_rng(3)
+        poses_2d, poses_3d, _ = _toy_data(rng)
+        cfg = _model_cfg()
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                               causal_shift=0)
+
+        from videopose3d_tpu.parallel import replicated_sharding
+        perm = tuple(_perm().tolist())
+        ds = FlatSequenceDataset(
+            poses_2d, poses_3d,
+            margins=FlatSequenceDataset.training_margins(pad, 0, 1),
+            flip_perms=(perm, perm))
+        dev = ds.to_device(replicated_sharding(mesh))
+        assert dev.has_baked_flip
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1,
+                                     augment=True)
+        trainer = SupervisedTrainer(cfg, loop, _perm(), _perm(), mesh=mesh)
+
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt_state = trainer.init_optimizer(params)
+        step_rng = jax.random.PRNGKey(1)
+        metas, n_valids = zip(*sampler.next_epoch())
+        params, state, opt_state, step_rng, losses = trainer.run_epoch(
+            params, state, opt_state, step_rng, dev, np.stack(metas),
+            np.array(n_valids), 0.1)
+        assert np.isfinite(np.asarray(losses)).all()
+
 
 class TestEpochScan:
     def test_scan_epoch_equals_stepwise(self):

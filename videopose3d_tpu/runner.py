@@ -689,7 +689,9 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         # pickling, and file write run on a background thread (jax arrays are
         # immutable, so the captured pytrees snapshot this epoch exactly); the
         # next epoch starts immediately.
-        if epoch % args.checkpoint_frequency == 0:
+        if epoch % args.checkpoint_frequency == 0 and jax.process_index() == 0:
+            # On a multi-host pod only process 0 writes (replicated state is
+            # identical everywhere; concurrent writers would race on the file).
             chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.bin")
             print("Saving checkpoint to", chk_path)
             # Host-side sampler state must snapshot NOW (it advances next
