@@ -27,6 +27,7 @@ stochastic difference with no measurable effect, documented here for the record.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -72,10 +73,59 @@ def bn_momentum_for_epoch(cfg: TrainLoopConfig, epoch: int) -> float:
         * np.log(cfg.initial_momentum / cfg.final_momentum)))
 
 
+class _TorchAmsgradState(NamedTuple):
+    count: jnp.ndarray
+    m: Any
+    v: Any
+    vmax: Any
+
+
+def scale_by_torch_amsgrad(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.Adam(amsgrad=True) semantics, exactly.
+
+    optax's ``amsgrad`` differs from torch in where the bias correction and
+    ``eps`` enter the denominator; the deltas are tiny per step but visible in
+    the training trajectory by step 3.  Torch (the reference's optimizer,
+    ``run.py:252-253``) computes::
+
+        step = lr * (m_t / (1-b1^t)) / (sqrt(max(vmax, v_t)) / sqrt(1-b2^t) + eps)
+
+    Verified step-for-step against torch in tests/test_train_parity_torch.py.
+    """
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _TorchAmsgradState(count=jnp.zeros((), jnp.int32),
+                                  m=zeros(), v=zeros(), vmax=zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        m = jax.tree_util.tree_map(
+            lambda m_, g: b1 * m_ + (1 - b1) * g, state.m, updates)
+        v = jax.tree_util.tree_map(
+            lambda v_, g: b2 * v_ + (1 - b2) * g * g, state.v, updates)
+        vmax = jax.tree_util.tree_map(jnp.maximum, state.vmax, v)
+        bc1 = 1 - jnp.power(b1, count.astype(jnp.float32))
+        bc2_sqrt = jnp.sqrt(1 - jnp.power(b2, count.astype(jnp.float32)))
+        out = jax.tree_util.tree_map(
+            lambda m_, vm: (m_ / bc1) / (jnp.sqrt(vm) / bc2_sqrt + eps),
+            m, vmax)
+        return out, _TorchAmsgradState(count=count, m=m, v=v, vmax=vmax)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
-    """Adam with AMSGrad, lr adjustable per epoch without retracing
-    (parity: ``run.py:252-253``, ``:264``, ``:583-587``)."""
-    return optax.inject_hyperparams(optax.amsgrad)(learning_rate=learning_rate)
+    """Adam with AMSGrad (torch-exact), lr adjustable per epoch without
+    retracing (parity: ``run.py:252-253``, ``:264``, ``:583-587``)."""
+
+    def build(learning_rate):
+        return optax.chain(scale_by_torch_amsgrad(),
+                           optax.scale(-learning_rate))
+
+    return optax.inject_hyperparams(build)(learning_rate=learning_rate)
 
 
 def set_learning_rate(opt_state, lr: float):
