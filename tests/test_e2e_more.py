@@ -135,3 +135,19 @@ def test_render_gif(h36m_dir, tmp_path, capsys):
     assert os.path.exists(gif) and os.path.getsize(gif) > 0
     pred = np.load(export)
     assert pred.shape[1:] == (17, 3)
+
+
+def test_evaluate_with_int8_serving_engine(h36m_dir, tmp_path, capsys):
+    """--serving-engine int8 drives the full evaluate pipeline through the
+    w8a8 kernels (interpret mode on CPU)."""
+    ckpt = str(tmp_path / "c_int8")
+    runner.main(_args(h36m_dir, ckpt,
+                      ["-arc", "3,3,3", "--checkpoint-frequency", "1"]))
+    capsys.readouterr()
+    runner.main([
+        "-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt,
+        "-arc", "3,3,3", "-ch", "16", "--eval-bucket", "32",
+        "--evaluate", "epoch_1.bin", "--serving-engine", "int8",
+    ])
+    out = capsys.readouterr().out
+    assert "Protocol #1   (MPJPE) action-wise average:" in out

@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no-baked-flip", action="store_true")
     ap.add_argument("--train-engine", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--n-seqs", type=int, default=4)
+    ap.add_argument("--seq-len", type=int, default=3000)
     args = ap.parse_args()
 
     cfg = TemporalModelConfig(
@@ -56,7 +58,7 @@ def main():
     B = args.batch
 
     rng = np.random.default_rng(0)
-    lengths = [3000] * 4
+    lengths = [args.seq_len] * args.n_seqs
     poses_2d = [rng.standard_normal((n, 17, 2)).astype(np.float32)
                 for n in lengths]
     poses_3d = [rng.standard_normal((n, 17, 3)).astype(np.float32)
@@ -69,8 +71,8 @@ def main():
     dev = ds.to_device()
 
     meta = np.stack([
-        rng.integers(0, len(lengths), B),
-        rng.integers(0, 2000, B),
+        rng.integers(0, args.n_seqs, B),
+        rng.integers(0, args.seq_len - 1000, B),
         np.zeros(B, np.int64),
         rng.integers(0, 2, B)], axis=1).astype(np.int32)
     meta[:, 2] = meta[:, 1] + 1
