@@ -152,6 +152,13 @@ def parse_args(argv=None):
                              "measured slower than 'xla' at B=1024 on v5e "
                              "because pallas_call boundaries force operand "
                              "relayouts — kept as experimental infrastructure)")
+    parser.add_argument("--checkpoint-format", default="pickle", type=str,
+                        choices=("pickle", "orbax"), metavar="FMT",
+                        help="checkpoint storage backend: single-file pickle "
+                             "(default, torch-interop via converter) or an "
+                             "orbax/tensorstore directory (multi-host-grade "
+                             "atomic writes, partial restore); both formats "
+                             "auto-detect on --resume/--evaluate")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize residual blocks in the backward "
                              "pass (saves activation memory for very large "

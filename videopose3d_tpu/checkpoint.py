@@ -40,6 +40,79 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
+# --- Orbax backend (optional, directory format) ----------------------------
+#
+# Same payload, stored via orbax's tensorstore-backed PyTree format: arrays
+# land in a checkpoint *directory* with per-array chunked storage, atomic
+# finalization across hosts, and lazy/partial restore — the multi-host-grade
+# alternative to the single-file pickle (reference payload semantics:
+# ``/root/reference/run.py:595-608``).  Select with ``--checkpoint-format
+# orbax``; both formats are auto-detected on load (directory => orbax).
+
+_RNG_STATE_KEYS = ("random_state", "random_state_semi")
+
+
+def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
+    """Write a checkpoint directory via orbax (atomic on finalize)."""
+    import orbax.checkpoint as ocp
+
+    def to_host(x):
+        # Device arrays to host numpy; scalar/string leaves (e.g. the
+        # 'MT19937' tag inside a RandomState state tuple) stay native python —
+        # tensorstore cannot store numpy unicode arrays.
+        return np.asarray(x) if isinstance(x, (np.ndarray, jax.Array)) else x
+
+    payload = {k: (jax.tree_util.tree_map(to_host, v) if v is not None
+                   else None) for k, v in payload.items()}
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    # orbax round-trips tuples as lists; numpy's RandomState.set_state
+    # requires the MT19937 state as a tuple.
+    for key in _RNG_STATE_KEYS:
+        if restored.get(key) is not None:
+            restored[key] = tuple(restored[key])
+    return dict(restored)
+
+
+def restore_into(template, restored):
+    """Rebuild ``restored`` into the exact pytree structure of ``template``.
+
+    A checkpoint format round trip may degrade container types — an orbax
+    restore turns namedtuples (e.g. optax optimizer states) into plain dicts
+    keyed by field name, tuples into lists, and empty nodes into ``None``.
+    Matching against a freshly-constructed template (same shapes, e.g. from
+    ``init_optimizer``) reattaches the native types; leaves come back as jax
+    arrays.  Also a no-op-shaped path for pickle payloads, whose structure
+    already matches.
+    """
+    import jax.numpy as jnp
+
+    if hasattr(template, "_fields"):          # namedtuple (optax states)
+        if not template._fields:
+            return type(template)()
+        if isinstance(restored, dict):
+            vals = [restore_into(getattr(template, f), restored[f])
+                    for f in template._fields]
+        else:
+            vals = [restore_into(getattr(template, f), r)
+                    for f, r in zip(template._fields, restored)]
+        return type(template)(*vals)
+    if isinstance(template, dict):
+        return {k: restore_into(template[k], restored[k]) for k in template}
+    if isinstance(template, (list, tuple)):
+        return type(template)(
+            restore_into(t, r) for t, r in zip(template, restored))
+    if template is None:
+        return None
+    return jnp.asarray(restored)
+
+
 class AsyncCheckpointer:
     """Background-thread checkpoint writer: the training loop hands over the
     payload and keeps stepping while device->host transfer, pickling, and the
@@ -58,17 +131,20 @@ class AsyncCheckpointer:
         self._exc: Optional[BaseException] = None
 
     def save(self, path: str,
-             payload: Union[Dict[str, Any], Callable[[], Dict[str, Any]]]
+             payload: Union[Dict[str, Any], Callable[[], Dict[str, Any]]],
+             save_fn: Callable[[str, Dict[str, Any]], None] = save_checkpoint,
              ) -> None:
         """Queue an atomic checkpoint write.  ``payload`` may be a dict or a
         zero-arg callable building one (run in the background, so expensive
-        host conversions stay off the step path)."""
+        host conversions stay off the step path).  ``save_fn`` selects the
+        format writer (:func:`save_checkpoint` or
+        :func:`save_checkpoint_orbax`)."""
         self.wait()
 
         def work():
             try:
                 p = payload() if callable(payload) else payload
-                save_checkpoint(path, p)
+                save_fn(path, p)
             except BaseException as e:  # re-raised on the caller thread
                 self._exc = e
 

@@ -194,8 +194,11 @@ def fetch(args, dataset, keypoints, subjects, action_filter=None, subset=1,
 
 
 def load_any_checkpoint(path):
-    """Load either our pickle checkpoints or reference torch ``.bin`` files,
-    returning state dicts as numpy arrays."""
+    """Load our pickle checkpoints, orbax checkpoint directories, or reference
+    torch ``.bin`` files, returning state dicts as numpy arrays."""
+    if os.path.isdir(path):
+        from videopose3d_tpu.checkpoint import load_checkpoint_orbax
+        return load_checkpoint_orbax(path)
     try:
         chk = load_checkpoint(path)
         if isinstance(chk, dict) and "model_pos" in chk:
@@ -491,9 +494,10 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         epoch = checkpoint["epoch"]
         lr = checkpoint["lr"]
         if checkpoint.get("optimizer") is not None:
-            opt_state = jax.tree_util.tree_map(
-                jnp.asarray, checkpoint["optimizer"],
-                is_leaf=lambda x: isinstance(x, np.ndarray))
+            # Template-driven restore: reattaches optax state types that a
+            # format round trip degraded (orbax: namedtuple -> dict).
+            from videopose3d_tpu.checkpoint import restore_into
+            opt_state = restore_into(opt_state, checkpoint["optimizer"])
             sampler.set_random_state(checkpoint["random_state"])
         else:
             print("WARNING: this checkpoint does not contain an optimizer state. "
@@ -692,7 +696,9 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         if epoch % args.checkpoint_frequency == 0 and jax.process_index() == 0:
             # On a multi-host pod only process 0 writes (replicated state is
             # identical everywhere; concurrent writers would race on the file).
-            chk_path = os.path.join(args.checkpoint, f"epoch_{epoch}.bin")
+            orbax = getattr(args, "checkpoint_format", "pickle") == "orbax"
+            chk_name = f"epoch_{epoch}" + ("" if orbax else ".bin")
+            chk_path = os.path.join(args.checkpoint, chk_name)
             print("Saving checkpoint to", chk_path)
             # Host-side sampler state must snapshot NOW (it advances next
             # epoch).  Device pytrees must be COPIED on device before the
@@ -728,7 +734,12 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                     "step_rng": np.asarray(step_rng),
                 }
 
-            checkpointer.save(chk_path, payload)
+            if orbax:
+                from videopose3d_tpu.checkpoint import save_checkpoint_orbax
+                checkpointer.save(chk_path, payload,
+                                  save_fn=save_checkpoint_orbax)
+            else:
+                checkpointer.save(chk_path, payload)
 
         if args.export_training_curves and epoch > 3:
             _export_training_curves(
