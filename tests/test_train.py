@@ -257,6 +257,58 @@ class TestSemiSupervised:
                 assert np.isfinite(float(loss_recon))
                 assert float(loss_recon) > 0.0
 
+    def test_semi_multichip_mesh(self):
+        """Semi-supervised DP step (pose + trajectory models, in-graph
+        projection loss) over the virtual 8-device CPU mesh."""
+        assert jax.device_count() == 8
+        mesh = make_mesh()
+        rng = np.random.default_rng(5)
+        poses_2d, poses_3d, cams = _toy_data(rng)
+        poses_2d_semi = [p + 0.01 for p in poses_2d[:2]]
+        cams_semi = cams[:2]
+        poses_3d = [p + np.array([0, 0, 4], np.float32) for p in poses_3d]
+
+        cfg = _model_cfg()
+        traj_cfg = TemporalModelConfig(
+            num_joints_in=J, in_features=2, num_joints_out=1,
+            filter_widths=cfg.filter_widths, dropout=cfg.dropout,
+            channels=cfg.channels)
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                               causal_shift=0, warmup=1)
+
+        from videopose3d_tpu.parallel import replicated_sharding
+        rep = replicated_sharding(mesh)
+        dev = FlatSequenceDataset(poses_2d, poses_3d, cams).to_device(rep)
+        dev_semi = FlatSequenceDataset(
+            poses_2d_semi, None, cams_semi).to_device(rep)
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1)
+        sampler_semi = ChunkedPairSampler(
+            [p.shape[0] for p in poses_2d_semi], 16, 1,
+            random_seed=4321, endless=True)
+
+        parents = np.array([-1] + list(range(J - 1)))
+        trainer = SemiSupervisedTrainer(cfg, traj_cfg, loop, _perm(), _perm(),
+                                        parents, mesh=mesh)
+        params_pos, states_pos = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        params_traj, states_traj = init_temporal_model(
+            traj_cfg, jax.random.PRNGKey(1))
+        params = {"pos": params_pos, "traj": params_traj}
+        states = {"pos": states_pos, "traj": states_traj}
+        opt_state = trainer.init_optimizer(params)
+        step_rng = jax.random.PRNGKey(2)
+
+        semi_iter = sampler_semi.next_epoch()
+        for skip in (True, False):                   # warmup then full
+            meta, n_valid = next(sampler.next_epoch())
+            meta_semi, n_valid_semi = next(semi_iter)
+            (params, states, opt_state, step_rng,
+             loss_pos, loss_traj, loss_recon, loss_total) = trainer.step(
+                params, states, opt_state, step_rng, dev, dev_semi,
+                meta, n_valid, meta_semi, n_valid_semi, 0.1, skip)
+            assert np.isfinite(float(loss_pos))
+        assert np.isfinite(float(loss_recon)) and float(loss_recon) > 0.0
+
 
 class TestEvaluator:
     def test_eval_protocols_smoke(self):
