@@ -22,6 +22,7 @@ device throughput — the number that determines batch-serving capacity.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import functools
 import json
 import time
@@ -33,6 +34,15 @@ import jax.numpy as jnp
 
 
 def main():
+    # Defaults from the measured shape sweep (PARITY.md): longer windows
+    # amortize the receptive-field overlap (242/16626 = 1.5% waste) and B=4
+    # keeps the per-tile working set resident; B=4/16384/512 beat B=8/8192/512
+    # by ~4.5% and every other swept (batch, t_out, t_tile) combination.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--t-out", type=int, default=16384)
+    ap.add_argument("--t-tile", type=int, default=512)
+    args = ap.parse_args()
     from videopose3d_tpu.models.temporal import (
         TemporalModelConfig, init_temporal_model, receptive_field)
     from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
@@ -51,7 +61,7 @@ def main():
 
     # Long windows amortize the receptive-field overlap: each input window of T
     # frames yields T - rf + 1 output frames of useful work.
-    batch, t_out = 8, 8192
+    batch, t_out, t_tile = args.batch, args.t_out, args.t_tile
     t_in = t_out + rf - 1
     frames_per_call = batch * t_out
 
@@ -60,7 +70,7 @@ def main():
         def body(i, carry):
             x_dep, acc = carry
             # w8a8 fused residual-block serving path (int8 MXU, int8 stream).
-            pred = forward_dilated_int8(cfg, q, x_dep, t_tile=512)
+            pred = forward_dilated_int8(cfg, q, x_dep, t_tile=t_tile)
             # Fold a scalar of the output back into the input: a true data
             # dependency (not compiler-removable) with negligible numerics.
             acc = jnp.sum(pred[0, 0, 0]) * jnp.float32(1e-30)

@@ -60,6 +60,24 @@ def test_orbax_roundtrip_matches_pickle(tmp_path):
     assert rs.uniform() == rs2.uniform()
 
 
+def test_orbax_overwrite_is_crash_safe(tmp_path):
+    """Overwriting an existing checkpoint writes beside and swaps: the old
+    directory survives until the new one is complete, and an interrupted swap
+    (only ``path.old`` left on disk) still loads."""
+    path = str(tmp_path / "ck")
+    save_checkpoint_orbax(path, {"epoch": 1, "w": np.arange(3.0)})
+    save_checkpoint_orbax(path, {"epoch": 2, "w": np.arange(3.0) * 2})
+    assert load_checkpoint_orbax(path)["epoch"] == 2
+    assert not (tmp_path / "ck.old").exists()
+    assert not (tmp_path / "ck.new").exists()
+
+    # Simulate a crash between the two renames: path gone, path.old intact.
+    import shutil
+    shutil.move(path, path + ".old")
+    restored = load_checkpoint_orbax(path)
+    assert restored["epoch"] == 2
+
+
 def test_async_checkpointer_orbax_backend(tmp_path):
     cp = AsyncCheckpointer()
     path = str(tmp_path / "ck_dir")

@@ -91,6 +91,33 @@ def test_streaming_int8_state_is_bounded():
     assert all(b.dtype == jnp.int8 for b in bufs[1:])  # int8 streams
 
 
+@pytest.mark.parametrize("engine", ["bf16", "int8"])
+def test_streaming_mesh_sharded_matches_single(engine):
+    """Streams sharded over the 8-device mesh produce the same poses as the
+    unsharded path (collective-free batch parallelism)."""
+    import jax
+    from videopose3d_tpu.parallel import make_mesh
+
+    assert jax.device_count() == 8
+    cfg, params, state, q, rng = _setup(fw=(3, 3, 3), channels=32)
+    n, b = 6, 16
+    frames = rng.standard_normal((n, b, 17, 2)).astype(np.float32)
+
+    kw = (dict(engine="int8", quantized=q) if engine == "int8"
+          else dict(engine="bf16"))
+    args = (cfg,) if engine == "int8" else (cfg, params, state)
+    single = StreamingCausalLifter(*args, **kw)
+    sharded = StreamingCausalLifter(*args, **kw, mesh=make_mesh())
+    single.reset(frames[0])
+    sharded.reset(frames[0])
+    for t in range(n):
+        a = single.step(frames[t])
+        bout = sharded.step(frames[t])
+        assert len(bout.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bout),
+                                   atol=2e-5)
+
+
 def test_streaming_lifter_engine_validation():
     cfg, params, state, q, _ = _setup()
     with pytest.raises(ValueError, match="engine"):

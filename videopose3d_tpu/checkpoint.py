@@ -43,18 +43,45 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 # --- Orbax backend (optional, directory format) ----------------------------
 #
 # Same payload, stored via orbax's tensorstore-backed PyTree format: arrays
-# land in a checkpoint *directory* with per-array chunked storage, atomic
-# finalization across hosts, and lazy/partial restore — the multi-host-grade
-# alternative to the single-file pickle (reference payload semantics:
-# ``/root/reference/run.py:595-608``).  Select with ``--checkpoint-format
-# orbax``; both formats are auto-detected on load (directory => orbax).
+# land in a checkpoint *directory* with per-array chunked storage and atomic
+# finalization — the multi-host-grade alternative to the single-file pickle
+# (reference payload semantics: ``/root/reference/run.py:595-608``).  Select
+# with ``--checkpoint-format orbax``; both formats are auto-detected on load
+# (directory => orbax).
+#
+# The training state is fully replicated and only process 0 writes (runner
+# gating), so the checkpointer is built with barriers restricted to the
+# calling process — a default orbax Checkpointer.save would block in
+# sync_global_processes waiting for peers that never enter save().
 
 _RNG_STATE_KEYS = ("random_state", "random_state_semi")
 
 
-def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
-    """Write a checkpoint directory via orbax (atomic on finalize)."""
+def require_orbax() -> None:
+    """Import orbax eagerly, on the caller thread.
+
+    ``AsyncCheckpointer`` surfaces background-save errors only at the *next*
+    save()/wait(); probing importability up front turns a missing dependency
+    into an immediate startup failure instead of a run that silently writes
+    no checkpoints for a whole checkpoint interval.
+    """
+    import orbax.checkpoint  # noqa: F401
+
+
+def _local_pytree_checkpointer():
     import orbax.checkpoint as ocp
+
+    pid = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=pid, active_processes={pid}))
+
+
+def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
+    """Write a checkpoint directory via orbax (crash-safe, including
+    overwrite: the previous checkpoint at ``path`` survives any crash)."""
+    import shutil
 
     def to_host(x):
         # Device arrays to host numpy; scalar/string leaves (e.g. the
@@ -64,14 +91,31 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
 
     payload = {k: (jax.tree_util.tree_map(to_host, v) if v is not None
                    else None) for k, v in payload.items()}
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.abspath(path), payload, force=True)
+    path = os.path.abspath(path)
+    ckptr = _local_pytree_checkpointer()
+    if not os.path.exists(path):
+        ckptr.save(path, payload)
+        return
+    # Overwrite: write beside, then swap.  orbax's own ``force=True`` deletes
+    # the existing checkpoint *before* writing the new one, so a crash in
+    # between loses both; here the old directory exists (as ``path`` or
+    # ``path + ".old"``) until the new one is fully finalized.
+    new, old = path + ".new", path + ".old"
+    for stale in (new, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    ckptr.save(new, payload)
+    os.rename(path, old)
+    os.rename(new, path)
+    shutil.rmtree(old)
 
 
 def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
-    import orbax.checkpoint as ocp
-
-    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        # Interrupted overwrite: the previous complete checkpoint is intact.
+        path = path + ".old"
+    restored = _local_pytree_checkpointer().restore(path)
     # orbax round-trips tuples as lists; numpy's RandomState.set_state
     # requires the MT19937 state as a tuple.
     for key in _RNG_STATE_KEYS:
@@ -100,12 +144,23 @@ def restore_into(template, restored):
             vals = [restore_into(getattr(template, f), restored[f])
                     for f in template._fields]
         else:
+            if len(restored) != len(template._fields):
+                raise ValueError(
+                    f"checkpoint state {type(template).__name__} has "
+                    f"{len(restored)} fields, expected "
+                    f"{len(template._fields)}")
             vals = [restore_into(getattr(template, f), r)
                     for f, r in zip(template._fields, restored)]
         return type(template)(*vals)
     if isinstance(template, dict):
         return {k: restore_into(template[k], restored[k]) for k in template}
     if isinstance(template, (list, tuple)):
+        if len(restored) != len(template):
+            # e.g. an optimizer chain saved under a different optax layout: a
+            # silent zip-truncation would resume with half-fresh state.
+            raise ValueError(
+                f"checkpoint state length {len(restored)} != template "
+                f"length {len(template)}")
         return type(template)(
             restore_into(t, r) for t, r in zip(template, restored))
     if template is None:

@@ -224,7 +224,9 @@ def _mid_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, out,
 
 def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
                             r, out, raw_vmem, sems, *, t_tile, dilation,
-                            res_offset, n_taps, k0, win, raw_win):
+                            res_offset, n_taps, win):
+    # The raw input arrives PRE-TAPPED by the host driver (one row already
+    # holds all k0 taps), so the expand conv is exactly one bf16 matmul here.
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -233,7 +235,7 @@ def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
 
     def window_dma(dst_slot, tile_idx):
         return pltpu.make_async_copy(
-            raw_hbm.at[b, pl.ds(tile_idx * t_tile, raw_win)],
+            raw_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
             raw_vmem.at[dst_slot], sems.at[dst_slot])
 
     @pl.when(t == 0)
@@ -248,9 +250,6 @@ def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
     raw = raw_vmem[slot]
 
     eacc = jnp.dot(raw[0:win], w0[0], preferred_element_type=jnp.float32)
-    for j in range(1, k0):
-        eacc += jnp.dot(raw[j: j + win], w0[j],
-                        preferred_element_type=jnp.float32)
     eq = jnp.clip(jnp.round(jnp.maximum(
         eacc * s0[0, :] + b0[0, :], 0.0)), 0.0, QMAX).astype(jnp.int8)
 
@@ -405,6 +404,7 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
     # Pre-tap the (tiny) raw input in XLA: the expand conv becomes ONE
     # K=k0*C_in matmul per tile instead of k0 separate K=C_in dots each
     # MXU-padded to 128 lanes (34 -> 128 was 3.7x wasted MXU per tap).
+    # The kernel therefore always sees a single-tap expand.
     if k0 > 1:
         x = jnp.concatenate([x[:, j: j + t_expand] for j in range(k0)],
                             axis=-1)
@@ -414,14 +414,12 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
     if c_in_pad != c_in:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, c_in_pad - c_in)))
         w0 = jnp.pad(w0, ((0, 0), (0, c_in_pad - c_in), (0, 0)))
-    k0 = 1
 
     res_offset = (n_taps - 1) * dilation // 2 + config.causal_shifts_dilated[1]
     t_out = t_expand - (n_taps - 1) * dilation
     t_tile0, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t_expand, t_out, t_tile, (n_taps - 1) * dilation)
-    raw_win = -(-win // 8) * 8
-    t_needed = (n_tiles - 1) * t_tile0 + raw_win
+    t_needed = (n_tiles - 1) * t_tile0 + win
     pad_amount = max(t_padded_out - t_out, t_needed - t_expand)
     if pad_amount > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
@@ -429,7 +427,7 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
     blk = q["blocks"][0]
     kernel = functools.partial(
         _expand_block_i8_kernel, t_tile=t_tile0, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps, k0=k0, win=win, raw_win=raw_win)
+        res_offset=res_offset, n_taps=n_taps, win=win)
     vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
     stream = pl.pallas_call(
@@ -438,7 +436,7 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k0, c_in_pad, c), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((1, c_in_pad, c), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             vec(), vec(),
             pl.BlockSpec((n_taps, c, c), lambda b, t: (0, 0, 0),
@@ -450,7 +448,7 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
         out_specs=pl.BlockSpec((1, t_tile0, c), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, raw_win, c_in_pad), jnp.bfloat16),
+            pltpu.VMEM((2, win, c_in_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

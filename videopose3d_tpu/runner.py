@@ -280,6 +280,11 @@ def main(argv=None):
     jax.config.update("jax_default_prng_impl", args.rng_impl)
 
     os.makedirs(args.checkpoint, exist_ok=True)
+    if getattr(args, "checkpoint_format", "pickle") == "orbax":
+        # Fail fast: background-thread save errors surface only at the NEXT
+        # checkpoint epoch, which would silently discard a whole interval.
+        from videopose3d_tpu.checkpoint import require_orbax
+        require_orbax()
 
     dataset = load_dataset(args)
     prepare_dataset_3d(dataset)

@@ -53,6 +53,28 @@ def _buffer_capacities(config: TemporalModelConfig) -> List[int]:
     return caps
 
 
+def _ring_push(buf, ptr, cap, value):
+    """Write the newest frame at slot ``ptr % cap`` (per-layer position)."""
+    return jax.lax.dynamic_update_slice(
+        buf, value[:, None, :], (0, jnp.mod(ptr, cap), 0))
+
+
+def _ring_taps(buf, ptr, cap, width, dilation):
+    """Tap activations at lags ``(width-1-j)*dilation``, j=0..width-1, newest
+    last; returns (B, width*C).  One single-row ``dynamic_slice`` per tap — a
+    dynamic-index ``take`` along the ring axis lowers to a gather that
+    materializes the whole ring buffer (measured ~1 ms/frame at cap=163,
+    B=1024 on v5e)."""
+    b = buf.shape[0]
+    rows = []
+    for j in range(width):
+        lag = (width - 1 - j) * dilation
+        idx = jnp.mod(ptr - lag, cap)
+        rows.append(jax.lax.dynamic_slice(
+            buf, (0, idx, 0), (b, 1, buf.shape[2])))
+    return jnp.concatenate(rows, axis=1).reshape(b, -1)
+
+
 def _ptr_modulus(config: TemporalModelConfig) -> int:
     """Wrap the frame pointer at lcm(caps) so ``ptr % cap`` stays continuous
     across the wrap for every layer — a long-lived serving process would
@@ -142,30 +164,11 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     b = x.shape[0]
     x = x.reshape(b, -1).astype(compute_dtype)
 
-    def push(buf, cap, value):
-        """Write `value` at slot ptr % cap (per-layer position)."""
-        return jax.lax.dynamic_update_slice(
-            buf, value[:, None, :], (0, jnp.mod(ptr, cap), 0))
-
-    def taps(buf, cap, width, dilation):
-        """Tap activations at lags (width-1-j)*dilation, j=0..width-1, newest
-        last; returns (B, width*C).  One single-row ``dynamic_slice`` per tap —
-        a dynamic-index ``take`` along the ring axis lowers to a gather that
-        materializes the whole ring buffer (measured ~1 ms/frame at cap=163,
-        B=1024 on v5e)."""
-        rows = []
-        for j in range(width):
-            lag = (width - 1 - j) * dilation
-            idx = jnp.mod(ptr - lag, cap)
-            rows.append(jax.lax.dynamic_slice(
-                buf, (0, idx, 0), (b, 1, buf.shape[2])))
-        return jnp.concatenate(rows, axis=1).reshape(b, -1)
-
     # Raw input layer.
-    bufs[0] = push(bufs[0], caps[0], x)
+    bufs[0] = _ring_push(bufs[0], ptr, caps[0], x)
     w0 = params["expand_conv"]["weight"]
     k0 = w0.shape[0]
-    t0 = taps(bufs[0], caps[0], k0, 1)
+    t0 = _ring_taps(bufs[0], ptr, caps[0], k0, 1)
     act = jnp.dot(t0, w0.reshape(k0 * w0.shape[1], -1).astype(compute_dtype),
                   preferred_element_type=jnp.float32)
     s, t_ = _bn_affine(params["expand_bn"], state["expand_bn"])
@@ -175,10 +178,11 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
         cap = caps[i + 1]
         k = config.filter_widths[i + 1]
         d = config.dilations[i + 1]
-        bufs[i + 1] = push(bufs[i + 1], cap, act.astype(compute_dtype))
+        bufs[i + 1] = _ring_push(bufs[i + 1], ptr, cap,
+                                 act.astype(compute_dtype))
 
         w1 = params["layers_conv"][2 * i]["weight"]
-        tp = taps(bufs[i + 1], cap, k, d)
+        tp = _ring_taps(bufs[i + 1], ptr, cap, k, d)
         h = jnp.dot(tp, w1.reshape(k * w1.shape[1], -1).astype(compute_dtype),
                     preferred_element_type=jnp.float32)
         s1, t1 = _bn_affine(params["layers_bn"][2 * i],
@@ -216,13 +220,8 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
 # Consumes the pytree built by
 # :func:`videopose3d_tpu.ops.pallas.temporal_block_int8.quantize_temporal_model`.
 
-_QMAX = 127.0
-
-
-def _i8dot(a, b):
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+from videopose3d_tpu.ops.pallas.temporal_block_int8 import (  # noqa: E402
+    QMAX as _QMAX, _i8dot)
 
 
 def _expand_step_i8(q, raw_taps):
@@ -329,24 +328,9 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
     b = x.shape[0]
     x = x.reshape(b, -1).astype(jnp.bfloat16)
 
-    def push(buf, cap, value):
-        return jax.lax.dynamic_update_slice(
-            buf, value[:, None, :], (0, jnp.mod(ptr, cap), 0))
-
-    def taps(buf, cap, width, dilation):
-        """(B, width*C) taps at lags (width-1-j)*dilation, newest last; one
-        single-row dynamic_slice per tap (see :func:`stream_step`)."""
-        rows = []
-        for j in range(width):
-            lag = (width - 1 - j) * dilation
-            idx = jnp.mod(ptr - lag, cap)
-            rows.append(jax.lax.dynamic_slice(
-                buf, (0, idx, 0), (b, 1, buf.shape[2])))
-        return jnp.concatenate(rows, axis=1).reshape(b, -1)
-
-    bufs[0] = push(bufs[0], caps[0], x)
+    bufs[0] = _ring_push(bufs[0], ptr, caps[0], x)
     k0 = config.filter_widths[0]
-    act_q = _expand_step_i8(q, taps(bufs[0], caps[0], k0, 1))
+    act_q = _expand_step_i8(q, _ring_taps(bufs[0], ptr, caps[0], k0, 1))
 
     n_blocks = len(config.filter_widths) - 1
     out = None
@@ -354,10 +338,11 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
         cap = caps[i + 1]
         k = config.filter_widths[i + 1]
         d = config.dilations[i + 1]
-        bufs[i + 1] = push(bufs[i + 1], cap, act_q)
+        bufs[i + 1] = _ring_push(bufs[i + 1], ptr, cap, act_q)
         last = i == n_blocks - 1
         result = _block_step_i8(
-            q["blocks"][i], taps(bufs[i + 1], cap, k, d), act_q, last=last)
+            q["blocks"][i], _ring_taps(bufs[i + 1], ptr, cap, k, d),
+            act_q, last=last)
         if last:
             out = result
         else:
@@ -387,10 +372,16 @@ class StreamingCausalLifter:
     ``quantize_temporal_model``) as ``quantized`` and the per-frame pipeline
     runs on the int8 MXU path (~2x bf16 throughput, mm-scale accuracy delta —
     see ``tests/test_int8_serving.py``).
+
+    With ``mesh=``, streams scale out across chips: ring buffers and frames
+    are sharded over the batch (stream) axis, weights replicated.  Every op in
+    the step is stream-parallel, so GSPMD compiles it collective-free — N
+    chips serve N x the streams at the single-chip rate.
     """
 
     def __init__(self, config: TemporalModelConfig, params: Params = None,
-                 state: State = None, *, engine: str = "bf16", quantized=None):
+                 state: State = None, *, engine: str = "bf16", quantized=None,
+                 mesh=None):
         if engine not in ("bf16", "int8"):
             raise ValueError(f"unknown streaming engine {engine!r}")
         if engine == "int8" and quantized is None:
@@ -403,8 +394,25 @@ class StreamingCausalLifter:
         self.engine = engine
         self.quantized = quantized
         self._stream_state = None
+        if mesh is not None:
+            from videopose3d_tpu.parallel.mesh import (
+                batch_sharding, replicated_sharding)
+            self._stream_sharding = batch_sharding(mesh)
+            rep = replicated_sharding(mesh)
+            for attr in ("params", "state", "quantized"):
+                if getattr(self, attr) is not None:
+                    setattr(self, attr,
+                            jax.device_put(getattr(self, attr), rep))
+        else:
+            self._stream_sharding = None
+
+    def _shard_frames(self, frames):
+        if self._stream_sharding is None:
+            return frames
+        return jax.device_put(jnp.asarray(frames), self._stream_sharding)
 
     def reset(self, first_frames) -> None:
+        first_frames = self._shard_frames(first_frames)
         if self.engine == "int8":
             self._stream_state = init_stream_state_int8(
                 self.config, self.quantized, first_frames)
@@ -414,6 +422,7 @@ class StreamingCausalLifter:
 
     def step(self, frame) -> jnp.ndarray:
         assert self._stream_state is not None, "call reset() first"
+        frame = self._shard_frames(frame)
         if self.engine == "int8":
             out, self._stream_state = stream_step_int8(
                 self.config, self.quantized, self._stream_state, frame)
