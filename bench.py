@@ -82,7 +82,7 @@ def main():
 
     n_iters = 16
 
-    def timed(n, reps=3):
+    def timed(n, reps=5):
         float(infer_n(q, state, x, n))  # compile + warm
         best = float("inf")
         for _ in range(reps):

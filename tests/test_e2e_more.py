@@ -109,6 +109,18 @@ def test_disable_optimizations(h36m_dir, tmp_path, capsys):
     assert "[1] time" in out
 
 
+def test_semi_projection_ablations(h36m_dir, tmp_path, capsys):
+    """Semi-supervised ablation flags (run.py:366-379 projection choices):
+    --linear-projection swaps the distortion model for the linear one inside
+    the reconstruction loss; --no-proj drops the 2D term entirely."""
+    for i, flag in enumerate(("--linear-projection", "--no-proj")):
+        runner.main(_args(h36m_dir, str(tmp_path / f"sp{i}"),
+                          ["-str", "S1", "-sun", "S5,S6", "--warmup", "0",
+                           flag]))
+        out = capsys.readouterr().out
+        assert "Semi-supervision" in out and "[1] time" in out
+
+
 def test_subset_and_downsample(h36m_dir, tmp_path, capsys):
     runner.main(_args(h36m_dir, str(tmp_path / "c4"),
                       ["--subset", "0.5", "--downsample", "2"]))

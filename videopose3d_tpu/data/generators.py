@@ -105,7 +105,10 @@ class FlatSequenceDataset:
             kps_perm, joints_perm = flip_perms
 
             def with_flipped(arr, perm):
-                flipped = arr[:, np.asarray(perm, np.int64)].copy()
+                # Fancy indexing already yields a fresh writable array; a
+                # .copy() here would transiently double peak host memory on
+                # H36M-scale flat arrays.
+                flipped = arr[:, np.asarray(perm, np.int64)]
                 flipped[..., 0] *= -1
                 return np.concatenate([arr, flipped], axis=0)
 
@@ -439,6 +442,10 @@ class UnchunkedBatcher:
                  bucket: int = 128, bucket_pow2: bool = False):
         assert poses_3d is None or len(poses_3d) == len(poses_2d)
         assert cameras is None or len(cameras) == len(poses_2d)
+        if augment and (kps_flip_perm is None or joints_flip_perm is None):
+            raise ValueError(
+                "test-time augmentation requires kps_flip_perm and "
+                "joints_flip_perm")
         self.cameras = cameras
         self.poses_3d = poses_3d
         self.poses_2d = poses_2d
@@ -460,6 +467,11 @@ class UnchunkedBatcher:
         return self.augment
 
     def set_augment(self, augment: bool):
+        if augment and (self.kps_flip_perm is None
+                        or self.joints_flip_perm is None):
+            raise ValueError(
+                "test-time augmentation requires kps_flip_perm and "
+                "joints_flip_perm at construction")
         self.augment = augment
 
     def next_epoch(self):

@@ -64,6 +64,16 @@ class TrainLoopConfig:
     no_proj: bool = False
     linear_projection: bool = False
 
+    def __post_init__(self):
+        if self.use_strided and self.chunk_length != 1:
+            # The strided form computes exactly one output frame per chunk
+            # (run.py:172-175 only selects TemporalModelOptimized1f at
+            # stride 1); longer chunks need the dilated form.
+            raise ValueError(
+                "use_strided=True requires chunk_length == 1 "
+                f"(got {self.chunk_length}); pass use_strided=False "
+                "to train with the dilated form")
+
 
 def bn_momentum_for_epoch(cfg: TrainLoopConfig, epoch: int) -> float:
     """Exponential BatchNorm momentum decay 0.1 -> 0.001
@@ -143,6 +153,45 @@ def _mpjpe_per_sample(pred, target):
     return jnp.mean(jnp.linalg.norm(pred - target, axis=-1), axis=(1, 2))
 
 
+def _device_data_dict(dev, with_cameras=False):
+    """Extract the device arrays the batch-assembly path needs.  Prefers the
+    contiguous fast path (margin-padded arrays) when the dataset was built
+    with margins.  Shared by both trainers."""
+    # The dict's key set is part of the jit cache key, so the presence of
+    # "base_2d" (vs "seq_bounds") statically selects the assembly path.
+    if dev.has_contiguous:
+        d = {"flat_2d": dev.flat_2d_padded, "flat_3d": dev.flat_3d_padded,
+             "base_2d": dev.base_2d, "base_3d": dev.base_3d}
+    else:
+        d = {"flat_2d": dev.flat_2d, "flat_3d": dev.flat_3d,
+             "seq_bounds": dev.seq_bounds}
+    if with_cameras:
+        d["cameras"] = dev.cameras
+    return {k: v for k, v in d.items() if v is not None}
+
+
+def _assemble_batch(loop, kps_flip_perm, joints_flip_perm, data, meta, *,
+                    with_3d=True, with_cameras=False, aug=(0, 0)):
+    """On-device chunked-batch assembly from descriptors.  Shared by both
+    trainers (the semi-supervised one assembles labeled and unlabeled halves
+    with the same geometry)."""
+    common = dict(pad=loop.pad, causal_shift=loop.causal_shift,
+                  chunk_length=loop.chunk_length,
+                  kps_flip_perm=kps_flip_perm,
+                  joints_flip_perm=joints_flip_perm,
+                  with_3d=with_3d, with_cameras=with_cameras)
+    if "base_2d" in data:
+        from videopose3d_tpu.data.generators import (
+            assemble_chunked_batch_contiguous)
+        return assemble_chunked_batch_contiguous(
+            data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
+            data["base_2d"], data.get("base_3d"), meta,
+            aug_offset_2d=aug[0], aug_offset_3d=aug[1], **common)
+    return assemble_chunked_batch(
+        data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
+        data["seq_bounds"], meta, **common)
+
+
 class SupervisedTrainer:
     """Owns the jitted supervised train step.
 
@@ -184,46 +233,11 @@ class SupervisedTrainer:
     def init_optimizer(self, params):
         return self.optimizer.init(params)
 
-    @staticmethod
-    def _data_dict(dev, with_cameras=False):
-        """Extract the device arrays the assembly path needs.  Prefers the
-        contiguous fast path (margin-padded arrays) when the dataset was built
-        with margins."""
-        # The dict's key set is part of the jit cache key, so the presence of
-        # "base_2d" (vs "seq_bounds") statically selects the assembly path.
-        if dev.has_contiguous:
-            d = {"flat_2d": dev.flat_2d_padded, "flat_3d": dev.flat_3d_padded,
-                 "base_2d": dev.base_2d, "base_3d": dev.base_3d}
-        else:
-            d = {"flat_2d": dev.flat_2d, "flat_3d": dev.flat_3d,
-                 "seq_bounds": dev.seq_bounds}
-        if with_cameras:
-            d["cameras"] = dev.cameras
-        return {k: v for k, v in d.items() if v is not None}
-
-    def _assemble(self, data, meta, *, with_3d=True, with_cameras=False,
-                  aug=(0, 0)):
-        loop = self.loop_cfg
-        common = dict(pad=loop.pad, causal_shift=loop.causal_shift,
-                      chunk_length=loop.chunk_length,
-                      kps_flip_perm=self.kps_flip_perm,
-                      joints_flip_perm=self.joints_flip_perm,
-                      with_3d=with_3d, with_cameras=with_cameras)
-        if "base_2d" in data:
-            from videopose3d_tpu.data.generators import (
-                assemble_chunked_batch_contiguous)
-            return assemble_chunked_batch_contiguous(
-                data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
-                data["base_2d"], data.get("base_3d"), meta,
-                aug_offset_2d=aug[0], aug_offset_3d=aug[1], **common)
-        return assemble_chunked_batch(
-            data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
-            data["seq_bounds"], meta, **common)
-
     def _step_core(self, params, state, opt_state, rng, data, meta, n_valid,
                    momentum, aug=(0, 0)):
         cfg, loop = self.model_cfg, self.loop_cfg
-        _, batch_3d, batch_2d = self._assemble(data, meta, aug=aug)
+        _, batch_3d, batch_2d = _assemble_batch(self.loop_cfg, self.kps_flip_perm,
+                                        self.joints_flip_perm, data, meta, aug=aug)
 
         # Root-center: zero the hip, trajectory handled separately (run.py:407).
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -277,7 +291,7 @@ class SupervisedTrainer:
         Returns:
           (params, state, opt_state, rng, (steps,) per-step losses).
         """
-        return self._epoch(params, state, opt_state, rng, self._data_dict(dev),
+        return self._epoch(params, state, opt_state, rng, _device_data_dict(dev),
                            jnp.asarray(metas),
                            jnp.asarray(n_valids, jnp.int32),
                            jnp.asarray(momentum, jnp.float32),
@@ -285,7 +299,7 @@ class SupervisedTrainer:
 
     def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
         """One training step.  ``dev``: DeviceArrays for the labeled set."""
-        return self._step(params, state, opt_state, rng, self._data_dict(dev),
+        return self._step(params, state, opt_state, rng, _device_data_dict(dev),
                           jnp.asarray(meta),
                           jnp.asarray(n_valid, jnp.int32),
                           jnp.asarray(momentum, jnp.float32),
@@ -339,8 +353,6 @@ class SemiSupervisedTrainer:
             )
         self._step = jax.jit(self._step_impl, **jit_kwargs)
         self._epoch = jax.jit(self._epoch_impl, **epoch_kwargs)
-        self._data_dict = SupervisedTrainer._data_dict
-        self._assemble = SupervisedTrainer._assemble.__get__(self)
 
     def init_optimizer(self, params):
         """``params`` = {"pos": ..., "traj": ...} — one optimizer over both models
@@ -352,7 +364,9 @@ class SemiSupervisedTrainer:
                    augs=((0, 0), (0, 0))):
         cfg, tcfg, loop = self.model_cfg, self.traj_cfg, self.loop_cfg
 
-        _, batch_3d, batch_2d = self._assemble(data, meta, aug=augs[0])
+        _, batch_3d, batch_2d = _assemble_batch(self.loop_cfg, self.kps_flip_perm,
+                                        self.joints_flip_perm, data, meta,
+                                        aug=augs[0])
 
         inputs_traj = batch_3d[:, :, :1]                      # before root-zeroing
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -360,7 +374,8 @@ class SemiSupervisedTrainer:
         mask_l = (jnp.arange(b_l) < n_valid).astype(jnp.float32)
 
         if not skip:
-            cam_semi, _, batch_2d_semi = self._assemble(
+            cam_semi, _, batch_2d_semi = _assemble_batch(
+                self.loop_cfg, self.kps_flip_perm, self.joints_flip_perm,
                 data_semi, meta_semi, with_3d=False, with_cameras=True,
                 aug=augs[1])
             inputs_2d_cat = jnp.concatenate([batch_2d, batch_2d_semi], axis=0)
@@ -433,7 +448,7 @@ class SemiSupervisedTrainer:
              meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
         return self._step(
             params, states, opt_state, rng,
-            self._data_dict(dev), self._data_dict(dev_semi, with_cameras=True),
+            _device_data_dict(dev), _device_data_dict(dev_semi, with_cameras=True),
             jnp.asarray(meta), jnp.asarray(n_valid, jnp.int32),
             jnp.asarray(meta_semi), jnp.asarray(n_valid_semi, jnp.int32),
             jnp.asarray(momentum, jnp.float32), bool(skip),
@@ -470,7 +485,7 @@ class SemiSupervisedTrainer:
         loss_recon, loss_total) per-step vectors)."""
         return self._epoch(
             params, states, opt_state, rng,
-            self._data_dict(dev), self._data_dict(dev_semi, with_cameras=True),
+            _device_data_dict(dev), _device_data_dict(dev_semi, with_cameras=True),
             jnp.asarray(metas), jnp.asarray(n_valids, jnp.int32),
             jnp.asarray(metas_semi), jnp.asarray(n_valids_semi, jnp.int32),
             jnp.asarray(momentum, jnp.float32), bool(skip),
