@@ -235,3 +235,23 @@ def test_unchunked_parity(reference_modules, pad, causal_shift, augment):
         # Camera rows match the reference exactly, including the flipped TTA
         # row (intrinsics 2 and 7 negated) when augmenting.
         np.testing.assert_array_equal(cam, ref_cam.astype(np.float32))
+
+
+def test_unchunked_skips_empty_sequences():
+    """A sequence downsampled to zero frames is skipped (it cannot be
+    edge-padded and would NaN frame-weighted protocol means)."""
+    seqs = [np.zeros((0, 17, 2), np.float32),
+            np.ones((5, 17, 2), np.float32)]
+    b = UnchunkedBatcher(None, None, seqs, pad=2, bucket=8)
+    yielded = list(b.next_epoch())
+    assert len(yielded) == 1
+    assert yielded[0][3] == 5
+
+
+def test_unchunked_augment_requires_perms():
+    seqs = [np.ones((5, 17, 2), np.float32)]
+    with pytest.raises(ValueError, match="flip_perm"):
+        UnchunkedBatcher(None, None, seqs, augment=True)
+    b = UnchunkedBatcher(None, None, seqs)
+    with pytest.raises(ValueError, match="flip_perm"):
+        b.set_augment(True)

@@ -194,3 +194,50 @@ class TestLosses:
         ours = mean_velocity_error(b, a)
         theirs = reference_modules.loss.mean_velocity_error(b, a)
         assert abs(ours - theirs) < 1e-12
+
+
+class TestHostDispatch:
+    """Camera/quaternion ops on numpy inputs must compute on host in numpy
+    (dataset prep moves hundreds of MB; a tunneled-TPU default backend would
+    drag it over a ~10 MB/s relay) while staying jit-traceable for the
+    in-graph semi-supervised projection loss."""
+
+    def test_numpy_in_numpy_out(self):
+        import numpy as np
+        from videopose3d_tpu.ops.camera import (
+            normalize_screen_coordinates, world_to_camera, camera_to_world,
+            project_to_2d)
+        X = np.random.default_rng(0).standard_normal((5, 17, 3)).astype(np.float32)
+        q = np.array([0.5, 0.5, 0.5, 0.5], np.float32)
+        t = np.array([0.1, 0.2, 0.3], np.float32)
+        assert type(world_to_camera(X, q, t)) is np.ndarray
+        assert type(camera_to_world(X, q, t)) is np.ndarray
+        assert type(normalize_screen_coordinates(
+            X[..., :2], w=1000, h=1002)) is np.ndarray
+        cam = np.zeros((5, 9), np.float32); cam[:, :2] = 1.0
+        assert type(project_to_2d(X + np.array([0, 0, 4], np.float32),
+                                  cam)) is np.ndarray
+
+    def test_normalize_matches_reference_float64_promotion(self):
+        """The [1, h/w] offset must subtract in float64 like the reference's
+        bare-list subtraction (bit parity from raw pixel data on non-square
+        cameras such as H36M's 1000x1002)."""
+        import numpy as np
+        from videopose3d_tpu.ops.camera import normalize_screen_coordinates
+        X = np.random.default_rng(1).uniform(0, 1000, (100, 2)).astype(np.float32)
+        got = normalize_screen_coordinates(X, w=1000, h=1002)
+        want = X / 1000 * 2 - [1, 1002 / 1000]     # reference formula verbatim
+        assert got.dtype == want.dtype == np.float64
+        np.testing.assert_array_equal(got, want)
+
+    def test_jit_traceable(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from videopose3d_tpu.ops.camera import project_to_2d
+        X = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (3, 17, 3)), jnp.float32) + jnp.asarray([0, 0, 4.0])
+        cam = jnp.zeros((3, 9), jnp.float32).at[:, :2].set(1.0)
+        out = jax.jit(project_to_2d)(X, cam)
+        assert isinstance(out, jax.Array)
+        g = jax.grad(lambda x: jnp.sum(project_to_2d(x, cam)))(X)
+        assert g.shape == X.shape

@@ -488,6 +488,11 @@ class UnchunkedBatcher:
             seq_3d = self.poses_3d[i] if self.poses_3d is not None else None
             cam = self.cameras[i] if self.cameras is not None else None
             n = seq_2d.shape[0]
+            if n == 0:
+                # A sequence downsampled to zero frames has nothing to
+                # evaluate (and cannot be edge-padded); callers' frame-
+                # weighted means are unaffected by skipping it.
+                continue
 
             if self.bucket_pow2:
                 t_bucket = self.bucket

@@ -117,6 +117,10 @@ def evaluate(evaluator: Evaluator, params, state, batcher, *,
     n_total = 0
 
     for _, batch_3d, batch_2d, n_frames in batcher.next_epoch():
+        if n_frames == 0:
+            # A video downsampled to zero frames would otherwise NaN-poison
+            # the action's protocol means (np.mean of an empty slice).
+            continue
         pred = evaluator.predict(params, state, batch_2d,
                                  augment=batcher.augment_enabled())
         pred = pred[:, :n_frames]
@@ -146,6 +150,10 @@ def evaluate(evaluator: Evaluator, params, state, batcher, *,
         epoch_loss_3d_vel += n * ev
         n_total += n
 
+    if n_total == 0:
+        raise ValueError(
+            "no frames to evaluate (every sequence was empty after "
+            "downsampling)")
     e1 = epoch_loss_3d_pos / n_total * 1000
     e2 = epoch_loss_3d_pos_procrustes / n_total * 1000
     e3 = epoch_loss_3d_pos_scale / n_total * 1000

@@ -1,10 +1,15 @@
 """Camera model: screen-coordinate normalization, world<->camera transforms, and the
 differentiable Human3.6M projection.
 
-Functional parity target: ``/root/reference/common/camera.py:14-89``.  Everything here
-is a pure ``jax.numpy`` function usable both on host (via numpy-backed tracing) and
-inside jitted training graphs — in particular ``project_to_2d`` sits inside the
-semi-supervised loss graph and must be differentiable end-to-end.
+Functional parity target: ``/root/reference/common/camera.py:14-89``.  Every
+function dispatches on input type: numpy inputs compute in numpy ON HOST (the
+dataset-prep path transforms hundreds of MB — on a tunneled-TPU setup the
+default jax backend would move it over a ~10 MB/s relay), while jax arrays /
+tracers compute via ``jax.numpy`` — in particular ``project_to_2d`` sits inside
+the semi-supervised loss graph and must be differentiable end-to-end.  The
+numpy paths also reproduce the reference's float64 promotion exactly (e.g. the
+``[1, h/w]`` offset in screen-coordinate normalization), keeping bit-level
+preprocessing parity.
 
 Intrinsic parameter vector layout (9,)::
 
@@ -17,9 +22,16 @@ the layout assembled by the dataset layer (see
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from videopose3d_tpu.ops.quaternion import qrot, qinverse
+
+
+def _xp(*arrays):
+    """numpy for host inputs, jax.numpy when any input is a jax array/tracer."""
+    return (jnp if any(isinstance(a, jax.Array) for a in arrays) else np)
 
 
 def normalize_screen_coordinates(X, w, h):
@@ -29,7 +41,12 @@ def normalize_screen_coordinates(X, w, h):
     Accepts jnp or numpy arrays; returns the same family via jnp ufunc semantics.
     """
     assert X.shape[-1] == 2, f"expected (...,2), got {X.shape}"
-    offset = jnp.asarray([1.0, h / w], dtype=jnp.result_type(X, jnp.float32))
+    xp = _xp(X)
+    # numpy path: the [1, h/w] offset promotes to float64 exactly like the
+    # reference's bare-list subtraction; jnp path stays in the input dtype.
+    offset = (np.array([1.0, h / w]) if xp is np
+              else jnp.asarray([1.0, h / w],
+                               dtype=jnp.result_type(X, jnp.float32)))
     return X / w * 2.0 - offset
 
 
@@ -39,7 +56,10 @@ def image_coordinates(X, w, h):
     Parity: ``/root/reference/common/camera.py:21-25``.
     """
     assert X.shape[-1] == 2, f"expected (...,2), got {X.shape}"
-    offset = jnp.asarray([1.0, h / w], dtype=jnp.result_type(X, jnp.float32))
+    xp = _xp(X)
+    offset = (np.array([1.0, h / w]) if xp is np
+              else jnp.asarray([1.0, h / w],
+                               dtype=jnp.result_type(X, jnp.float32)))
     return (X + offset) * w / 2.0
 
 
@@ -49,8 +69,9 @@ def world_to_camera(X, R, t):
     Parity: ``/root/reference/common/camera.py:28-30``.  ``R`` is a (4,) quaternion
     (or batch thereof); broadcasting replaces the reference's ``np.tile``.
     """
-    Rt = qinverse(jnp.asarray(R))
-    return qrot(jnp.broadcast_to(Rt, X.shape[:-1] + (4,)), X - t)
+    xp = _xp(X, R)
+    Rt = qinverse(xp.asarray(R))
+    return qrot(xp.broadcast_to(Rt, X.shape[:-1] + (4,)), X - t)
 
 
 def camera_to_world(X, R, t):
@@ -58,8 +79,9 @@ def camera_to_world(X, R, t):
 
     Parity: ``/root/reference/common/camera.py:33-34``.
     """
-    R = jnp.asarray(R)
-    return qrot(jnp.broadcast_to(R, X.shape[:-1] + (4,)), X) + t
+    xp = _xp(X, R)
+    R = xp.asarray(R)
+    return qrot(xp.broadcast_to(R, X.shape[:-1] + (4,)), X) + t
 
 
 def _split_intrinsics(camera_params, ndim):
@@ -92,17 +114,18 @@ def project_to_2d(X, camera_params):
     assert X.shape[-1] == 3, f"expected (...,3) points, got {X.shape}"
     assert camera_params.ndim == 2 and X.shape[0] == camera_params.shape[0]
 
+    xp = _xp(X, camera_params)
     f, c, k, p = _split_intrinsics(camera_params, X.ndim)
 
-    XX = jnp.clip(X[..., :2] / X[..., 2:], -1.0, 1.0)
-    r2 = jnp.sum(XX * XX, axis=-1, keepdims=True)
+    XX = xp.clip(X[..., :2] / X[..., 2:], -1.0, 1.0)
+    r2 = xp.sum(XX * XX, axis=-1, keepdims=True)
 
-    radial = 1.0 + jnp.sum(
-        k * jnp.concatenate([r2, r2 * r2, r2 * r2 * r2], axis=-1),
+    radial = 1.0 + xp.sum(
+        k * xp.concatenate([r2, r2 * r2, r2 * r2 * r2], axis=-1),
         axis=-1,
         keepdims=True,
     )
-    tan = jnp.sum(p * XX, axis=-1, keepdims=True)
+    tan = xp.sum(p * XX, axis=-1, keepdims=True)
 
     XXX = XX * (radial + tan) + p * r2
     return f * XXX + c
@@ -116,6 +139,7 @@ def project_to_2d_linear(X, camera_params):
     assert X.shape[-1] == 3, f"expected (...,3) points, got {X.shape}"
     assert camera_params.ndim == 2 and X.shape[0] == camera_params.shape[0]
 
+    xp = _xp(X, camera_params)
     f, c, _, _ = _split_intrinsics(camera_params, X.ndim)
-    XX = jnp.clip(X[..., :2] / X[..., 2:], -1.0, 1.0)
+    XX = xp.clip(X[..., :2] / X[..., 2:], -1.0, 1.0)
     return f * XX + c

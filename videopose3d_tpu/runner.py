@@ -37,6 +37,7 @@ from videopose3d_tpu.models.temporal import (
 from videopose3d_tpu.ops.camera import (
     normalize_screen_coordinates, world_to_camera, camera_to_world,
     image_coordinates, project_to_2d)
+from videopose3d_tpu.ops.losses import mpjpe_np
 from videopose3d_tpu.train import (
     TrainLoopConfig, SupervisedTrainer, SemiSupervisedTrainer,
     bn_momentum_for_epoch, set_learning_rate)
@@ -227,6 +228,16 @@ def _flip_perm_from_lists(num, left, right):
 # ---------------------------------------------------------------------------
 
 
+def _eval_batcher(args, pad, causal_shift, kps_perm, joints_perm,
+                  cameras, poses_3d, poses_2d, *, augment=False):
+    """Whole-sequence eval batcher with the CLI's bucketing options applied
+    (one construction point for all five eval/render call sites)."""
+    return UnchunkedBatcher(
+        cameras, poses_3d, poses_2d, pad=pad, causal_shift=causal_shift,
+        augment=augment, kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
+        bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
+
+
 def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None,
                        traj_params=None, traj_state=None, pad=0):
     """Frame-weighted MPJPE (and, when trajectory evaluation is requested, the
@@ -245,21 +256,19 @@ def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None
             target = np.asarray(batch_3d, np.float32).copy()
             traj_target = target[:, :, :1].copy()
             target[:, :, 0] = 0.0
-            loss_3d += n * float(np.mean(
-                np.linalg.norm(pred - target, axis=-1)))
+            loss_3d += n * mpjpe_np(pred, target)
         if traj_evaluator is not None:
             pred_traj = traj_evaluator.predict(
                 traj_params, traj_state, batch_2d, augment=False)[:, :n_frames]
             if batch_3d is not None:
-                loss_traj += n * float(np.mean(
-                    np.linalg.norm(pred_traj - traj_target, axis=-1)))
+                loss_traj += n * mpjpe_np(pred_traj, traj_target)
             if cam is not None:
                 target_2d = batch_2d[:1, pad:pad + n_frames, :, :2] if pad > 0 \
                     else batch_2d[:1, :n_frames, :, :2]
-                recon = np.asarray(project_to_2d(
-                    jnp.asarray(pred + pred_traj), jnp.asarray(cam[:1])))
-                loss_2d += n * float(np.mean(
-                    np.linalg.norm(recon - target_2d, axis=-1)))
+                # numpy inputs keep the projection on host (camera.py dispatch).
+                recon = project_to_2d(
+                    np.asarray(pred + pred_traj), np.asarray(cam[:1]))
+                loss_2d += n * mpjpe_np(recon, target_2d)
         n_total += n
     if n_total == 0:
         return 0.0, 0.0, 0.0, 0
@@ -367,11 +376,9 @@ def main(argv=None):
             params_traj, state_traj = params_from_torch_state_dict(
                 traj_cfg, checkpoint["model_traj"])
 
-    test_batcher = UnchunkedBatcher(
-        cameras_valid, poses_valid, poses_valid_2d, pad=pad,
-        causal_shift=causal_shift, augment=False,
-        kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
-        bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
+    test_batcher = _eval_batcher(args, pad, causal_shift, kps_perm,
+                                 joints_perm, cameras_valid, poses_valid,
+                                 poses_valid_2d)
     print("INFO: Testing on {} frames".format(test_batcher.num_frames()))
 
     # Per-epoch eval during training must stay metric-grade (and int8
@@ -451,10 +458,9 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
     sampler = ChunkedPairSampler(
         [p.shape[0] for p in poses_train_2d], loop_cfg.batch_size,
         loop_cfg.chunk_length, shuffle=True, augment=args.data_augmentation)
-    train_eval_batcher = UnchunkedBatcher(
-        cameras_train, poses_train, poses_train_2d, pad=pad,
-        causal_shift=causal_shift, augment=False, kps_flip_perm=kps_perm,
-        joints_flip_perm=joints_perm, bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
+    train_eval_batcher = _eval_batcher(args, pad, causal_shift, kps_perm,
+                                       joints_perm, cameras_train,
+                                       poses_train, poses_train_2d)
     print("INFO: Training on {} frames".format(train_eval_batcher.num_frames()))
 
     epoch = 0
@@ -471,10 +477,9 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             [p.shape[0] for p in poses_semi_2d], loop_cfg.batch_size,
             loop_cfg.chunk_length, shuffle=True, random_seed=4321,
             augment=args.data_augmentation, endless=True)
-        semi_eval_batcher = UnchunkedBatcher(
-            cameras_semi, None, poses_semi_2d, pad=pad,
-            causal_shift=causal_shift, augment=False, kps_flip_perm=kps_perm,
-            joints_flip_perm=joints_perm, bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
+        semi_eval_batcher = _eval_batcher(args, pad, causal_shift, kps_perm,
+                                          joints_perm, cameras_semi, None,
+                                          poses_semi_2d)
         print("INFO: Semi-supervision on {} frames".format(
             semi_eval_batcher.num_frames()))
 
@@ -841,11 +846,9 @@ def _final_evaluation(args, dataset, keypoints, subjects_test, action_filter,
 
     def make_batcher(action_pairs):
         poses_act, poses_2d_act = fetch_actions(action_pairs)
-        return UnchunkedBatcher(
-            None, poses_act, poses_2d_act, pad=pad,
-            causal_shift=causal_shift, augment=args.test_time_augmentation,
-            kps_flip_perm=kps_perm, joints_flip_perm=joints_perm,
-            bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
+        return _eval_batcher(args, pad, causal_shift, kps_perm, joints_perm,
+                             None, poses_act, poses_2d_act,
+                             augment=args.test_time_augmentation)
 
     if not args.by_subject:
         evaluate_actionwise(evaluator, params, state, all_actions, make_batcher,
@@ -878,10 +881,9 @@ def _render(args, dataset, keypoints, keypoints_metadata, model_cfg, traj_cfg,
     if ground_truth is None:
         print("INFO: this action is unlabeled. Ground truth will not be rendered.")
 
-    batcher = UnchunkedBatcher(
-        None, None, [input_keypoints], pad=pad, causal_shift=causal_shift,
-        augment=args.test_time_augmentation, kps_flip_perm=kps_perm,
-        joints_flip_perm=joints_perm, bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
+    batcher = _eval_batcher(args, pad, causal_shift, kps_perm, joints_perm,
+                            None, None, [input_keypoints],
+                            augment=args.test_time_augmentation)
     prediction = evaluate(evaluator, params, state, batcher,
                           return_predictions=True)
     if params_traj is not None and ground_truth is None:
