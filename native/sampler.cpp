@@ -77,7 +77,15 @@ struct MT19937 {
       while ((value = (next() & mask)) > max) {
       }
     } else {
-      while ((value = ((((uint64_t)next() << 32) | next()) & mask)) > max) {
+      // Two sequenced draws: numpy's rk_ulong takes the HIGH word first, and
+      // operand evaluation order of `|` is unspecified in C++ — a single
+      // expression with two next() calls could swap the words on some
+      // compilers, silently breaking MT19937 bit-compatibility.
+      for (;;) {
+        uint64_t hi = next();
+        uint64_t lo = next();
+        value = (((hi << 32) | lo) & mask);
+        if (value <= max) break;
       }
     }
     return value;

@@ -58,12 +58,27 @@ class TestStepTimer:
         lines = [json.loads(l) for l in open(path)]
         assert lines[0]["epoch"] == 1 and lines[1]["loss"] == 0.25
 
+    def test_metrics_jsonl_creates_parent_dirs(self, tmp_path):
+        """--metrics-log into a nonexistent directory must not lose the first
+        epoch to a FileNotFoundError at the first write."""
+        path = str(tmp_path / "logs" / "run1" / "m.jsonl")
+        log_metrics_jsonl(path, {"epoch": 1})
+        assert json.loads(open(path).read())["epoch"] == 1
+
 
 class TestDistributedHelpers:
     def test_initialize_distributed_is_noop_single_host(self, monkeypatch):
         from videopose3d_tpu.parallel import initialize_distributed
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        assert initialize_distributed() is False
+
+    def test_initialize_distributed_noop_on_single_process_env(self, monkeypatch):
+        """A launcher exporting JAX_NUM_PROCESSES=1 without a coordinator is
+        single-process: the guarded no-op must hold (not crash rendezvous)."""
+        from videopose3d_tpu.parallel import initialize_distributed
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
         assert initialize_distributed() is False
 
     def test_process_info(self):

@@ -33,13 +33,25 @@ def _build() -> Optional[str]:
     if os.path.exists(_LIB_PATH) and (
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return _LIB_PATH
+    # Compile to a process-unique temp name, then atomically rename: a
+    # concurrent builder (pytest workers, two jobs on one host) or a killed
+    # build must never leave a half-written .so at the final path, where the
+    # mtime check would accept it forever after.
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except (OSError, subprocess.CalledProcessError):
         return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():
@@ -53,7 +65,12 @@ def _load():
         path = _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # Corrupt/incompatible artifact: fall back to the numpy path
+            # (available() contract) rather than crash sampler construction.
+            return None
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.sampler_permute_rows.argtypes = [

@@ -47,34 +47,57 @@ def fold_batchnorm(bn_params, bn_state) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return scale, shift
 
 
+def _tile_geometry(t, t_out, t_tile, reach, align=8):
+    """Shared wrapper geometry: align output tiles to the sublane tiling,
+    size the overlapping DMA window (``reach`` = (k-1)*dilation extra rows),
+    and compute the input/output padding so ``t_out`` divides into tiles and
+    every window stays in range.  One definition for all three fused-block
+    wrappers — the tiling rules must never drift between them."""
+    t_tile = min(t_tile, t_out)
+    t_tile = -(-t_tile // align) * align
+    n_tiles = -(-t_out // t_tile)
+    t_padded_out = n_tiles * t_tile
+    win = -(-(t_tile + reach) // align) * align
+    t_needed = (n_tiles - 1) * t_tile + win
+    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    return t_tile, n_tiles, t_padded_out, win, pad_amount
+
+
 def _block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, out,
                   x_vmem, sems, *, t_tile, dilation, res_offset, n_taps, win):
 
     b = pl.program_id(0)
     t = pl.program_id(1)
+    n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
 
-    slot = jax.lax.rem(t, 2)
-    next_slot = jax.lax.rem(t + 1, 2)
+    # Double-buffer slot parity follows the LINEAR grid index so the prefetch
+    # pipeline crosses batch-row boundaries: tile (b+1, 0) is started while
+    # (b, n_t-1) computes, instead of stalling one full window DMA per row.
+    idx = b * n_t + t
+    slot = jax.lax.rem(idx, 2)
+    next_slot = jax.lax.rem(idx + 1, 2)
 
-    def window_dma(dst_slot, tile_idx):
+    def window_dma(dst_slot, row, tile_idx):
         return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            x_hbm.at[row, pl.ds(tile_idx * t_tile, win)],
             x_vmem.at[dst_slot],
             sems.at[dst_slot],
         )
 
-    # First tile of each batch row: start its own DMA (no lookahead available).
-    @pl.when(t == 0)
+    @pl.when(idx == 0)
     def _():
-        window_dma(slot, 0).start()
+        window_dma(slot, b, 0).start()
 
-    # Prefetch the next window while this tile computes.
     @pl.when(t + 1 < n_t)
     def _():
-        window_dma(next_slot, t + 1).start()
+        window_dma(next_slot, b, t + 1).start()
 
-    window_dma(slot, t).wait()
+    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
+    def _():
+        window_dma(next_slot, b + 1, 0).start()
+
+    window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
     # Width-n dilated conv as n accumulated MXU matmuls (f32 accumulation).
@@ -122,18 +145,12 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
     t_out = t - (n_taps - 1) * dilation
     assert t_out >= 1, (t, dilation)
 
-    t_tile = min(t_tile, t_out)
-    t_tile = -(-t_tile // 8) * 8  # sublane-aligned output tiles
     # Pad the time axis so t_out divides evenly into tiles; the tail windows
     # read zero padding and their outputs are sliced off below.  The DMA window
     # is rounded up to the 8-row sublane tiling (Mosaic HBM-slice constraint),
     # so the input gets padded to cover the widest window too.
-    n_tiles = -(-t_out // t_tile)
-    t_padded_out = n_tiles * t_tile
-    win = t_tile + (n_taps - 1) * dilation
-    win = -(-win // 8) * 8
-    t_needed = (n_tiles - 1) * t_tile + win
-    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    t_tile, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+        t, t_out, t_tile, (n_taps - 1) * dilation)
     if pad_amount > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
 
@@ -178,7 +195,7 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
       as_row(bn1_shift), w2.astype(dtype), as_row(bn2_scale),
       as_row(bn2_shift))
 
-    if pad_amount > 0:
+    if t_padded_out > t_out:
         out = out[:, :t_out]
     return out
 
@@ -195,27 +212,36 @@ def _expand_block_kernel(x_hbm, w0, s0, b0, w_taps, s1, b1, w2, s2, b2, out,
                          k0, win, raw_win):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
 
-    slot = jax.lax.rem(t, 2)
-    next_slot = jax.lax.rem(t + 1, 2)
+    # Double-buffer slot parity follows the LINEAR grid index so the prefetch
+    # pipeline crosses batch-row boundaries: tile (b+1, 0) is started while
+    # (b, n_t-1) computes, instead of stalling one full window DMA per row.
+    idx = b * n_t + t
+    slot = jax.lax.rem(idx, 2)
+    next_slot = jax.lax.rem(idx + 1, 2)
 
-    def window_dma(dst_slot, tile_idx):
+    def window_dma(dst_slot, row, tile_idx):
         return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(tile_idx * t_tile, raw_win)],
+            x_hbm.at[row, pl.ds(tile_idx * t_tile, raw_win)],
             x_vmem.at[dst_slot],
             sems.at[dst_slot],
         )
 
-    @pl.when(t == 0)
+    @pl.when(idx == 0)
     def _():
-        window_dma(slot, 0).start()
+        window_dma(slot, b, 0).start()
 
     @pl.when(t + 1 < n_t)
     def _():
-        window_dma(next_slot, t + 1).start()
+        window_dma(next_slot, b, t + 1).start()
 
-    window_dma(slot, t).wait()
+    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
+    def _():
+        window_dma(next_slot, b + 1, 0).start()
+
+    window_dma(slot, b, t).wait()
     raw = x_vmem[slot]
 
     # Expand conv (width k0, dilation 1) over the raw window -> (win, C).
@@ -334,27 +360,36 @@ def _shrink_block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, ws, bs, out,
                          n_taps, win):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
 
-    slot = jax.lax.rem(t, 2)
-    next_slot = jax.lax.rem(t + 1, 2)
+    # Double-buffer slot parity follows the LINEAR grid index so the prefetch
+    # pipeline crosses batch-row boundaries: tile (b+1, 0) is started while
+    # (b, n_t-1) computes, instead of stalling one full window DMA per row.
+    idx = b * n_t + t
+    slot = jax.lax.rem(idx, 2)
+    next_slot = jax.lax.rem(idx + 1, 2)
 
-    def window_dma(dst_slot, tile_idx):
+    def window_dma(dst_slot, row, tile_idx):
         return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            x_hbm.at[row, pl.ds(tile_idx * t_tile, win)],
             x_vmem.at[dst_slot],
             sems.at[dst_slot],
         )
 
-    @pl.when(t == 0)
+    @pl.when(idx == 0)
     def _():
-        window_dma(slot, 0).start()
+        window_dma(slot, b, 0).start()
 
     @pl.when(t + 1 < n_t)
     def _():
-        window_dma(next_slot, t + 1).start()
+        window_dma(next_slot, b, t + 1).start()
 
-    window_dma(slot, t).wait()
+    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
+    def _():
+        window_dma(next_slot, b + 1, 0).start()
+
+    window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
     acc = jnp.dot(x[0:t_tile], w_taps[0, :, :],
@@ -400,14 +435,8 @@ def fused_shrink_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
     t_out = t - (n_taps - 1) * dilation
     assert t_out >= 1, (t, dilation)
 
-    t_tile = min(t_tile, t_out)
-    t_tile = -(-t_tile // 8) * 8
-    n_tiles = -(-t_out // t_tile)
-    t_padded_out = n_tiles * t_tile
-    win = t_tile + (n_taps - 1) * dilation
-    win = -(-win // 8) * 8
-    t_needed = (n_tiles - 1) * t_tile + win
-    pad_amount = max(t_padded_out - t_out, t_needed - t)
+    t_tile, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+        t, t_out, t_tile, (n_taps - 1) * dilation)
     if pad_amount > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
 

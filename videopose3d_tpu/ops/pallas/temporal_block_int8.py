@@ -189,24 +189,32 @@ def _mid_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, out,
                          n_taps, win):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
-    slot = jax.lax.rem(t, 2)
-    next_slot = jax.lax.rem(t + 1, 2)
+    # Linear-index slot parity: the prefetch pipeline crosses batch-row
+    # boundaries (see temporal_block.py _block_kernel).
+    idx = b * n_t + t
+    slot = jax.lax.rem(idx, 2)
+    next_slot = jax.lax.rem(idx + 1, 2)
 
-    def window_dma(dst_slot, tile_idx):
+    def window_dma(dst_slot, row, tile_idx):
         return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            x_hbm.at[row, pl.ds(tile_idx * t_tile, win)],
             x_vmem.at[dst_slot], sems.at[dst_slot])
 
-    @pl.when(t == 0)
+    @pl.when(idx == 0)
     def _():
-        window_dma(slot, 0).start()
+        window_dma(slot, b, 0).start()
 
     @pl.when(t + 1 < n_t)
     def _():
-        window_dma(next_slot, t + 1).start()
+        window_dma(next_slot, b, t + 1).start()
 
-    window_dma(slot, t).wait()
+    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
+    def _():
+        window_dma(next_slot, b + 1, 0).start()
+
+    window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
     acc = _i8dot(x[0:t_tile], wq_a[0])
@@ -229,24 +237,32 @@ def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
     # holds all k0 taps), so the expand conv is exactly one bf16 matmul here.
     b = pl.program_id(0)
     t = pl.program_id(1)
+    n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
-    slot = jax.lax.rem(t, 2)
-    next_slot = jax.lax.rem(t + 1, 2)
+    # Linear-index slot parity: the prefetch pipeline crosses batch-row
+    # boundaries (see temporal_block.py _block_kernel).
+    idx = b * n_t + t
+    slot = jax.lax.rem(idx, 2)
+    next_slot = jax.lax.rem(idx + 1, 2)
 
-    def window_dma(dst_slot, tile_idx):
+    def window_dma(dst_slot, row, tile_idx):
         return pltpu.make_async_copy(
-            raw_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            raw_hbm.at[row, pl.ds(tile_idx * t_tile, win)],
             raw_vmem.at[dst_slot], sems.at[dst_slot])
 
-    @pl.when(t == 0)
+    @pl.when(idx == 0)
     def _():
-        window_dma(slot, 0).start()
+        window_dma(slot, b, 0).start()
 
     @pl.when(t + 1 < n_t)
     def _():
-        window_dma(next_slot, t + 1).start()
+        window_dma(next_slot, b, t + 1).start()
 
-    window_dma(slot, t).wait()
+    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
+    def _():
+        window_dma(next_slot, b + 1, 0).start()
+
+    window_dma(slot, b, t).wait()
     raw = raw_vmem[slot]
 
     eacc = jnp.dot(raw[0:win], w0[0], preferred_element_type=jnp.float32)
@@ -271,24 +287,32 @@ def _shrink_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, ws, bs, out,
                             n_taps, win):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
-    slot = jax.lax.rem(t, 2)
-    next_slot = jax.lax.rem(t + 1, 2)
+    # Linear-index slot parity: the prefetch pipeline crosses batch-row
+    # boundaries (see temporal_block.py _block_kernel).
+    idx = b * n_t + t
+    slot = jax.lax.rem(idx, 2)
+    next_slot = jax.lax.rem(idx + 1, 2)
 
-    def window_dma(dst_slot, tile_idx):
+    def window_dma(dst_slot, row, tile_idx):
         return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(tile_idx * t_tile, win)],
+            x_hbm.at[row, pl.ds(tile_idx * t_tile, win)],
             x_vmem.at[dst_slot], sems.at[dst_slot])
 
-    @pl.when(t == 0)
+    @pl.when(idx == 0)
     def _():
-        window_dma(slot, 0).start()
+        window_dma(slot, b, 0).start()
 
     @pl.when(t + 1 < n_t)
     def _():
-        window_dma(next_slot, t + 1).start()
+        window_dma(next_slot, b, t + 1).start()
 
-    window_dma(slot, t).wait()
+    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
+    def _():
+        window_dma(next_slot, b + 1, 0).start()
+
+    window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
     acc = _i8dot(x[0:t_tile], wq_a[0])

@@ -53,7 +53,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if coordinator_address is None and not num_processes:
+    if num_processes is not None and num_processes <= 1:
+        # A launcher exporting JAX_NUM_PROCESSES=1 (with or without a
+        # coordinator) is single-process: no-op rather than crash in
+        # rendezvous, as the docstring promises.
+        return False
+    if coordinator_address is None and num_processes is None:
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address, num_processes=num_processes,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -78,5 +79,8 @@ class StepTimer:
 
 def log_metrics_jsonl(path: str, record: Dict) -> None:
     """Append one JSON line of structured metrics (epoch losses, step stats)."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(path, "a") as f:
         f.write(json.dumps(record) + "\n")
