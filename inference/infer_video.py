@@ -115,8 +115,13 @@ def main(args):
         print(f"Processing {video}")
         boxes, segments, keypoints, metadata = detect_video(model, video)
         out = os.path.join(args.output_dir, os.path.basename(video))
-        np.savez_compressed(out, boxes=boxes, segments=segments,
-                            keypoints=keypoints, metadata=metadata)
+        # Ragged per-frame/per-class lists need explicit object arrays on
+        # numpy >= 1.24 (implicit conversion raises, losing the whole run).
+        np.savez_compressed(out,
+                            boxes=np.array(boxes, dtype=object),
+                            segments=np.array(segments, dtype=object),
+                            keypoints=np.array(keypoints, dtype=object),
+                            metadata=metadata)
 
 
 if __name__ == "__main__":

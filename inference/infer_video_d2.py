@@ -67,13 +67,18 @@ def decode_frames(path):
     proc = subprocess.Popen(
         ["ffmpeg", "-i", path, "-f", "image2pipe", "-pix_fmt", "bgr24",
          "-vsync", "0", "-vcodec", "rawvideo", "-"],
-        stdout=subprocess.PIPE, bufsize=-1)
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, bufsize=-1)
     frame_bytes = w * h * 3
-    while True:
-        buf = proc.stdout.read(frame_bytes)
-        if len(buf) < frame_bytes:
-            return
-        yield np.frombuffer(buf, dtype=np.uint8).reshape((h, w, 3))
+    try:
+        while True:
+            buf = proc.stdout.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                return
+            yield np.frombuffer(buf, dtype=np.uint8).reshape((h, w, 3))
+    finally:
+        proc.stdout.close()
+        proc.terminate()
+        proc.wait()
 
 
 def build_predictor(cfg_name):
@@ -119,9 +124,17 @@ def process_video(predictor, video_path, out_dir):
         segments.append(None)
         keypoints.append(cls_keyps)
 
+    if width is None:
+        raise RuntimeError(f"decoded zero frames from {video_path}")
+
     out_path = os.path.join(out_dir, os.path.basename(video_path))
-    np.savez_compressed(out_path, boxes=boxes, segments=segments,
-                        keypoints=keypoints,
+    # Per-frame entries are ragged ([background, (N,5) array] pairs with
+    # varying N): numpy >= 1.24 refuses the implicit conversion, so save
+    # explicit object arrays (the format prepare.custom_2d reads back).
+    np.savez_compressed(out_path,
+                        boxes=np.array(boxes, dtype=object),
+                        segments=np.array(segments, dtype=object),
+                        keypoints=np.array(keypoints, dtype=object),
                         metadata={"w": width, "h": height})
 
 

@@ -98,3 +98,34 @@ def test_fused_engine_eval_mode_ignored():
     out_x, _ = forward_strided(_cfg(engine="xla"), params, state, x,
                                train=False)
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+def test_fused_block_bf16_matches_xla():
+    """bf16 compute dtype: the backward ReLU/dropout gates must replay the
+    forward's compute-dtype affine (f32-gate recomputation can disagree on
+    pre-activations that round across 0).  bf16 accumulation-order noise means
+    tolerances are looser than f32; gate corruption shows up as gross per-leaf
+    disagreement, which the cosine check catches."""
+    cfg_x = _cfg((3, 3, 3), 32, 0.25, False, "xla")
+    cfg_p = _cfg((3, 3, 3), 32, 0.25, False, "pallas")
+    cfg_x = cfg_x.__class__(**{**cfg_x.__dict__, "compute_dtype": "bfloat16"})
+    cfg_p = cfg_p.__class__(**{**cfg_p.__dict__, "compute_dtype": "bfloat16"})
+    params, state = init_temporal_model(cfg_x, jax.random.PRNGKey(3))
+    rf = receptive_field(cfg_x)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, rf, 17, 2)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    loss_x, state_x, grads_x = _run(cfg_x, params, state, x, key)
+    loss_p, state_p, grads_p = _run(cfg_p, params, state, x, key)
+
+    np.testing.assert_allclose(float(loss_p), float(loss_x),
+                               rtol=5e-3, atol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_p),
+                    jax.tree_util.tree_leaves(grads_x)):
+        a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom == 0:
+            continue
+        cos = float(np.dot(a, b) / denom)
+        assert cos > 0.995, cos

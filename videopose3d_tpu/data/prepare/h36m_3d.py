@@ -99,7 +99,6 @@ def convert_from_source_cdf(source_path: str) -> dict:
 def generate_gt_2d(dataset_path: str, output_path_2d: str):
     """Project mocap through every camera to produce GT 2D keypoints in pixel
     space (parity: prepare_data_h36m.py:148-173)."""
-    import jax.numpy as jnp
     from videopose3d_tpu.datasets.h36m import Human36mDataset
     from videopose3d_tpu.ops.camera import (
         world_to_camera, project_to_2d, image_coordinates)
@@ -115,9 +114,11 @@ def generate_gt_2d(dataset_path: str, output_path_2d: str):
             for cam in anim["cameras"]:
                 pos_3d = world_to_camera(
                     anim["positions"], R=cam["orientation"], t=cam["translation"])
+                # numpy inputs keep the projection on host (camera.py
+                # backend dispatch) — archive prep must not run eager ops
+                # through a (possibly tunneled) accelerator backend.
                 pos_2d = project_to_2d(
-                    jnp.asarray(pos_3d)[None], jnp.asarray(cam["intrinsic"])[None]
-                )[0]
+                    np.asarray(pos_3d)[None], cam["intrinsic"][None])[0]
                 pos_2d_pixel = np.asarray(image_coordinates(
                     pos_2d, w=cam["res_w"], h=cam["res_h"]))
                 positions_2d.append(pos_2d_pixel.astype("float32"))

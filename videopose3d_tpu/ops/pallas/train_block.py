@@ -155,21 +155,25 @@ def _norm_drop_res_kernel(v_ref, mask_ref, mean_ref, inv_ref, b_ref, res_ref,
 # ---------------------------------------------------------------------------
 
 
-def _relu_mask_bn_sums_kernel(g_ref, z_ref, mask_ref, mean_ref, inv2_ref,
-                              b_ref, gz_ref, s1_ref, s2_ref, acc1, acc2):
+def _relu_mask_bn_sums_kernel(g_ref, z_ref, mask_ref, mean_ref, inv_ref,
+                              gate_ref, gz_ref, s1_ref, s2_ref, acc1, acc2):
     """gz = g * mask * [bn_affine(z) > 0]; accumulate S1 = sum(gz) (= d_bias)
     and S2 = sum(gz * zhat) (= d_scale), zhat = (z - mean) * inv_raw.
 
-    inv2_ref rows: [inv_raw * scale (for the ReLU sign), inv_raw]."""
+    gate_ref rows (COMPUTE dtype): [mean_c, inv_c, bias_c] — the gate affine
+    must replay the forward kernels' compute-dtype arithmetic bit-exactly,
+    or bf16 pre-activations that round across 0 would open/close different
+    ReLU gates in forward and backward.  mean_ref/inv_ref stay f32 for the
+    d_scale statistic."""
     i = pl.program_id(0)
-    z = z_ref[:, :].astype(jnp.float32)
-    y = (z - mean_ref[0, :]) * inv2_ref[0, :] + b_ref[0, :]
-    keep = (y > 0).astype(jnp.float32)
+    zd = z_ref[:, :]
+    yg = (zd - gate_ref[0, :]) * gate_ref[1, :] + gate_ref[2, :]
+    keep = (yg > 0).astype(jnp.float32)
     gz = (g_ref[:, :].astype(jnp.float32)
           * mask_ref[:, :].astype(jnp.float32) * keep)
     gz_ref[:, :] = gz.astype(gz_ref.dtype)
 
-    zhat = (z - mean_ref[0, :]) * inv2_ref[1, :]
+    zhat = (zd.astype(jnp.float32) - mean_ref[0, :]) * inv_ref[0, :]
 
     @pl.when(i == 0)
     def _():
@@ -382,10 +386,11 @@ def _relu_mask_bn_sums(g, z, mask, mean, var, scale, bias, *, interpret):
     d_bias, d_scale)."""
     n, c = g.shape
     dtype = g.dtype
-    inv = jax.lax.rsqrt(var + BN_EPS)
-    inv2 = jnp.stack([inv * scale, inv], axis=0).astype(jnp.float32)
+    inv_raw = jax.lax.rsqrt(var + BN_EPS).astype(jnp.float32).reshape(1, -1)
     mean_r = mean.astype(jnp.float32).reshape(1, -1)
-    bias_r = bias.astype(jnp.float32).reshape(1, -1)
+    # Gate constants rounded exactly as the forward kernels received them.
+    mean_c, inv_c, bias_c = _affine_consts(mean, var, scale, bias, dtype)
+    gate = jnp.concatenate([mean_c, inv_c, bias_c], axis=0)
     tile = _pick_tile(n, dtype)
     gz, s1, s2 = pl.pallas_call(
         _relu_mask_bn_sums_kernel,
@@ -395,14 +400,14 @@ def _relu_mask_bn_sums(g, z, mask, mean, var, scale, bias, *, interpret):
         grid=(n // tile,),
         in_specs=[_row_block(tile, c), _row_block(tile, c),
                   _row_block(tile, c), _const_block((1, c)),
-                  _const_block((2, c)), _const_block((1, c))],
+                  _const_block((1, c)), _const_block((3, c))],
         out_specs=(_row_block(tile, c), _const_block((1, c)),
                    _const_block((1, c))),
         scratch_shapes=[pltpu.VMEM((1, c), jnp.float32),
                         pltpu.VMEM((1, c), jnp.float32)],
         compiler_params=_VMEM_CAP,
         interpret=interpret,
-    )(g, z, mask, mean_r, inv2, bias_r)
+    )(g, z, mask, mean_r, inv_raw, gate)
     return gz, s1[0], s2[0]
 
 

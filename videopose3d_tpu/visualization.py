@@ -104,7 +104,7 @@ class _SceneArtists:
     ``set_segments`` call each instead of a Python loop over Line2D objects.
     """
 
-    def __init__(self, fig, n_views: int, azim: float, titles, size: float):
+    def __init__(self, fig, n_views: int, azim: float, titles):
         self.ax_in = fig.add_subplot(1, 1 + n_views, 1)
         self.ax_in.set_axis_off()
         self.ax_in.set_title("Input")
@@ -177,6 +177,10 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
             (0, viewport[1], viewport[0], 3), np.uint8)
         keypoints = keypoints[input_video_skip:]
         series = [p[input_video_skip:] for p in series]
+        # Trim the trajectories with the same skip — the 3D axis-follow would
+        # otherwise center on a viewport `skip` frames ahead of the drawn
+        # skeleton.  (The reference has this misalignment; fixed here.)
+        trajectories = [t[input_video_skip:] for t in trajectories]
         if fps is None:
             fps = probe_video(input_video_path)[2]
 
@@ -191,6 +195,8 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
         fps /= downsample
 
     total = len(background) if limit < 1 else min(limit, len(background))
+    # The skip trim can leave fewer pose frames than decoded backgrounds.
+    total = min([total, len(keypoints)] + [len(p) for p in series])
 
     # -- static skeleton structure ------------------------------------------
     parent_of = np.asarray(skeleton.parents())
@@ -210,7 +216,7 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
     # -- figure & artists -----------------------------------------------------
     plt.ioff()
     fig = plt.figure(figsize=(size * (1 + len(series)), size))
-    scene = _SceneArtists(fig, len(series), azim, titles, size)
+    scene = _SceneArtists(fig, len(series), azim, titles)
 
     def draw(i):
         for view, traj in enumerate(trajectories):
