@@ -11,6 +11,7 @@ preserved regardless of which path produced a given epoch's shuffle.
 from __future__ import annotations
 
 import ctypes
+import glob
 import os
 import subprocess
 import threading
@@ -38,6 +39,14 @@ def _build() -> Optional[str]:
     # build must never leave a half-written .so at the final path, where the
     # mtime check would accept it forever after.
     tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
+    # Reap orphans from builders killed between g++ and os.replace (their
+    # finally-cleanup never ran); any pid-stamped tmp here is dead weight.
+    for stale in glob.glob(f"{_LIB_PATH}.*.tmp"):
+        if stale != tmp:
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],

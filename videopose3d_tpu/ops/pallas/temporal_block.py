@@ -51,8 +51,11 @@ def _tile_geometry(t, t_out, t_tile, reach, align=8):
     """Shared wrapper geometry: align output tiles to the sublane tiling,
     size the overlapping DMA window (``reach`` = (k-1)*dilation extra rows),
     and compute the input/output padding so ``t_out`` divides into tiles and
-    every window stays in range.  One definition for all three fused-block
-    wrappers — the tiling rules must never drift between them."""
+    every window stays in range.  Shared by the single-window wrappers here
+    (mid/output blocks) and, with ``align=32``, by the int8 serving kernels in
+    ``temporal_block_int8.py`` — the tiling rules must not drift between
+    them.  (``fused_expand_block`` is the exception: its two-stage raw/expand
+    window needs its own geometry, below.)"""
     t_tile = min(t_tile, t_out)
     t_tile = -(-t_tile // align) * align
     n_tiles = -(-t_out // t_tile)

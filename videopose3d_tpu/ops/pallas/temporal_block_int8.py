@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from videopose3d_tpu.models.temporal import (
     TemporalModelConfig, _conv_matmul, receptive_field)
-from videopose3d_tpu.ops.pallas.temporal_block import fold_batchnorm
+from videopose3d_tpu.ops.pallas.temporal_block import (
+    _tile_geometry as _tile_geometry_bf16, fold_batchnorm)
 
 QMAX = 127.0
 
@@ -338,16 +339,9 @@ def _shrink_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, ws, bs, out,
 
 def _tile_geometry(t: int, t_out: int, t_tile: int, reach: int,
                    align: int = 32):
-    """Round tiles to int8 sublane alignment and compute padding so t_out
-    divides into tiles and every DMA window is in range."""
-    t_tile = min(t_tile, t_out)
-    t_tile = -(-t_tile // align) * align
-    n_tiles = -(-t_out // t_tile)
-    t_padded_out = n_tiles * t_tile
-    win = -(-(t_tile + reach) // align) * align
-    t_needed = (n_tiles - 1) * t_tile + win
-    pad_amount = max(t_padded_out - t_out, t_needed - t)
-    return t_tile, n_tiles, t_padded_out, win, pad_amount
+    """The shared wrapper geometry with int8 sublane alignment (32 rows —
+    the (32, 128) int8 HBM tiling; see the bf16 definition for the rules)."""
+    return _tile_geometry_bf16(t, t_out, t_tile, reach, align=align)
 
 
 def _rowvec(v):

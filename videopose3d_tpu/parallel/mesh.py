@@ -47,16 +47,19 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     Returns True if the distributed runtime was initialized; False when
     running single-process (guarded no-op — safe to call unconditionally).
     """
+    explicit = coordinator_address is not None or num_processes is not None
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if num_processes is not None and num_processes <= 1:
-        # A launcher exporting JAX_NUM_PROCESSES=1 (with or without a
-        # coordinator) is single-process: no-op rather than crash in
-        # rendezvous, as the docstring promises.
+    if num_processes is not None and num_processes <= 1 and not explicit:
+        # A launcher exporting JAX_NUM_PROCESSES=1 is single-process: no-op
+        # rather than crash in rendezvous, as the docstring promises.  An
+        # *explicit argument* of num_processes=1 (or a coordinator address)
+        # still initializes — a caller may want the real coordination service
+        # on a one-process slice (e.g. multi-host-format checkpoint I/O).
         return False
     if coordinator_address is None and num_processes is None:
         return False
