@@ -24,7 +24,8 @@ import numpy as np
 import pytest
 
 from tests.conftest import reference_available
-from videopose3d_tpu.data.prepare import h36m_2d_generic, h36m_2d_sh, humaneva
+from videopose3d_tpu.data.prepare import (
+    h36m_2d_generic, h36m_2d_sh, h36m_3d, humaneva)
 
 REF_DATA = "/root/reference/data"
 
@@ -75,6 +76,9 @@ def _load_archive(path):
 
 
 def _assert_same(a, b, where=""):
+    if isinstance(a, (int, np.integer)) and isinstance(b, (int, np.integer)):
+        assert int(a) == int(b), f"{where}: {a!r} vs {b!r}"
+        return
     assert type(a) is type(b) or (
         isinstance(a, np.ndarray) and isinstance(b, np.ndarray)), \
         f"{where}: {type(a)} vs {type(b)}"
@@ -255,3 +259,87 @@ def test_generic_2d_prep_golden(tmp_path):
     assert "Directions" not in ours["positions_2d"]["S11"]
     assert not any("ALL" in a for s in ours["positions_2d"]
                    for a in ours["positions_2d"][s])
+
+
+# ---------------------------------------------------------------------------
+# H36M 3D prep: archive/.cdf.mat ingest + full GT-2D projection archives
+# ---------------------------------------------------------------------------
+
+def _compare_h36m_outputs(ref_dir, our_dir):
+    # The 3D archive (mm->m, S11/Directions discard) must be bit-equal.
+    _compare_archives(str(ref_dir / "data_3d_h36m.npz"),
+                      str(our_dir / "data_3d_h36m.npz"))
+    # GT 2D: the reference projects in torch float32, we project in float64
+    # on host before the float32 cast, so allow sub-0.05-pixel slack.
+    ref = _load_archive(str(ref_dir / "data_2d_h36m_gt.npz"))
+    ours = _load_archive(str(our_dir / "data_2d_h36m_gt.npz"))
+    assert sorted(ref["positions_2d"]) == sorted(ours["positions_2d"])
+    for s in ref["positions_2d"]:
+        assert sorted(ref["positions_2d"][s]) == sorted(ours["positions_2d"][s])
+        for a in ref["positions_2d"][s]:
+            for cam, (pr, po) in enumerate(zip(ref["positions_2d"][s][a],
+                                               ours["positions_2d"][s][a])):
+                assert pr.shape == po.shape
+                np.testing.assert_allclose(
+                    pr, po, atol=0.05, err_msg=f"{s}/{a}/cam{cam}")
+    for key in ref["metadata"]:  # reference omits layout_name here too
+        _assert_same(ref["metadata"][key], ours["metadata"][key],
+                     f"metadata/{key}")
+    assert ours["metadata"]["layout_name"] == "h36m"
+
+
+def test_h36m_3d_prep_archive_golden(tmp_path):
+    import h5py
+    rng = np.random.default_rng(17)
+    actions = [f"Act{i} 1" for i in range(29)] + ["Directions"]
+
+    zip_path = tmp_path / "h36m.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        scratch = tmp_path / "scratch.h5"
+        for subject in h36m_3d.SUBJECTS:
+            for action in actions:
+                with h5py.File(scratch, "w") as hf:
+                    # (96, T) millimetre world coordinates, person-ish scale
+                    hf["3D_positions"] = rng.standard_normal((96, 6)) * 500
+                zf.write(scratch,
+                         f"h36m/{subject}/MyPoses/3D_positions/{action}.h5")
+        scratch.unlink()
+
+    ref_dir = tmp_path / "ref" / "data"
+    ref_dir.mkdir(parents=True)
+    _run_reference_script("prepare_data_h36m.py",
+                          ["--from-archive", str(zip_path)], str(ref_dir))
+
+    our_dir = tmp_path / "ours"
+    h36m_3d.main(["--from-archive", str(zip_path), "--data-dir", str(our_dir)])
+    _compare_h36m_outputs(ref_dir, our_dir)
+    ours = _load_archive(str(our_dir / "data_3d_h36m.npz"))
+    assert "Directions" not in ours["positions_3d"]["S11"]
+
+
+def test_h36m_3d_prep_mat_golden(tmp_path):
+    from scipy.io import savemat
+    rng = np.random.default_rng(19)
+    actions = ([f"Act{i} 1" for i in range(27)]
+               + ["Directions", "TakingPhoto 1", "WalkingDog"])
+
+    src = tmp_path / "source"
+    for subject in h36m_3d.SUBJECTS:
+        d = src / subject / "MyPoseFeatures" / "D3_Positions"
+        d.mkdir(parents=True)
+        for action in actions:
+            cell = np.empty((1, 1), dtype=object)
+            cell[0, 0] = rng.standard_normal((6, 96)) * 500
+            savemat(d / f"{action}.cdf.mat", {"data": cell})
+
+    ref_dir = tmp_path / "ref" / "data"
+    ref_dir.mkdir(parents=True)
+    _run_reference_script("prepare_data_h36m.py",
+                          ["--from-source", str(src)], str(ref_dir))
+
+    our_dir = tmp_path / "ours"
+    h36m_3d.main(["--from-source", str(src), "--data-dir", str(our_dir)])
+    _compare_h36m_outputs(ref_dir, our_dir)
+    ours = _load_archive(str(our_dir / "data_3d_h36m.npz"))
+    assert "Photo 1" in ours["positions_3d"]["S1"]
+    assert "WalkDog" in ours["positions_3d"]["S1"]
