@@ -163,3 +163,53 @@ def test_evaluate_with_int8_serving_engine(h36m_dir, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "Protocol #1   (MPJPE) action-wise average:" in out
+
+
+def test_hyperparameter_and_runtime_flags(h36m_dir, tmp_path, capsys):
+    """The remaining flag surface end-to-end: hyperparameter overrides
+    (-drop/-lr/-lrd), -no-da (no flip augmentation), --no-mesh (unsharded),
+    --remat, --rng-impl threefry2x32, --seed, and --profile-dir trace capture
+    (reference flags: /root/reference/common/arguments.py:37-47)."""
+    ckpt = str(tmp_path / "c_flags")
+    profile_dir = str(tmp_path / "trace")
+    runner.main(_args(h36m_dir, ckpt, [
+        "-drop", "0.1", "-lr", "0.003", "-lrd", "0.9", "-no-da",
+        "--no-mesh", "--remat", "--rng-impl", "threefry2x32",
+        "--seed", "7", "--checkpoint-frequency", "1",
+        "--profile-dir", profile_dir,
+    ]))
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+    assert os.path.exists(os.path.join(ckpt, "epoch_1.bin"))
+    # A jax.profiler trace directory was written for the first epoch.
+    assert any(f.endswith(".xplane.pb")
+               for _, _, files in os.walk(profile_dir) for f in files)
+
+
+def test_render_variant_flags(h36m_dir, tmp_path, capsys):
+    """Render with --viz-no-ground-truth / --viz-downsample / --viz-bitrate:
+    fewer viewports, temporally pooled frames (reference:
+    /root/reference/common/visualization.py:58-60, run.py:751-782)."""
+    ckpt = str(tmp_path / "c_viz2")
+    runner.main(_args(h36m_dir, ckpt, ["--checkpoint-frequency", "1"]))
+    capsys.readouterr()
+    gif = str(tmp_path / "out2.gif")
+    runner.main([
+        "-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt,
+        "-arc", "3,3", "-ch", "16", "--eval-bucket", "16",
+        "--evaluate", "epoch_1.bin", "--render",
+        "--viz-subject", "S9", "--viz-action", "Walking 1",
+        "--viz-camera", "0", "--viz-output", gif,
+        "--viz-limit", "8", "--viz-size", "2",
+        "--viz-no-ground-truth", "--viz-downsample", "2", "--viz-bitrate", "500",
+    ])
+    out = capsys.readouterr().out
+    assert "Rendering..." in out
+    assert os.path.exists(gif) and os.path.getsize(gif) > 0
+    from PIL import Image
+    with Image.open(gif) as im:
+        # --viz-limit counts *rendered* frames and applies after the temporal
+        # pooling (reference: limit indexes the downsampled stream,
+        # visualization.py:124-130 + FuncAnimation frames=limit), so the
+        # 40-frame sequence pools to 20 and the limit renders 8 of them.
+        assert im.n_frames == 8
