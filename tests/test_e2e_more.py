@@ -213,3 +213,36 @@ def test_render_variant_flags(h36m_dir, tmp_path, capsys):
         # visualization.py:124-130 + FuncAnimation frames=limit), so the
         # 40-frame sequence pools to 20 and the limit renders 8 of them.
         assert im.n_frames == 8
+
+
+def test_render_with_video_overlay_and_skip(h36m_dir, tmp_path, capsys):
+    """--viz-video + --viz-skip: overlay frames behind the 2D viewport,
+    trimming the pose streams by the skip (reference run.py:771-782 /
+    visualization.py:109-121).  Uses a GIF input so the PIL fallback decoder
+    covers machines without ffmpeg."""
+    from PIL import Image
+    video = str(tmp_path / "input.gif")
+    frames = [Image.fromarray(
+        np.full((64, 64, 3), (i * 6) % 255, np.uint8)) for i in range(40)]
+    frames[0].save(video, save_all=True, append_images=frames[1:],
+                   duration=20, loop=0)
+
+    ckpt = str(tmp_path / "c_viz3")
+    runner.main(_args(h36m_dir, ckpt, ["--checkpoint-frequency", "1"]))
+    capsys.readouterr()
+    gif = str(tmp_path / "out3.gif")
+    runner.main([
+        "-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt,
+        "-arc", "3,3", "-ch", "16", "--eval-bucket", "16",
+        "--evaluate", "epoch_1.bin", "--render",
+        "--viz-subject", "S9", "--viz-action", "Walking 1",
+        "--viz-camera", "0", "--viz-output", gif,
+        "--viz-video", video, "--viz-skip", "2",
+        "--viz-limit", "8", "--viz-size", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "Rendering..." in out
+    # limit=8 caps decoded frame *indices*; skip=2 drops the first two, so
+    # 6 background frames remain and bound the rendered animation.
+    with Image.open(gif) as im:
+        assert im.n_frames == 6

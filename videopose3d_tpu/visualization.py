@@ -8,10 +8,11 @@ segment arrays per frame (rather than one Line2D per bone), and video metadata
 comes from a single ffprobe call.
 
 Host-side and not performance-critical.  Intentional deviations from the
-reference: ffmpeg/ffprobe are optional (black-background rendering works
-without them, with a clear error if a video path is supplied on a machine
-without ffmpeg), and GIF export uses matplotlib's always-available ``pillow``
-writer instead of imagemagick.
+reference: ffmpeg/ffprobe are optional — black-background rendering always
+works, GIF (and other PIL-readable) overlay videos decode through PIL when
+ffmpeg is absent, and only non-PIL formats (e.g. mp4) raise a clear error
+then.  GIF export uses matplotlib's always-available ``pillow`` writer
+instead of imagemagick.
 """
 
 from __future__ import annotations
@@ -36,12 +37,35 @@ _AXIS_SPAN = 1.7  # metres of world space shown around the subject
 def _need(tool: str) -> None:
     if shutil.which(tool) is None:
         raise RuntimeError(f"'{tool}' is required to decode input video but "
-                           "was not found on PATH")
+                           "was not found on PATH (GIF and other PIL-readable "
+                           "animations decode without it)")
+
+
+def _pil_animation(path: str):
+    """Open ``path`` as a multi-frame PIL image, or return None.
+
+    Fallback decode path for machines without ffmpeg: covers GIF (and any
+    other animation format PIL reads), which is also what our own renderer
+    emits — so render-with-overlay round-trips without external tools."""
+    try:
+        from PIL import Image
+        im = Image.open(path)
+        im.seek(0)
+        return im
+    except Exception:
+        return None
 
 
 def probe_video(path: str) -> Tuple[int, int, float]:
     """Return (width, height, fps) of the first video stream (one ffprobe call)."""
-    _need("ffprobe")
+    if shutil.which("ffprobe") is None:
+        im = _pil_animation(path)
+        if im is not None:
+            with im:
+                duration_ms = im.info.get("duration")
+                fps = 1000.0 / duration_ms if duration_ms else 50.0
+                return im.width, im.height, fps
+        _need("ffprobe")
     out = subprocess.run(
         ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
          "stream=width,height,r_frame_rate", "-of", "csv=p=0", path],
@@ -65,7 +89,19 @@ def read_video(path: str, skip: int = 0, limit: int = -1
     """Yield RGB24 frames via an ffmpeg raw pipe: 1-indexed frames
     ``skip+1 .. limit`` (``limit`` is an absolute frame-index cap, reference
     semantics — ``/root/reference/common/visualization.py:43-53``; -1 = all)."""
-    _need("ffmpeg")
+    if shutil.which("ffmpeg") is None:
+        im = _pil_animation(path)
+        if im is not None:
+            from PIL import ImageSequence
+            with im:
+                for index, frame in enumerate(ImageSequence.Iterator(im), 1):
+                    if limit >= 0 and index > limit:
+                        break
+                    if index <= skip:
+                        continue
+                    yield np.asarray(frame.convert("RGB"), np.uint8)
+            return
+        _need("ffmpeg")
     width, height, _ = probe_video(path)
     frame_bytes = width * height * 3
     proc = subprocess.Popen(
