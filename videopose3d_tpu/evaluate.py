@@ -42,10 +42,17 @@ class Evaluator:
     def __init__(self, model_cfg: TemporalModelConfig,
                  joints_flip_perm: Optional[np.ndarray] = None,
                  fused: bool = False, engine: Optional[str] = None):
-        self.model_cfg = model_cfg
         self.engine = engine or ("fused" if fused else "xla")
         if self.engine not in ("xla", "fused", "int8"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.engine == "xla" and model_cfg.compute_dtype != "float32":
+            # Metric-grade promise: weights are stored f32, so evaluate in f32
+            # even when the model was configured with a bf16 training compute
+            # dtype (the cast in _conv_matmul would otherwise defeat the
+            # default_matmul_precision("highest") guard below).
+            import dataclasses
+            model_cfg = dataclasses.replace(model_cfg, compute_dtype="float32")
+        self.model_cfg = model_cfg
         self.joints_flip_perm = (None if joints_flip_perm is None
                                  else tuple(int(i) for i in joints_flip_perm))
         self._infer = jax.jit(
@@ -53,6 +60,7 @@ class Evaluator:
         self._infer_q = jax.jit(
             self._infer_int8_impl, static_argnames=("augment",))
         self._q = None
+        self._q_params = None
 
     def _tta_merge(self, pred, augment: bool):
         if not augment:
@@ -85,16 +93,20 @@ class Evaluator:
 
     def reset_quantization(self):
         self._q = None
+        self._q_params = None
 
     def predict(self, params, state, batch_2d, augment: bool) -> np.ndarray:
         """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
         batch_2d = jnp.asarray(batch_2d)
         if self.engine == "int8":
-            if self._q is None:
+            if self._q is None or self._q_params is not params:
+                # Requantize whenever a different weight pytree arrives — the
+                # cached scales would otherwise silently serve stale weights.
                 from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
                     quantize_temporal_model)
                 self._q = quantize_temporal_model(
                     self.model_cfg, params, state, batch_2d)
+                self._q_params = params
             return np.asarray(self._infer_q(self._q, batch_2d,
                                             augment=augment))
         return np.asarray(self._infer(params, state, batch_2d,
@@ -117,10 +129,6 @@ def evaluate(evaluator: Evaluator, params, state, batcher, *,
     n_total = 0
 
     for _, batch_3d, batch_2d, n_frames in batcher.next_epoch():
-        if n_frames == 0:
-            # A video downsampled to zero frames would otherwise NaN-poison
-            # the action's protocol means (np.mean of an empty slice).
-            continue
         pred = evaluator.predict(params, state, batch_2d,
                                  augment=batcher.augment_enabled())
         pred = pred[:, :n_frames]

@@ -106,6 +106,11 @@ def quantize_temporal_model(config: TemporalModelConfig, params, state,
     n_blocks = len(config.filter_widths) - 1
     if n_blocks < 2:
         raise ValueError("int8 path expects at least 2 residual blocks")
+    rf = receptive_field(config)
+    if x_calib.shape[1] < rf:
+        raise ValueError(
+            f"calibration input has {x_calib.shape[1]} frames but the model's "
+            f"receptive field is {rf}; supply at least one full window")
 
     caps = _calibration_ranges(config, params, state, x_calib)
     caps = jax.tree.map(lambda v: v * margin, caps)
@@ -411,6 +416,11 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
     n_blocks = len(config.filter_widths) - 1
     assert n_blocks >= 2
     b, t, j_in, f = x.shape
+    rf = receptive_field(config)
+    if t < rf:
+        raise ValueError(
+            f"input has {t} frames but the model's receptive field is {rf}; "
+            "pad the sequence (UnchunkedBatcher does this) before int8 serving")
     x = x.reshape(b, t, j_in * f)
 
     # --- expand + block 0, int8 stream out -------------------------------
@@ -435,10 +445,8 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
 
     res_offset = (n_taps - 1) * dilation // 2 + config.causal_shifts_dilated[1]
     t_out = t_expand - (n_taps - 1) * dilation
-    t_tile0, n_tiles, t_padded_out, win, _ = _tile_geometry(
+    t_tile0, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
         t_expand, t_out, t_tile, (n_taps - 1) * dilation)
-    t_needed = (n_tiles - 1) * t_tile0 + win
-    pad_amount = max(t_padded_out - t_out, t_needed - t_expand)
     if pad_amount > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
 

@@ -248,8 +248,6 @@ def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None
     loss_2d = 0.0
     n_total = 0
     for cam, batch_3d, batch_2d, n_frames in batcher.next_epoch():
-        if n_frames == 0:
-            continue
         pred = evaluator.predict(params, state, batch_2d, augment=False)[:, :n_frames]
         n = 1 * n_frames
         if batch_3d is not None:

@@ -5,8 +5,10 @@ The reference supports causal convolutions "for real-time applications"
 only ever runs them offline over whole sequences.  This module adds the missing
 serving path: a stateful incremental evaluator that consumes one frame per step
 — for a *batch of independent video streams at once* — and emits the pose for
-that frame with O(receptive-field) state and O(layers) compute per step, bit-equal
-to the offline causal model.
+that frame with O(receptive-field) state and O(layers) compute per step,
+matching the offline causal model frame-for-frame (up to float summation
+order: streaming folds BatchNorm to an affine and keeps an f32 residual, so
+outputs agree to last-bits rounding — golden-tested at 2e-5).
 
 Design (TPU-first):
 
@@ -75,16 +77,14 @@ def _ring_taps(buf, ptr, cap, width, dilation):
     return jnp.concatenate(rows, axis=1).reshape(b, -1)
 
 
-def _ptr_modulus(config: TemporalModelConfig) -> int:
-    """Wrap the frame pointer at lcm(caps) so ``ptr % cap`` stays continuous
-    across the wrap for every layer — a long-lived serving process would
-    otherwise corrupt its ring buffers at int32 overflow (~16 months of
-    50 fps streaming)."""
-    import math
-    m = 1
-    for c in _buffer_capacities(config):
-        m = m * c // math.gcd(m, c)
-    return m
+def _advance_ptrs(ptrs, caps):
+    """Increment each layer's ring position modulo its own capacity.
+
+    Per-layer positions (rather than one global frame counter reduced mod
+    cap) keep a long-lived serving process exact forever: a shared counter
+    would need to wrap at lcm(caps), which overflows int32 for deep causal
+    stacks (7 temporal layers already reach lcm ~2.5e12)."""
+    return jnp.mod(ptrs + 1, jnp.asarray(caps, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -98,7 +98,8 @@ def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
       first_frame: (B, J, F) first frame of each stream.
 
     Returns:
-      stream state pytree {"bufs": [(B, cap_i, C_i)], "ptr": int32}.
+      stream state pytree {"bufs": [(B, cap_i, C_i)], "ptr": per-layer
+      int32 ring positions (len(caps),)}.
     """
     if not config.causal:
         raise ValueError("streaming inference requires a causal model")
@@ -140,7 +141,8 @@ def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
                             state["layers_bn"][2 * i + 1])
         act = act + jax.nn.relu(z * s2 + t2)
 
-    return {"bufs": bufs, "ptr": jnp.int32(0)}
+    return {"bufs": bufs,
+            "ptr": jnp.zeros(len(caps), jnp.int32)}
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
@@ -165,10 +167,10 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     x = x.reshape(b, -1).astype(compute_dtype)
 
     # Raw input layer.
-    bufs[0] = _ring_push(bufs[0], ptr, caps[0], x)
+    bufs[0] = _ring_push(bufs[0], ptr[0], caps[0], x)
     w0 = params["expand_conv"]["weight"]
     k0 = w0.shape[0]
-    t0 = _ring_taps(bufs[0], ptr, caps[0], k0, 1)
+    t0 = _ring_taps(bufs[0], ptr[0], caps[0], k0, 1)
     act = jnp.dot(t0, w0.reshape(k0 * w0.shape[1], -1).astype(compute_dtype),
                   preferred_element_type=jnp.float32)
     s, t_ = _bn_affine(params["expand_bn"], state["expand_bn"])
@@ -178,11 +180,11 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
         cap = caps[i + 1]
         k = config.filter_widths[i + 1]
         d = config.dilations[i + 1]
-        bufs[i + 1] = _ring_push(bufs[i + 1], ptr, cap,
+        bufs[i + 1] = _ring_push(bufs[i + 1], ptr[i + 1], cap,
                                  act.astype(compute_dtype))
 
         w1 = params["layers_conv"][2 * i]["weight"]
-        tp = _ring_taps(bufs[i + 1], ptr, cap, k, d)
+        tp = _ring_taps(bufs[i + 1], ptr[i + 1], cap, k, d)
         h = jnp.dot(tp, w1.reshape(k * w1.shape[1], -1).astype(compute_dtype),
                     preferred_element_type=jnp.float32)
         s1, t1 = _bn_affine(params["layers_bn"][2 * i],
@@ -202,8 +204,7 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     out = out + params["shrink"]["bias"]
     out = out.reshape(b, config.num_joints_out, 3).astype(jnp.float32)
 
-    new_state = {"bufs": bufs,
-                 "ptr": jnp.mod(ptr + 1, _ptr_modulus(config))}
+    new_state = {"bufs": bufs, "ptr": _advance_ptrs(ptr, caps)}
     return out, new_state
 
 
@@ -221,7 +222,7 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
 # :func:`videopose3d_tpu.ops.pallas.temporal_block_int8.quantize_temporal_model`.
 
 from videopose3d_tpu.ops.pallas.temporal_block_int8 import (  # noqa: E402
-    QMAX as _QMAX, _i8dot)
+    QMAX as _QMAX, _i8dot, _quantize_relu)
 
 
 def _expand_step_i8(q, raw_taps):
@@ -250,9 +251,7 @@ def _block_step_i8(blk, taps_q, newest_q, *, last):
     """
     k_c = blk["wq_a"].shape[0] * blk["wq_a"].shape[1]
     acc = _i8dot(taps_q, blk["wq_a"].reshape(k_c, -1))
-    real = jnp.maximum(acc.astype(jnp.float32) * blk["A1"] + blk["B1"], 0.0)
-    rowmax = jnp.maximum(jnp.max(real, axis=1, keepdims=True), 1.0)
-    hq = jnp.round(real * (_QMAX / rowmax)).astype(jnp.int8)
+    hq, rowmax = _quantize_relu(acc, blk["A1"], blk["B1"])
     acc2 = _i8dot(hq, blk["wq_b"])
     y = jnp.maximum(
         acc2.astype(jnp.float32) * (rowmax * (1.0 / _QMAX)) * blk["A2"]
@@ -279,7 +278,8 @@ def init_stream_state_int8(config: TemporalModelConfig, q,
       first_frame: (B, J, F) first frame of each stream.
 
     Returns:
-      stream state pytree {"bufs": [raw bf16, int8 streams...], "ptr": int32}.
+      stream state pytree {"bufs": [raw bf16, int8 streams...], "ptr":
+      per-layer int32 ring positions (len(caps),)}.
     """
     if not config.causal:
         raise ValueError("streaming inference requires a causal model")
@@ -305,7 +305,8 @@ def init_stream_state_int8(config: TemporalModelConfig, q,
             act_q = _block_step_i8(
                 q["blocks"][i], jnp.tile(act_q, (1, k)), act_q, last=False)
 
-    return {"bufs": bufs, "ptr": jnp.int32(0)}
+    return {"bufs": bufs,
+            "ptr": jnp.zeros(len(caps), jnp.int32)}
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
@@ -328,9 +329,9 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
     b = x.shape[0]
     x = x.reshape(b, -1).astype(jnp.bfloat16)
 
-    bufs[0] = _ring_push(bufs[0], ptr, caps[0], x)
+    bufs[0] = _ring_push(bufs[0], ptr[0], caps[0], x)
     k0 = config.filter_widths[0]
-    act_q = _expand_step_i8(q, _ring_taps(bufs[0], ptr, caps[0], k0, 1))
+    act_q = _expand_step_i8(q, _ring_taps(bufs[0], ptr[0], caps[0], k0, 1))
 
     n_blocks = len(config.filter_widths) - 1
     out = None
@@ -338,10 +339,10 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
         cap = caps[i + 1]
         k = config.filter_widths[i + 1]
         d = config.dilations[i + 1]
-        bufs[i + 1] = _ring_push(bufs[i + 1], ptr, cap, act_q)
+        bufs[i + 1] = _ring_push(bufs[i + 1], ptr[i + 1], cap, act_q)
         last = i == n_blocks - 1
         result = _block_step_i8(
-            q["blocks"][i], _ring_taps(bufs[i + 1], ptr, cap, k, d),
+            q["blocks"][i], _ring_taps(bufs[i + 1], ptr[i + 1], cap, k, d),
             act_q, last=last)
         if last:
             out = result
@@ -353,8 +354,7 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
     proj = proj + q["shrink_b"]
     poses = proj.reshape(b, config.num_joints_out, 3).astype(jnp.float32)
 
-    new_state = {"bufs": bufs,
-                 "ptr": jnp.mod(ptr + 1, _ptr_modulus(config))}
+    new_state = {"bufs": bufs, "ptr": _advance_ptrs(ptr, caps)}
     return poses, new_state
 
 
