@@ -139,7 +139,7 @@ def test_contiguous_assembly_equals_clamping(pad, causal_shift, chunk):
     poses_2d, poses_3d, cams = _make_data(seed=7)
     margins = FlatSequenceDataset.training_margins(pad, causal_shift, chunk)
     ds = FlatSequenceDataset(poses_2d, poses_3d, cams, margins=margins)
-    dev = ds.to_device()
+    dev = ds.to_device(include_unpadded=True)
     assert dev.has_contiguous
 
     sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, chunk,
@@ -175,7 +175,7 @@ def test_baked_flip_assembly_equals_clamping(pad, causal_shift, chunk):
     perm = tuple(_flip_perm().tolist())
     ds = FlatSequenceDataset(poses_2d, poses_3d, cams, margins=margins,
                              flip_perms=(perm, perm))
-    dev = ds.to_device()
+    dev = ds.to_device(include_unpadded=True)
     assert dev.has_baked_flip and dev.aug_offset_3d > 0
 
     sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, chunk,

@@ -76,6 +76,8 @@ class FlatSequenceDataset:
         # margins = (left_2d, right_2d, left_3d, right_3d) in frames.
         self.base_2d = self.base_3d = None
         self.flat_2d_padded = self.flat_3d_padded = None
+        self.margins = (tuple(int(m) for m in margins)
+                        if margins is not None else None)
         if margins is not None:
             l2, r2, l3, r3 = margins
 
@@ -135,15 +137,22 @@ class FlatSequenceDataset:
     def num_frames(self) -> int:
         return int(self.lengths.sum())
 
-    def to_device(self, sharding=None):
+    def to_device(self, sharding=None, include_unpadded: bool = False):
         """Upload the flat arrays once (optionally with an explicit sharding —
-        replicated for data-parallel training)."""
+        replicated for data-parallel training).
+
+        With the contiguous fast path baked in, nothing reads the unpadded
+        flat arrays on device, so their upload is skipped by default (they
+        would otherwise duplicate the whole dataset in HBM on every device);
+        pass ``include_unpadded=True`` to upload both representations (the
+        gather-path parity tests do)."""
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
         maybe = lambda x: put(x) if x is not None else None
+        skip = self.flat_2d_padded is not None and not include_unpadded
         return DeviceArrays(
-            flat_2d=put(self.flat_2d),
-            flat_3d=maybe(self.flat_3d),
+            flat_2d=None if skip else put(self.flat_2d),
+            flat_3d=None if skip else maybe(self.flat_3d),
             cameras=maybe(self.cameras),
             seq_bounds=put(self.seq_bounds),
             flat_2d_padded=maybe(self.flat_2d_padded),
@@ -152,6 +161,7 @@ class FlatSequenceDataset:
             base_3d=maybe(self.base_3d),
             aug_offset_2d=self.aug_offset_2d,
             aug_offset_3d=self.aug_offset_3d,
+            margins=self.margins,
         )
 
 
@@ -161,7 +171,7 @@ class DeviceArrays:
     def __init__(self, flat_2d, flat_3d, cameras, seq_bounds,
                  flat_2d_padded=None, flat_3d_padded=None,
                  base_2d=None, base_3d=None,
-                 aug_offset_2d=0, aug_offset_3d=0):
+                 aug_offset_2d=0, aug_offset_3d=0, margins=None):
         self.flat_2d = flat_2d
         self.flat_3d = flat_3d
         self.cameras = cameras
@@ -172,6 +182,7 @@ class DeviceArrays:
         self.base_3d = base_3d
         self.aug_offset_2d = aug_offset_2d
         self.aug_offset_3d = aug_offset_3d
+        self.margins = margins
 
     @property
     def has_contiguous(self) -> bool:
@@ -261,6 +272,11 @@ class ChunkedPairSampler:
         return self.state
 
     def next_epoch(self):
+        if self.endless and self.num_batches == 0:
+            # An endless iterator over zero pairs would busy-spin forever
+            # (the for-loop body never runs, state resets every lap).
+            raise ValueError(
+                "no training chunks to sample: every sequence is empty")
         enabled = True
         while enabled:
             start_idx, pairs = self._next_pairs()
@@ -508,7 +524,8 @@ class UnchunkedBatcher:
             batch_3d = None if seq_3d is None else seq_3d[None]
             batch_cam = None if cam is None else np.asarray(cam)[None]
             if self.augment:
-                flipped = batch_2d[:, :, self.kps_flip_perm].copy()
+                # Fancy indexing already returns a fresh writable array.
+                flipped = batch_2d[:, :, self.kps_flip_perm]
                 flipped[..., 0] *= -1
                 batch_2d = np.concatenate([batch_2d, flipped], axis=0)
                 if batch_cam is not None:

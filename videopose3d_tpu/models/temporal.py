@@ -92,6 +92,8 @@ class TemporalModelConfig:
         for fw in self.filter_widths:
             if fw % 2 == 0:
                 raise ValueError("Only odd filter widths are supported")
+        if not 0.0 <= self.dropout <= 1.0:
+            raise ValueError(f"dropout must be in [0, 1], got {self.dropout}")
 
     # --- derived static geometry (parity: model.py:31, :107-121) ---
 
@@ -280,6 +282,9 @@ def _dropout_mask(rate: float, rng, shape, dtype):
     """
     if rate == 0.0 or rng is None:
         return None
+    if rate >= 1.0:
+        # torch parity: nn.Dropout(p=1.0) zeroes the whole tensor.
+        return jnp.zeros(shape, dtype)
     keep_exact = 1.0 - rate
     t8 = round(keep_exact * 256)
     if abs(keep_exact * 256 - t8) < 1e-9 and 0 < t8 < 256:
@@ -587,14 +592,12 @@ def forward_dilated_fused(
     if config.dense:
         raise ValueError("fused path does not support dense convolutions")
     from videopose3d_tpu.ops.pallas.temporal_block import (
-        fused_dilated_block, fold_batchnorm)
+        fold_batchnorm, fused_dilated_block, fused_expand_block,
+        fused_shrink_block)
 
     # Pallas TPU kernels only compile for TPU; fall back to the interpreter on
     # CPU (tests / local runs) automatically.
     interpret = interpret or jax.default_backend() == "cpu"
-
-    from videopose3d_tpu.ops.pallas.temporal_block import (
-        fused_expand_block, fused_shrink_block)
 
     compute_dtype = jnp.dtype(config.compute_dtype)
     x = _prep_input(config, x)

@@ -153,6 +153,25 @@ def _mpjpe_per_sample(pred, target):
     return jnp.mean(jnp.linalg.norm(pred - target, axis=-1), axis=(1, 2))
 
 
+def _check_margins(dev, loop):
+    """Fail fast when the dataset's baked margins don't cover this loop's
+    windows: ``dynamic_slice`` clamps out-of-range starts, so a too-small
+    margin would silently feed temporally shifted 2D windows misaligned with
+    their 3D targets instead of erroring."""
+    if not dev.has_contiguous or getattr(dev, "margins", None) is None:
+        return
+    from videopose3d_tpu.data.generators import FlatSequenceDataset
+    need = FlatSequenceDataset.training_margins(
+        loop.pad, loop.causal_shift, loop.chunk_length)
+    if any(have < want for have, want in zip(dev.margins, need)):
+        raise ValueError(
+            f"dataset margins {dev.margins} do not cover the training windows "
+            f"{need} required by pad={loop.pad}, "
+            f"causal_shift={loop.causal_shift}, "
+            f"chunk_length={loop.chunk_length}; rebuild the FlatSequenceDataset "
+            "with FlatSequenceDataset.training_margins(...) for this model")
+
+
 def _device_data_dict(dev, with_cameras=False):
     """Extract the device arrays the batch-assembly path needs.  Prefers the
     contiguous fast path (margin-padded arrays) when the dataset was built
@@ -291,6 +310,7 @@ class SupervisedTrainer:
         Returns:
           (params, state, opt_state, rng, (steps,) per-step losses).
         """
+        _check_margins(dev, self.loop_cfg)
         return self._epoch(params, state, opt_state, rng, _device_data_dict(dev),
                            jnp.asarray(metas),
                            jnp.asarray(n_valids, jnp.int32),
@@ -299,6 +319,7 @@ class SupervisedTrainer:
 
     def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
         """One training step.  ``dev``: DeviceArrays for the labeled set."""
+        _check_margins(dev, self.loop_cfg)
         return self._step(params, state, opt_state, rng, _device_data_dict(dev),
                           jnp.asarray(meta),
                           jnp.asarray(n_valid, jnp.int32),
@@ -446,6 +467,8 @@ class SemiSupervisedTrainer:
 
     def step(self, params, states, opt_state, rng, dev, dev_semi,
              meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool):
+        _check_margins(dev, self.loop_cfg)
+        _check_margins(dev_semi, self.loop_cfg)
         return self._step(
             params, states, opt_state, rng,
             _device_data_dict(dev), _device_data_dict(dev_semi, with_cameras=True),
@@ -483,6 +506,8 @@ class SemiSupervisedTrainer:
 
         Returns (params, states, opt_state, rng, (loss_pos, loss_traj,
         loss_recon, loss_total) per-step vectors)."""
+        _check_margins(dev, self.loop_cfg)
+        _check_margins(dev_semi, self.loop_cfg)
         return self._epoch(
             params, states, opt_state, rng,
             _device_data_dict(dev), _device_data_dict(dev_semi, with_cameras=True),
