@@ -246,3 +246,22 @@ def test_render_with_video_overlay_and_skip(h36m_dir, tmp_path, capsys):
     # 6 background frames remain and bound the rendered animation.
     with Image.open(gif) as im:
         assert im.n_frames == 6
+
+
+def test_resumed_metrics_log(h36m_dir, tmp_path, capsys):
+    """Resuming from a pickle checkpoint with --metrics-log serializes
+    cleanly: the checkpoint payload stores epoch/lr as 0-d numpy arrays,
+    which the runner now coerces to Python scalars at resume."""
+    import json
+    ckpt = str(tmp_path / "c_resume_log")
+    runner.main(_args(h36m_dir, ckpt, ["--checkpoint-frequency", "1"]))
+    capsys.readouterr()
+
+    metrics = str(tmp_path / "metrics.jsonl")
+    runner.main(_args(h36m_dir, ckpt, [
+        "-e", "2", "-r", "epoch_1.bin", "--checkpoint-frequency", "1",
+        "--metrics-log", metrics]))
+    out = capsys.readouterr().out
+    assert "[2] time" in out
+    records = [json.loads(l) for l in open(metrics)]
+    assert records and records[-1]["epoch"] == 2

@@ -77,10 +77,18 @@ class StepTimer:
         self._last = None
 
 
+def _json_default(obj):
+    """Coerce numpy/jax scalars that leak into metric records (e.g. losses
+    fetched from device, checkpoint payload entries) into JSON numbers."""
+    if hasattr(obj, "item"):
+        return obj.item()
+    raise TypeError(f"not JSON serializable: {type(obj)}")
+
+
 def log_metrics_jsonl(path: str, record: Dict) -> None:
     """Append one JSON line of structured metrics (epoch losses, step stats)."""
     parent = os.path.dirname(path)
     if parent:
         os.makedirs(parent, exist_ok=True)
     with open(path, "a") as f:
-        f.write(json.dumps(record) + "\n")
+        f.write(json.dumps(record, default=_json_default) + "\n")

@@ -197,17 +197,32 @@ def fetch(args, dataset, keypoints, subjects, action_filter=None, subset=1,
 def load_any_checkpoint(path):
     """Load our pickle checkpoints, orbax checkpoint directories, or reference
     torch ``.bin`` files, returning state dicts as numpy arrays."""
-    if os.path.isdir(path):
+    if os.path.isdir(path) or os.path.isdir(path + ".old"):
+        # The .old directory is the crash-recovery window of the orbax
+        # atomic-replace save; load_checkpoint_orbax knows to fall back to it.
         from videopose3d_tpu.checkpoint import load_checkpoint_orbax
         return load_checkpoint_orbax(path)
+    pickle_err = None
     try:
         chk = load_checkpoint(path)
         if isinstance(chk, dict) and "model_pos" in chk:
             return chk
-    except Exception:
-        pass
-    import torch  # CPU torch, for reading reference checkpoints only
-    chk = torch.load(path, map_location="cpu", weights_only=False)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        pickle_err = e
+    try:
+        import torch  # CPU torch, for reading reference checkpoints only
+        chk = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception as torch_err:
+        if pickle_err is not None:
+            # Surface the native-format failure too — a corrupted pickle would
+            # otherwise masquerade as a torch-format error.
+            raise RuntimeError(
+                f"could not load checkpoint {path!r}: not a readable native "
+                f"checkpoint ({pickle_err!r}) nor a torch .bin "
+                f"({torch_err!r})") from torch_err
+        raise
     out = dict(chk)
     for key in ("model_pos", "model_traj"):
         if out.get(key) is not None:
@@ -499,8 +514,12 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
 
     # Resume (parity: run.py:293-305).
     if args.resume and checkpoint is not None:
-        epoch = checkpoint["epoch"]
-        lr = checkpoint["lr"]
+        # Coerce to Python scalars: the pickle payload stores 0-d numpy
+        # arrays, which would (a) crash --metrics-log JSON serialization and
+        # (b) be mutated in place by `epoch += 1` / `lr *= decay` while a
+        # background checkpoint save still holds a reference to them.
+        epoch = int(checkpoint["epoch"])
+        lr = float(checkpoint["lr"])
         if checkpoint.get("optimizer") is not None:
             # Template-driven restore: reattaches optax state types that a
             # format round trip degraded (orbax: namedtuple -> dict).
