@@ -253,9 +253,15 @@ def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
         mean = shift + m1
         var = jnp.maximum(m2 - jnp.square(m1), 0.0)  # biased
         unbiased = var * (n / max(n - 1, 1))
+        # Running statistics are updated under no-grad in torch (and the
+        # fused pallas train engine's stats outputs are likewise
+        # non-differentiable); stop_gradient makes the XLA engine agree —
+        # only the *normalization* below differentiates through batch stats.
         new_state = {
-            "mean": (1.0 - momentum) * bn_state["mean"] + momentum * mean,
-            "var": (1.0 - momentum) * bn_state["var"] + momentum * unbiased,
+            "mean": jax.lax.stop_gradient(
+                (1.0 - momentum) * bn_state["mean"] + momentum * mean),
+            "var": jax.lax.stop_gradient(
+                (1.0 - momentum) * bn_state["var"] + momentum * unbiased),
         }
     else:
         mean, var = bn_state["mean"], bn_state["var"]

@@ -32,7 +32,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,15 +46,19 @@ def fold_batchnorm(bn_params, bn_state) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return scale, shift
 
 
-def _tile_geometry(t, t_out, t_tile, reach, align=8):
+def _tile_geometry(t, t_out, t_tile, reach, align=16):
     """Shared wrapper geometry: align output tiles to the sublane tiling,
     size the overlapping DMA window (``reach`` = (k-1)*dilation extra rows),
     and compute the input/output padding so ``t_out`` divides into tiles and
-    every window stays in range.  Shared by the single-window wrappers here
-    (mid/output blocks) and, with ``align=32``, by the int8 serving kernels in
-    ``temporal_block_int8.py`` — the tiling rules must not drift between
-    them.  (``fused_expand_block`` is the exception: its two-stage raw/expand
-    window needs its own geometry, below.)"""
+    every window stays in range.
+
+    ``align`` must be the HBM sublane tile of the array's dtype — 16 for
+    bf16 ((16, 128) tiling), 32 for int8 — or Mosaic rejects the
+    sublane-unaligned window DMAs (the remote compiler crashes; see
+    CLAUDE.md's int8 boundary-condition notes).  Shared by the single-window
+    wrappers here, ``fused_expand_block`` (whose extra raw-stage window stays
+    local), and the int8 serving kernels in ``temporal_block_int8.py`` — the
+    tiling rules must not drift between them."""
     t_tile = min(t_tile, t_out)
     t_tile = -(-t_tile // align) * align
     n_tiles = -(-t_out // t_tile)
@@ -66,24 +69,28 @@ def _tile_geometry(t, t_out, t_tile, reach, align=8):
     return t_tile, n_tiles, t_padded_out, win, pad_amount
 
 
-def _block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, out,
-                  x_vmem, sems, *, t_tile, dilation, res_offset, n_taps, win):
+def _pipelined_window(x_hbm, x_vmem, sems, t_tile, window_len):
+    """Double-buffered window DMA over the (batch, tiles) grid.
 
+    Slot parity follows the LINEAR grid index so the prefetch pipeline
+    crosses batch-row boundaries: tile (b+1, 0) is started while (b, n_t-1)
+    computes, instead of stalling one full window DMA per row.  Shared by all
+    three fused-block kernels — pipeline fixes must not be applied to one
+    copy only (commit history: the cross-row fix originally landed three
+    times in lockstep).  Returns the current tile's VMEM window, waited on.
+    """
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
 
-    # Double-buffer slot parity follows the LINEAR grid index so the prefetch
-    # pipeline crosses batch-row boundaries: tile (b+1, 0) is started while
-    # (b, n_t-1) computes, instead of stalling one full window DMA per row.
     idx = b * n_t + t
     slot = jax.lax.rem(idx, 2)
     next_slot = jax.lax.rem(idx + 1, 2)
 
     def window_dma(dst_slot, row, tile_idx):
         return pltpu.make_async_copy(
-            x_hbm.at[row, pl.ds(tile_idx * t_tile, win)],
+            x_hbm.at[row, pl.ds(tile_idx * t_tile, window_len)],
             x_vmem.at[dst_slot],
             sems.at[dst_slot],
         )
@@ -101,7 +108,13 @@ def _block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, out,
         window_dma(next_slot, b + 1, 0).start()
 
     window_dma(slot, b, t).wait()
-    x = x_vmem[slot]
+    return x_vmem[slot]
+
+
+def _block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, out,
+                  x_vmem, sems, *, t_tile, dilation, res_offset, n_taps, win):
+
+    x = _pipelined_window(x_hbm, x_vmem, sems, t_tile, win)
 
     # Width-n dilated conv as n accumulated MXU matmuls (f32 accumulation).
     # Tap offsets are static, so these are static slices of the VMEM window.
@@ -150,8 +163,8 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
 
     # Pad the time axis so t_out divides evenly into tiles; the tail windows
     # read zero padding and their outputs are sliced off below.  The DMA window
-    # is rounded up to the 8-row sublane tiling (Mosaic HBM-slice constraint),
-    # so the input gets padded to cover the widest window too.
+    # is rounded up to the bf16 16-row sublane tiling (Mosaic HBM-slice
+    # constraint), so the input gets padded to cover the widest window too.
     t_tile, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation)
     if pad_amount > 0:
@@ -213,39 +226,7 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
 def _expand_block_kernel(x_hbm, w0, s0, b0, w_taps, s1, b1, w2, s2, b2, out,
                          x_vmem, sems, *, t_tile, dilation, res_offset, n_taps,
                          k0, win, raw_win):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    n_b = pl.num_programs(0)
-    n_t = pl.num_programs(1)
-
-    # Double-buffer slot parity follows the LINEAR grid index so the prefetch
-    # pipeline crosses batch-row boundaries: tile (b+1, 0) is started while
-    # (b, n_t-1) computes, instead of stalling one full window DMA per row.
-    idx = b * n_t + t
-    slot = jax.lax.rem(idx, 2)
-    next_slot = jax.lax.rem(idx + 1, 2)
-
-    def window_dma(dst_slot, row, tile_idx):
-        return pltpu.make_async_copy(
-            x_hbm.at[row, pl.ds(tile_idx * t_tile, raw_win)],
-            x_vmem.at[dst_slot],
-            sems.at[dst_slot],
-        )
-
-    @pl.when(idx == 0)
-    def _():
-        window_dma(slot, b, 0).start()
-
-    @pl.when(t + 1 < n_t)
-    def _():
-        window_dma(next_slot, b, t + 1).start()
-
-    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
-    def _():
-        window_dma(next_slot, b + 1, 0).start()
-
-    window_dma(slot, b, t).wait()
-    raw = x_vmem[slot]
+    raw = _pipelined_window(x_hbm, x_vmem, sems, t_tile, raw_win)
 
     # Expand conv (width k0, dilation 1) over the raw window -> (win, C).
     eacc = jnp.dot(raw[0:win], w0[0, :, :], preferred_element_type=jnp.float32)
@@ -305,14 +286,11 @@ def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
     t_out = t_expand - (n_taps - 1) * dilation   # block output length
     assert t_out >= 1, (t, dilation)
 
-    t_tile = min(t_tile, t_out)
-    t_tile = -(-t_tile // 8) * 8
-    n_tiles = -(-t_out // t_tile)
-    t_padded_out = n_tiles * t_tile
+    # Same rules as _tile_geometry with the raw-stage rows folded into the
+    # reach; only the unaligned expand-stage window stays local.
+    t_tile, n_tiles, t_padded_out, raw_win, pad_amount = _tile_geometry(
+        t, t_out, t_tile, (n_taps - 1) * dilation + k0 - 1)
     win = t_tile + (n_taps - 1) * dilation       # expand rows needed per tile
-    raw_win = -(-(win + k0 - 1) // 8) * 8        # raw rows per tile, aligned
-    t_needed = (n_tiles - 1) * t_tile + raw_win
-    pad_amount = max(t_padded_out - t_out, t_needed - t)
     if pad_amount > 0:
         x_raw = jnp.pad(x_raw, ((0, 0), (0, pad_amount), (0, 0)))
 
@@ -361,39 +339,7 @@ def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
 def _shrink_block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, ws, bs, out,
                          x_vmem, sems, *, t_tile, dilation, res_offset,
                          n_taps, win):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    n_b = pl.num_programs(0)
-    n_t = pl.num_programs(1)
-
-    # Double-buffer slot parity follows the LINEAR grid index so the prefetch
-    # pipeline crosses batch-row boundaries: tile (b+1, 0) is started while
-    # (b, n_t-1) computes, instead of stalling one full window DMA per row.
-    idx = b * n_t + t
-    slot = jax.lax.rem(idx, 2)
-    next_slot = jax.lax.rem(idx + 1, 2)
-
-    def window_dma(dst_slot, row, tile_idx):
-        return pltpu.make_async_copy(
-            x_hbm.at[row, pl.ds(tile_idx * t_tile, win)],
-            x_vmem.at[dst_slot],
-            sems.at[dst_slot],
-        )
-
-    @pl.when(idx == 0)
-    def _():
-        window_dma(slot, b, 0).start()
-
-    @pl.when(t + 1 < n_t)
-    def _():
-        window_dma(next_slot, b, t + 1).start()
-
-    @pl.when(jnp.logical_and(t + 1 == n_t, b + 1 < n_b))
-    def _():
-        window_dma(next_slot, b + 1, 0).start()
-
-    window_dma(slot, b, t).wait()
-    x = x_vmem[slot]
+    x = _pipelined_window(x_hbm, x_vmem, sems, t_tile, win)
 
     acc = jnp.dot(x[0:t_tile], w_taps[0, :, :],
                   preferred_element_type=jnp.float32)

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BN_EPS = 1e-5  # must match models.temporal.BN_EPS
+from videopose3d_tpu.models.temporal import BN_EPS
 
 
 def _pick_tile(n: int, dtype, cap: int = 256) -> int:

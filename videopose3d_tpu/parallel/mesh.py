@@ -117,14 +117,14 @@ def global_batch_array(host_array: np.ndarray, mesh: Mesh,
     global-batch inputs to a pod-wide ``jit`` (a plain ``jnp.asarray`` of a
     host array is invalid across processes).
     """
-    sharding = NamedSharding(mesh, P(axis_name))
     return jax.make_array_from_callback(
-        host_array.shape, sharding, lambda idx: host_array[idx])
+        host_array.shape, batch_sharding(mesh, axis_name),
+        lambda idx: host_array[idx])
 
 
 def replicated_array(host_array: np.ndarray, mesh: Mesh) -> jax.Array:
     """Replicate a host array (identical on every process) across the mesh —
     multi-host-safe counterpart of ``device_put(x, replicated_sharding(mesh))``."""
-    sharding = NamedSharding(mesh, P())
     return jax.make_array_from_callback(
-        host_array.shape, sharding, lambda idx: host_array[idx])
+        host_array.shape, replicated_sharding(mesh),
+        lambda idx: host_array[idx])
