@@ -41,8 +41,8 @@ class CustomDataset(MocapDataset):
 
         if remove_static_joints:
             self.remove_joints(H36M_STATIC_JOINTS)
-            self._skeleton._parents[11] = 8
-            self._skeleton._parents[14] = 8
+            self._skeleton.reparent(11, 8)
+            self._skeleton.reparent(14, 8)
 
     def supports_semi_supervised(self) -> bool:
         return False

@@ -192,8 +192,8 @@ class Human36mDataset(MocapDataset):
         if remove_static_joints:
             # 32 -> 17 joints + shoulder re-parenting (h36m_dataset.py:245-251).
             self.remove_joints(H36M_STATIC_JOINTS)
-            self._skeleton._parents[11] = 8
-            self._skeleton._parents[14] = 8
+            self._skeleton.reparent(11, 8)
+            self._skeleton.reparent(14, 8)
 
     def supports_semi_supervised(self) -> bool:
         return True

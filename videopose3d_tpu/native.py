@@ -40,13 +40,24 @@ def _build() -> Optional[str]:
     # mtime check would accept it forever after.
     tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     # Reap orphans from builders killed between g++ and os.replace (their
-    # finally-cleanup never ran); any pid-stamped tmp here is dead weight.
+    # finally-cleanup never ran) — but only when the stamping pid is dead: a
+    # concurrent live builder's tmp must not be unlinked mid-g++.
     for stale in glob.glob(f"{_LIB_PATH}.*.tmp"):
-        if stale != tmp:
-            try:
-                os.remove(stale)
-            except OSError:
-                pass
+        if stale == tmp:
+            continue
+        try:
+            pid = int(stale.rsplit(".", 2)[-2])
+            os.kill(pid, 0)          # raises if no such process
+        except ValueError:
+            pass                     # unparsable name: treat as orphan
+        except OSError:
+            pass                     # no such pid: orphan, reap below
+        else:
+            continue                 # live builder, leave its tmp alone
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],

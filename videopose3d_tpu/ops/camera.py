@@ -26,12 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from videopose3d_tpu.ops.quaternion import qrot, qinverse
-
-
-def _xp(*arrays):
-    """numpy for host inputs, jax.numpy when any input is a jax array/tracer."""
-    return (jnp if any(isinstance(a, jax.Array) for a in arrays) else np)
+from videopose3d_tpu.ops.quaternion import (  # _xp: host/graph dispatch
+    _xp, qinverse, qrot)
 
 
 def normalize_screen_coordinates(X, w, h):
@@ -63,6 +59,15 @@ def image_coordinates(X, w, h):
     return (X + offset) * w / 2.0
 
 
+def _broadcast_quat(xp, q, X):
+    """Expand a (4,) quaternion or a leading-batch (B, 4) of them to
+    ``X.shape[:-1] + (4,)``: batch axes align from the LEFT (a (B, 4) batch
+    pairs with (B, ..., 3) points), so insert point axes before broadcasting
+    rather than relying on numpy's trailing-dim alignment."""
+    q = xp.reshape(q, q.shape[:-1] + (1,) * (X.ndim - q.ndim) + (4,))
+    return xp.broadcast_to(q, X.shape[:-1] + (4,))
+
+
 def world_to_camera(X, R, t):
     """World-frame points -> camera frame: rotate by R^-1 after translating by -t.
 
@@ -70,8 +75,8 @@ def world_to_camera(X, R, t):
     (or batch thereof); broadcasting replaces the reference's ``np.tile``.
     """
     xp = _xp(X, R)
-    Rt = qinverse(xp.asarray(R))
-    return qrot(xp.broadcast_to(Rt, X.shape[:-1] + (4,)), X - t)
+    Rt = _broadcast_quat(xp, qinverse(xp.asarray(R)), X)
+    return qrot(Rt, X - t)
 
 
 def camera_to_world(X, R, t):
@@ -80,8 +85,8 @@ def camera_to_world(X, R, t):
     Parity: ``/root/reference/common/camera.py:33-34``.
     """
     xp = _xp(X, R)
-    R = xp.asarray(R)
-    return qrot(xp.broadcast_to(R, X.shape[:-1] + (4,)), X) + t
+    R = _broadcast_quat(xp, xp.asarray(R), X)
+    return qrot(R, X) + t
 
 
 def _split_intrinsics(camera_params, ndim):

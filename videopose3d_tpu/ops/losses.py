@@ -31,7 +31,10 @@ def _masked_mean(per_frame, mask):
     while m.ndim < per_frame.ndim:
         m = m[..., None]
     m = jnp.broadcast_to(m, per_frame.shape)
-    return jnp.sum(per_frame * m) / jnp.maximum(jnp.sum(m), 1.0)
+    # where, not multiply: padded frames can hold NaN/inf values (e.g.
+    # n_mpjpe's 0/0 scale on all-zero padding) and NaN * 0 is NaN.
+    return (jnp.sum(jnp.where(m > 0, per_frame, 0.0))
+            / jnp.maximum(jnp.sum(m), 1.0))
 
 
 def mpjpe(predicted, target, mask=None):

@@ -98,6 +98,14 @@ class Skeleton:
         perm[self._joints_right] = self._joints_left
         return perm
 
+    def reparent(self, joint: int, new_parent: int) -> None:
+        """Attach ``joint`` under ``new_parent``, recomputing the derived
+        children metadata (datasets use this for e.g. the H36M shoulder
+        rewiring after the 32->17 trim)."""
+        parents = self._parents.copy()
+        parents[joint] = new_parent
+        self._set_topology(parents, self._joints_left, self._joints_right)
+
     # -- internals -----------------------------------------------------------
 
     def _set_topology(self, parents: np.ndarray, joints_left: List[int],
