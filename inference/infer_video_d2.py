@@ -57,7 +57,8 @@ def probe_resolution(path):
     out = subprocess.check_output(
         ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
          "stream=width,height", "-of", "csv=p=0", path])
-    w, h = out.decode().strip().split(",")
+    # First line only: some containers emit extra stream/csv rows.
+    w, h = out.decode().strip().split("\n")[0].split(",")
     return int(w), int(h)
 
 

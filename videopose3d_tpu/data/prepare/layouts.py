@@ -72,7 +72,16 @@ def import_detectron_poses(path):
     # Frame -> index of its most recent successful detection.
     source = np.cumsum(found) - 1
     poses = np.stack(picked)[source]
-    return poses[:, :, 4:6]  # soft-argmax coordinate rows
+    if poses.shape[2] >= 6:
+        return poses[:, :, 4:6]  # Detectron1 fork: soft-argmax rows
+    if poses.shape[2] >= 2:
+        # infer_video_d2.py packs 4 rows (x, y, logit, prob): the argmax
+        # coordinates are the first two.  The reference importer would
+        # silently return zero-width (T, J, 0) arrays here.
+        return poses[:, :, :2]
+    raise ValueError(
+        f"{path}: keypoint packing has {poses.shape[2]} per-joint rows; "
+        "expected >= 2 (x, y, ...)")
 
 
 def import_cpn_poses(path):

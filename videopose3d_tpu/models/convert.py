@@ -35,6 +35,18 @@ def params_from_torch_state_dict(
     """Map a reference ``model_pos`` state dict to our (params, state) pytrees."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
     n_layers = 2 * (len(config.filter_widths) - 1)
+    surplus = [k for k in sd
+               if k.startswith(("layers_conv.", "layers_bn."))
+               and int(k.split(".")[1]) >= n_layers]
+    if surplus:
+        # Strict-load parity with torch's load_state_dict: a checkpoint with
+        # more residual blocks than the configured -arc would otherwise load
+        # as a silently truncated network (all per-block shapes match).
+        raise ValueError(
+            f"checkpoint has {sorted(surplus)[:4]}... beyond the "
+            f"{n_layers} conv layers of architecture "
+            f"{','.join(map(str, config.filter_widths))}; pass the "
+            "architecture the checkpoint was trained with")
 
     params = {
         "expand_conv": {"weight": _conv_from_torch(sd["expand_conv.weight"])},

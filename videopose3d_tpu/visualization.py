@@ -198,8 +198,10 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
 
     # -- background frames -------------------------------------------------
     if input_video_path is None:
+        # 3-channel zeros: a 2-D array would go through imshow's default
+        # colormap and render viridis-purple, not black.
         background = np.zeros(
-            (keypoints.shape[0], viewport[1], viewport[0]), np.uint8)
+            (keypoints.shape[0], viewport[1], viewport[0], 3), np.uint8)
         if fps is None:
             # Wild/custom datasets carry no frame rate and there is no source
             # video to probe; pick a sane playback default.
@@ -246,8 +248,9 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
     dot_colors[keypoints_metadata["keypoints_symmetry"][1]] = "red"
     # A 2D skeleton overlay only makes sense when the detector layout matches
     # the 3D skeleton's joint set.
+    # .get: archives from the reference's own prep scripts omit layout_name.
     overlay_2d = (len(parent_of) == keypoints.shape[1]
-                  and keypoints_metadata["layout_name"] != "coco")
+                  and keypoints_metadata.get("layout_name") != "coco")
 
     # -- figure & artists -----------------------------------------------------
     plt.ioff()
