@@ -65,8 +65,8 @@ def main():
     t_in = t_out + rf - 1
     frames_per_call = batch * t_out
 
-    @functools.partial(jax.jit, static_argnums=3)
-    def infer_n(q, state, x, n):
+    @functools.partial(jax.jit, static_argnums=2)
+    def infer_n(q, x, n):
         def body(i, carry):
             x_dep, acc = carry
             # w8a8 fused residual-block serving path (int8 MXU, int8 stream).
@@ -83,11 +83,11 @@ def main():
     n_iters = 16
 
     def timed(n, reps=5):
-        float(infer_n(q, state, x, n))  # compile + warm
+        float(infer_n(q, x, n))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(infer_n(q, state, x, n))
+            float(infer_n(q, x, n))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -72,7 +72,7 @@ def main():
 
     meta = np.stack([
         rng.integers(0, args.n_seqs, B),
-        rng.integers(0, args.seq_len - 1000, B),
+        rng.integers(0, args.seq_len - 1, B),
         np.zeros(B, np.int64),
         rng.integers(0, 2, B)], axis=1).astype(np.int32)
     meta[:, 2] = meta[:, 1] + 1
@@ -133,7 +133,12 @@ def main():
         return run
 
     n = args.iters
-    for stage in args.stages.split(","):
+    stages = [s.strip() for s in args.stages.split(",")]
+    valid = {"assemble", "fwd", "fwdbwd", "step"}
+    unknown = set(stages) - valid
+    if unknown:
+        raise SystemExit(f"unknown stages {sorted(unknown)}; pick from {sorted(valid)}")
+    for stage in stages:
         g = stage_graph(stage)
 
         def timed(k, reps=3):

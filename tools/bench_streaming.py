@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--iters-lo", type=int, default=32)
     ap.add_argument("--iters-hi", type=int, default=256)
     args = ap.parse_args()
+    if args.iters_hi <= args.iters_lo:
+        raise SystemExit("--iters-hi must exceed --iters-lo (slope measurement)")
 
     from videopose3d_tpu.models.temporal import (
         TemporalModelConfig, init_temporal_model, receptive_field)

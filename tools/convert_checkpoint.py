@@ -28,12 +28,15 @@ def to_jax(src: str, dst: str):
     payload = {
         "epoch": chk.get("epoch", 0),
         "lr": chk.get("lr"),
-        "random_state": None,
+        # The sampler RNG state (a numpy RandomState tuple) pickles
+        # identically in both formats — preserve it so a converted
+        # mid-training checkpoint still resumes bit-exactly.
+        "random_state": chk.get("random_state"),
         "optimizer": None,  # torch optimizer state is not portable
         "model_pos": {k: np.asarray(v) for k, v in chk["model_pos"].items()},
         "model_traj": ({k: np.asarray(v) for k, v in chk["model_traj"].items()}
                        if chk.get("model_traj") is not None else None),
-        "random_state_semi": None,
+        "random_state_semi": chk.get("random_state_semi"),
     }
     save_checkpoint(dst, payload)
     print(f"wrote {dst} (epoch {payload['epoch']})")
@@ -41,20 +44,22 @@ def to_jax(src: str, dst: str):
 
 def to_torch(src: str, dst: str):
     import torch
-    from videopose3d_tpu.checkpoint import load_checkpoint
+    # load_any_checkpoint reads both the pickle format and orbax checkpoint
+    # directories (the runner's auto-detection).
+    from videopose3d_tpu.runner import load_any_checkpoint
 
-    chk = load_checkpoint(src)
+    chk = load_any_checkpoint(src)
     payload = {
         "epoch": chk.get("epoch", 0),
         "lr": chk.get("lr"),
-        "random_state": None,
+        "random_state": chk.get("random_state"),
         "optimizer": None,
         "model_pos": {k: torch.from_numpy(np.ascontiguousarray(v))
                       for k, v in chk["model_pos"].items()},
         "model_traj": ({k: torch.from_numpy(np.ascontiguousarray(v))
                         for k, v in chk["model_traj"].items()}
                        if chk.get("model_traj") is not None else None),
-        "random_state_semi": None,
+        "random_state_semi": chk.get("random_state_semi"),
     }
     torch.save(payload, dst)
     print(f"wrote {dst} (epoch {payload['epoch']})")
@@ -74,5 +79,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, ".")
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     main()
