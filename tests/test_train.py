@@ -347,3 +347,54 @@ class TestEvaluator:
         ev = Evaluator(cfg, joints_flip_perm=perm)
         _, _, b2, n = next(batcher.next_epoch())
         np.testing.assert_array_equal(b2[0], b2[1])
+
+
+def test_mesh_equals_single_device():
+    """The README's GSPMD claim, tested: a data-parallel step over the
+    8-device mesh produces the same parameters, BatchNorm running statistics,
+    and losses as the unsharded step — same init, same chunk descriptors,
+    dropout off (mask generation order is batch-position-invariant either
+    way, but f32 summation order in the sharded all-reduces differs, hence
+    allclose rather than bit-equality)."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(11)
+    poses_2d, poses_3d, _ = _toy_data(rng)
+    cfg = _model_cfg(dropout=0.0)
+    pad = (receptive_field(cfg) - 1) // 2
+    loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                           causal_shift=0)
+    perm = tuple(_perm().tolist())
+    ds = FlatSequenceDataset(
+        poses_2d, poses_3d,
+        margins=FlatSequenceDataset.training_margins(pad, 0, 1),
+        flip_perms=(perm, perm))
+
+    metas = list(ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1)
+                 .next_epoch())[:6]
+
+    results = {}
+    for tag, m in (("mesh", mesh), ("single", None)):
+        if m is not None:
+            from videopose3d_tpu.parallel import replicated_sharding
+            dev = ds.to_device(replicated_sharding(m))
+        else:
+            dev = ds.to_device()
+        trainer = SupervisedTrainer(cfg, loop, _perm(), _perm(), mesh=m)
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt_state = trainer.init_optimizer(params)
+        step_rng = jax.random.PRNGKey(1)
+        losses = []
+        for meta, n_valid in metas:
+            params, state, opt_state, step_rng, loss = trainer.step(
+                params, state, opt_state, step_rng, dev, meta, n_valid, 0.1)
+            losses.append(float(loss))
+        results[tag] = (jax.tree.map(np.asarray, params),
+                        jax.tree.map(np.asarray, state), losses)
+
+    p_mesh, s_mesh, l_mesh = results["mesh"]
+    p_one, s_one, l_one = results["single"]
+    np.testing.assert_allclose(l_mesh, l_one, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+                 p_mesh, p_one)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+                 s_mesh, s_one)
