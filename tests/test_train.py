@@ -398,3 +398,67 @@ def test_mesh_equals_single_device():
                  p_mesh, p_one)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
                  s_mesh, s_one)
+
+
+def test_semi_mesh_equals_single_device():
+    """Mesh-vs-unsharded equivalence for the semi-supervised trainer: both
+    models' parameters and all loss components agree to float tolerance
+    (dropout off; the labeled + unlabeled concat-batch semantics must
+    survive the batch-axis sharding)."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(12)
+    poses_2d, poses_3d, cams = _toy_data(rng)
+    poses_2d_semi = [p + 0.01 for p in poses_2d[:2]]
+    cams_semi = cams[:2]
+    poses_3d = [p + np.array([0, 0, 4], np.float32) for p in poses_3d]
+
+    cfg = _model_cfg(dropout=0.0)
+    traj_cfg = TemporalModelConfig(
+        num_joints_in=J, in_features=2, num_joints_out=1,
+        filter_widths=cfg.filter_widths, dropout=0.0, channels=cfg.channels)
+    pad = (receptive_field(cfg) - 1) // 2
+    loop = TrainLoopConfig(batch_size=8, chunk_length=1, pad=pad,
+                           causal_shift=0, warmup=0)
+    parents = np.array([-1] + list(range(J - 1)))
+
+    metas = list(ChunkedPairSampler([p.shape[0] for p in poses_2d], 8, 1)
+                 .next_epoch())[:4]
+    metas_semi = []
+    semi_iter = ChunkedPairSampler([p.shape[0] for p in poses_2d_semi], 8, 1,
+                                   random_seed=4321, endless=True).next_epoch()
+    for _ in metas:
+        metas_semi.append(next(semi_iter))
+
+    results = {}
+    for tag, m in (("mesh", mesh), ("single", None)):
+        sharding = None
+        if m is not None:
+            from videopose3d_tpu.parallel import replicated_sharding
+            sharding = replicated_sharding(m)
+        dev = FlatSequenceDataset(poses_2d, poses_3d, cams).to_device(sharding)
+        dev_semi = FlatSequenceDataset(
+            poses_2d_semi, None, cams_semi).to_device(sharding)
+        trainer = SemiSupervisedTrainer(cfg, traj_cfg, loop, _perm(), _perm(),
+                                        parents, mesh=m)
+        params = {"pos": None, "traj": None}
+        params["pos"], st_pos = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        params["traj"], st_traj = init_temporal_model(
+            traj_cfg, jax.random.PRNGKey(1))
+        states = {"pos": st_pos, "traj": st_traj}
+        opt_state = trainer.init_optimizer(params)
+        step_rng = jax.random.PRNGKey(2)
+        losses = []
+        for (meta, n_valid), (meta_s, n_valid_s) in zip(metas, metas_semi):
+            (params, states, opt_state, step_rng,
+             loss_pos, loss_traj, loss_recon, loss_total) = trainer.step(
+                params, states, opt_state, step_rng, dev, dev_semi,
+                meta, n_valid, meta_s, n_valid_s, 0.1, False)
+            losses.append([float(loss_pos), float(loss_traj),
+                           float(loss_recon), float(loss_total)])
+        results[tag] = (jax.tree.map(np.asarray, params), losses)
+
+    p_mesh, l_mesh = results["mesh"]
+    p_one, l_one = results["single"]
+    np.testing.assert_allclose(l_mesh, l_one, rtol=3e-5, atol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=3e-6),
+                 p_mesh, p_one)
