@@ -353,15 +353,45 @@ def _rowvec(v):
     return v.reshape(1, -1).astype(jnp.float32)
 
 
-def _mid_block_i8(xq, blk, *, dilation, causal_shift, t_tile, interpret):
+def _rows_needed(t, t_out, t_tile, reach):
+    """Physical input rows a stage's window DMAs touch (its t_needed)."""
+    tt, n_tiles, _, win, _ = _tile_geometry(t, t_out, t_tile, reach)
+    return (n_tiles - 1) * tt + win
+
+
+def _alloc_rows(t_padded_out, t_tile_stage, t_out, t_tile, next_reach):
+    """Rows to allocate for a stage's int8 output stream.
+
+    Grown past the stage's own padded output so the NEXT stage's window DMAs
+    fit without a slice-to-valid + re-pad round trip (two full-stream copies
+    per block boundary, ~9% of the serving step).  The tail rows beyond the
+    grid's writes stay uninitialized — any int8 bit pattern is a finite
+    value, those rows feed only output positions past the real ``t_out``
+    that the final slice drops, and the per-row dynamic requant clamps its
+    denominator, so garbage never reaches a kept output."""
+    if next_reach is None:
+        return t_padded_out
+    need = _rows_needed(t_out, t_out - next_reach, t_tile, next_reach)
+    # Multiple of the stage's tile so the out BlockSpec tiling stays regular.
+    return max(t_padded_out, -(-need // t_tile_stage) * t_tile_stage)
+
+
+def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
+                  interpret, next_reach=None):
+    """One mid int8 block over ``xq[:, :valid]`` (rows past ``valid`` are the
+    producer's scratch tail).  Returns (stream, valid_out)."""
     n_taps = blk["wq_a"].shape[0]
-    b, t, c = xq.shape
+    b, t_phys, c = xq.shape
+    t = valid
+    t_tile_param = t_tile
     res_offset = (n_taps - 1) * dilation // 2 + causal_shift
     t_out = t - (n_taps - 1) * dilation
-    t_tile, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+    t_tile, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation)
-    if pad_amount > 0:
-        xq = jnp.pad(xq, ((0, 0), (0, pad_amount), (0, 0)))
+    t_needed = (n_tiles - 1) * t_tile + win
+    if t_phys < t_needed:
+        xq = jnp.pad(xq, ((0, 0), (0, t_needed - t_phys), (0, 0)))
+    alloc = _alloc_rows(t_padded_out, t_tile, t_out, t_tile_param, next_reach)
 
     kernel = functools.partial(
         _mid_block_i8_kernel, t_tile=t_tile, dilation=dilation,
@@ -370,7 +400,7 @@ def _mid_block_i8(xq, blk, *, dilation, causal_shift, t_tile, interpret):
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, c), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b, alloc, c), jnp.int8),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -395,7 +425,7 @@ def _mid_block_i8(xq, blk, *, dilation, causal_shift, t_tile, interpret):
         interpret=interpret,
     )(xq, blk["wq_a"], _rowvec(blk["A1"]), _rowvec(blk["B1"]), blk["wq_b"],
       _rowvec(blk["A2"]), _rowvec(blk["B2"]), _rowvec(blk["R"]))
-    return out[:, :t_out] if t_padded_out > t_out else out
+    return out, t_out
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
@@ -456,9 +486,12 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
         res_offset=res_offset, n_taps=n_taps, win=win)
     vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
+    reach_next = ((int(q["blocks"][1]["wq_a"].shape[0]) - 1)
+                  * config.dilations[2])
+    alloc = _alloc_rows(t_padded_out, t_tile0, t_out, t_tile, reach_next)
     stream = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, c), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b, alloc, c), jnp.int8),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -484,30 +517,34 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
       _rowvec(q["expand_shift"]), blk["wq_a"], _rowvec(blk["A1"]),
       _rowvec(blk["B1"]), blk["wq_b"], _rowvec(blk["A2"]),
       _rowvec(blk["B2"]), _rowvec(blk["R"]))
-    if t_padded_out > t_out:
-        stream = stream[:, :t_out]
+    valid = t_out  # rows past this are scratch tail for the next stage
 
     # --- middle blocks ----------------------------------------------------
     for i in range(1, n_blocks - 1):
-        stream = _mid_block_i8(
-            stream, q["blocks"][i], dilation=config.dilations[i + 1],
+        nxt = i + 1
+        reach_next = ((int(q["blocks"][nxt]["wq_a"].shape[0]) - 1)
+                      * config.dilations[nxt + 1])
+        stream, valid = _mid_block_i8(
+            stream, valid, q["blocks"][i], dilation=config.dilations[i + 1],
             causal_shift=config.causal_shifts_dilated[i + 1],
-            t_tile=t_tile, interpret=interpret)
+            t_tile=t_tile, interpret=interpret, next_reach=reach_next)
 
     # --- last block + shrink ----------------------------------------------
     i = n_blocks - 1
     blk = q["blocks"][i]
     dilation = config.dilations[i + 1]
     n_taps = int(blk["wq_a"].shape[0])
-    bq, t, c = stream.shape
+    bq, t_phys, c = stream.shape
+    t = valid
     j3 = q["shrink_w"].shape[1]
     res_offset = ((n_taps - 1) * dilation // 2
                   + config.causal_shifts_dilated[i + 1])
     t_out = t - (n_taps - 1) * dilation
-    t_tile_l, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+    t_tile_l, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation)
-    if pad_amount > 0:
-        stream = jnp.pad(stream, ((0, 0), (0, pad_amount), (0, 0)))
+    t_needed = (n_tiles - 1) * t_tile_l + win
+    if t_phys < t_needed:
+        stream = jnp.pad(stream, ((0, 0), (0, t_needed - t_phys), (0, 0)))
 
     kernel = functools.partial(
         _shrink_block_i8_kernel, t_tile=t_tile_l, dilation=dilation,
