@@ -643,13 +643,22 @@ def forward_dilated_fused(
         x = x + params["shrink"]["bias"].astype(x.dtype)
         return _finish_output(config, x.astype(jnp.float32))
 
+    # In the multi-block chain each kernel over-allocates its output stream
+    # so the next block's windows fit directly (next_reach) — no
+    # slice-to-valid + re-pad full-stream copies between blocks.  ``valid``
+    # tracks the real row count through the scratch tails.
+    fw = config.filter_widths
+    reach = lambda blk: (fw[blk + 1] - 1) * config.dilations[blk + 1]
+    k0 = fw[0]
+    t_raw = x.shape[1]
     x = fused_expand_block(
         x, params["expand_conv"]["weight"].astype(compute_dtype), s0, b0,
         params["layers_conv"][0]["weight"].astype(compute_dtype), s1, b1,
         params["layers_conv"][1]["weight"].astype(compute_dtype), s2, b2,
         dilation=config.dilations[1],
         causal_shift=config.causal_shifts_dilated[1],
-        t_tile=t_tile, interpret=interpret)
+        t_tile=t_tile, interpret=interpret, next_reach=reach(1))
+    valid = t_raw - (k0 - 1) - reach(0)
 
     for i in range(1, n_blocks - 1):
         s1, b1, s2, b2 = block_affines(i)
@@ -663,7 +672,10 @@ def forward_dilated_fused(
             causal_shift=config.causal_shifts_dilated[i + 1],
             t_tile=t_tile,
             interpret=interpret,
+            valid=valid,
+            next_reach=reach(i + 1),
         )
+        valid -= reach(i)
 
     # Last block with the shrink projection fused in (writes J*3 lanes instead
     # of C).
@@ -677,7 +689,7 @@ def forward_dilated_fused(
         params["shrink"]["weight"], params["shrink"]["bias"],
         dilation=config.dilations[i + 1],
         causal_shift=config.causal_shifts_dilated[i + 1],
-        t_tile=t_tile, interpret=interpret)
+        t_tile=t_tile, interpret=interpret, valid=valid)
     return _finish_output(config, x.astype(jnp.float32))
 
 

@@ -69,6 +69,32 @@ def _tile_geometry(t, t_out, t_tile, reach, align=16):
     return t_tile, n_tiles, t_padded_out, win, pad_amount
 
 
+def _rows_needed(t, t_out, t_tile, reach, geometry=_tile_geometry):
+    """Physical input rows a stage's window DMAs touch (its t_needed)."""
+    tt, n_tiles, _, win, _ = geometry(t, t_out, t_tile, reach)
+    return (n_tiles - 1) * tt + win
+
+
+def _alloc_rows(t_padded_out, t_tile_stage, t_out, t_tile, next_reach,
+                geometry=_tile_geometry):
+    """Rows to allocate for a stage's output stream.
+
+    Grown past the stage's own padded output so the NEXT stage's window DMAs
+    fit without a slice-to-valid + re-pad round trip (two full-stream copies
+    per block boundary).  Tail rows beyond the grid's writes stay
+    uninitialized: they feed only output positions past the real ``t_out``
+    that the final slice drops (each output row reads input rows
+    ``row .. row + reach`` only, so kept rows never touch the tail), and the
+    elementwise epilogues are row-local, so garbage — even NaN bit patterns
+    in float tails — cannot reach a kept output."""
+    if next_reach is None:
+        return t_padded_out
+    need = _rows_needed(t_out, t_out - next_reach, t_tile, next_reach,
+                        geometry)
+    # Multiple of the stage's tile so the out BlockSpec tiling stays regular.
+    return max(t_padded_out, -(-need // t_tile_stage) * t_tile_stage)
+
+
 def _pipelined_window(x_hbm, x_vmem, sems, t_tile, window_len):
     """Double-buffered window DMA over the (batch, tiles) grid.
 
@@ -135,10 +161,12 @@ def _block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, out,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilation", "causal_shift", "t_tile", "interpret"))
+    static_argnames=("dilation", "causal_shift", "t_tile", "interpret",
+                     "valid", "next_reach"))
 def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
                         bn2_shift, *, dilation: int, causal_shift: int = 0,
-                        t_tile: int = 256, interpret: bool = False):
+                        t_tile: int = 256, interpret: bool = False,
+                        valid: int = None, next_reach: int = None):
     """Apply one fused residual block (inference mode).
 
     Args:
@@ -155,20 +183,25 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
     if w2.ndim == 3:
         w2 = w2[0]
     n_taps = w_taps.shape[0]
-    b, t, c = x.shape
+    b, t_phys, c = x.shape
+    t = valid if valid is not None else t_phys
+    t_tile_param = t_tile
     pad = (n_taps - 1) * dilation // 2
     res_offset = pad + causal_shift
     t_out = t - (n_taps - 1) * dilation
     assert t_out >= 1, (t, dilation)
 
     # Pad the time axis so t_out divides evenly into tiles; the tail windows
-    # read zero padding and their outputs are sliced off below.  The DMA window
-    # is rounded up to the bf16 16-row sublane tiling (Mosaic HBM-slice
-    # constraint), so the input gets padded to cover the widest window too.
-    t_tile, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+    # read padding (or, in a fused chain, the producer's scratch tail) and
+    # their outputs are dropped.  The DMA window is rounded up to the bf16
+    # 16-row sublane tiling (Mosaic HBM-slice constraint), so the input gets
+    # padded to cover the widest window too.
+    t_tile, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation)
-    if pad_amount > 0:
-        x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
+    t_needed = (n_tiles - 1) * t_tile + win
+    if t_phys < t_needed:
+        x = jnp.pad(x, ((0, 0), (0, t_needed - t_phys), (0, 0)))
+    alloc = _alloc_rows(t_padded_out, t_tile, t_out, t_tile_param, next_reach)
 
     dtype = x.dtype
     as_row = lambda v: v.reshape(1, -1).astype(jnp.float32)
@@ -179,7 +212,7 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, alloc, c), dtype),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),               # x stays in HBM
@@ -211,7 +244,7 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
       as_row(bn1_shift), w2.astype(dtype), as_row(bn2_scale),
       as_row(bn2_shift))
 
-    if t_padded_out > t_out:
+    if next_reach is None and out.shape[1] > t_out:
         out = out[:, :t_out]
     return out
 
@@ -250,11 +283,12 @@ def _expand_block_kernel(x_hbm, w0, s0, b0, w_taps, s1, b1, w2, s2, b2, out,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilation", "causal_shift", "t_tile", "interpret"))
+    static_argnames=("dilation", "causal_shift", "t_tile", "interpret",
+                     "next_reach"))
 def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
                        bn1_shift, w2, bn2_scale, bn2_shift, *, dilation: int,
                        causal_shift: int = 0, t_tile: int = 256,
-                       interpret: bool = False):
+                       interpret: bool = False, next_reach: int = None):
     """Expand conv + first residual block in one kernel.
 
     Args:
@@ -288,11 +322,13 @@ def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
 
     # Same rules as _tile_geometry with the raw-stage rows folded into the
     # reach; only the unaligned expand-stage window stays local.
+    t_tile_param = t_tile
     t_tile, n_tiles, t_padded_out, raw_win, pad_amount = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation + k0 - 1)
     win = t_tile + (n_taps - 1) * dilation       # expand rows needed per tile
     if pad_amount > 0:
         x_raw = jnp.pad(x_raw, ((0, 0), (0, pad_amount), (0, 0)))
+    alloc = _alloc_rows(t_padded_out, t_tile, t_out, t_tile_param, next_reach)
 
     dtype = w_taps.dtype
     as_row = lambda v: v.reshape(1, -1).astype(jnp.float32)
@@ -305,7 +341,7 @@ def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_padded_out, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, alloc, c), dtype),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),           # raw x in HBM
@@ -331,7 +367,7 @@ def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
       w_taps.astype(dtype), as_row(bn1_scale), as_row(bn1_shift),
       w2.astype(dtype), as_row(bn2_scale), as_row(bn2_shift))
 
-    if t_padded_out > t_out:
+    if next_reach is None and out.shape[1] > t_out:
         out = out[:, :t_out]
     return out
 
@@ -359,11 +395,12 @@ def _shrink_block_kernel(x_hbm, w_taps, s1, b1, w2, s2, b2, ws, bs, out,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilation", "causal_shift", "t_tile", "interpret"))
+    static_argnames=("dilation", "causal_shift", "t_tile", "interpret",
+                     "valid"))
 def fused_shrink_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
                        bn2_shift, w_shrink, b_shrink, *, dilation: int,
                        causal_shift: int = 0, t_tile: int = 256,
-                       interpret: bool = False):
+                       interpret: bool = False, valid: int = None):
     """Last residual block + the 1x1 shrink projection in one kernel.
 
     Args as :func:`fused_dilated_block` plus ``w_shrink``: (C, J_out*3) (or
@@ -377,17 +414,19 @@ def fused_shrink_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
     if w_shrink.ndim == 3:
         w_shrink = w_shrink[0]
     n_taps = w_taps.shape[0]
-    b, t, c = x.shape
+    b, t_phys, c = x.shape
+    t = valid if valid is not None else t_phys
     j3 = w_shrink.shape[1]
     pad = (n_taps - 1) * dilation // 2
     res_offset = pad + causal_shift
     t_out = t - (n_taps - 1) * dilation
     assert t_out >= 1, (t, dilation)
 
-    t_tile, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
+    t_tile, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation)
-    if pad_amount > 0:
-        x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
+    t_needed = (n_tiles - 1) * t_tile + win
+    if t_phys < t_needed:
+        x = jnp.pad(x, ((0, 0), (0, t_needed - t_phys), (0, 0)))
 
     dtype = x.dtype
     as_row = lambda v: v.reshape(1, -1).astype(jnp.float32)
