@@ -97,3 +97,30 @@ def test_fused_forward_causal():
     want, _ = forward_dilated(cfg, params, state, x, train=False)
     got = forward_dilated_fused(cfg, params, state, x, t_tile=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_fused_forward_flagship_depth_chain():
+    """The valid/next_reach scratch-tail chaining through 4- and 5-block
+    stacks (the mid-to-mid handoff the shallower tests never reach),
+    symmetric and causal, against the unfused XLA forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from videopose3d_tpu.models.temporal import (
+        TemporalModelConfig, init_temporal_model, forward_dilated,
+        forward_dilated_fused, receptive_field)
+
+    rng = np.random.default_rng(5)
+    for fw, causal in [((3, 3, 3, 3), False), ((3, 3, 3, 3, 3), False),
+                       ((3, 3, 3, 3, 3), True)]:
+        cfg = TemporalModelConfig(
+            num_joints_in=17, in_features=2, num_joints_out=17,
+            filter_widths=fw, causal=causal, dropout=0.0, channels=32)
+        rf = receptive_field(cfg)
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.standard_normal((2, rf + 37, 17, 2)),
+                        jnp.float32)
+        ref, _ = forward_dilated(cfg, params, state, x, train=False)
+        out = forward_dilated_fused(cfg, params, state, x, t_tile=48)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"{fw} causal={causal}")

@@ -176,9 +176,16 @@ def fused_dilated_block(x, w_taps, bn1_scale, bn1_shift, w2, bn2_scale,
       w2: (C, C) 1x1 conv weights (taken as (1, C, C) or (C, C)).
       dilation: temporal dilation d; the residual slice offset is
         ``(k-1)//2*d + causal_shift`` (parity: model.py:130-132).
+      valid: real input length when ``x`` carries a producer's scratch tail
+        (rows past ``valid``); defaults to ``x.shape[1]``.
+      next_reach: when chaining fused blocks, the next block's
+        ``(k-1)*dilation`` — the output is then allocated with scratch tail
+        rows covering the next block's windows and returned UNSLICED
+        ((B, alloc, C); only the first ``valid - (k-1)*d`` rows are real).
 
     Returns:
-      (B, T - (k-1)*d, C) block output, same dtype as ``x``.
+      (B, T - (k-1)*d, C) block output, same dtype as ``x``; with
+      ``next_reach`` set, (B, alloc >= T - (k-1)*d, C) with a scratch tail.
     """
     if w2.ndim == 3:
         w2 = w2[0]
@@ -294,10 +301,13 @@ def fused_expand_block(x_raw, w0, bn0_scale, bn0_shift, w_taps, bn1_scale,
     Args:
       x_raw: (B, T, C_in) raw inputs (C_in = J*F, e.g. 34).
       w0: (k0, C_in, C) expand conv weights; bn0_*: folded expand BN affine.
-      remaining args as :func:`fused_dilated_block` for the first block.
+      remaining args as :func:`fused_dilated_block` for the first block,
+      including ``next_reach`` (output returned unsliced with a scratch tail
+      covering the next block's windows).
 
     Returns:
-      (B, T - (k0-1) - (k-1)*d, C) first-block output.
+      (B, T - (k0-1) - (k-1)*d, C) first-block output (unsliced
+      (B, alloc, C) when ``next_reach`` is set).
     """
     if w2.ndim == 3:
         w2 = w2[0]

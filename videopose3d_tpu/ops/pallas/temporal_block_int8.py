@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from videopose3d_tpu.models.temporal import (
     TemporalModelConfig, _conv_matmul, receptive_field)
 from videopose3d_tpu.ops.pallas.temporal_block import (
+    _alloc_rows as _alloc_rows_base,
     _tile_geometry as _tile_geometry_bf16, fold_batchnorm)
 
 QMAX = 127.0
@@ -353,27 +354,11 @@ def _rowvec(v):
     return v.reshape(1, -1).astype(jnp.float32)
 
 
-def _rows_needed(t, t_out, t_tile, reach):
-    """Physical input rows a stage's window DMAs touch (its t_needed)."""
-    tt, n_tiles, _, win, _ = _tile_geometry(t, t_out, t_tile, reach)
-    return (n_tiles - 1) * tt + win
-
-
-def _alloc_rows(t_padded_out, t_tile_stage, t_out, t_tile, next_reach):
-    """Rows to allocate for a stage's int8 output stream.
-
-    Grown past the stage's own padded output so the NEXT stage's window DMAs
-    fit without a slice-to-valid + re-pad round trip (two full-stream copies
-    per block boundary, ~9% of the serving step).  The tail rows beyond the
-    grid's writes stay uninitialized — any int8 bit pattern is a finite
-    value, those rows feed only output positions past the real ``t_out``
-    that the final slice drops, and the per-row dynamic requant clamps its
-    denominator, so garbage never reaches a kept output."""
-    if next_reach is None:
-        return t_padded_out
-    need = _rows_needed(t_out, t_out - next_reach, t_tile, next_reach)
-    # Multiple of the stage's tile so the out BlockSpec tiling stays regular.
-    return max(t_padded_out, -(-need // t_tile_stage) * t_tile_stage)
+# Shared scratch-tail allocation rules at the int8 (align=32) geometry —
+# one definition with the bf16 module (see its docstrings for the
+# garbage-tail safety argument; the per-row dynamic requant additionally
+# clamps its denominator here).
+_alloc_rows = functools.partial(_alloc_rows_base, geometry=_tile_geometry)
 
 
 def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
