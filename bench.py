@@ -34,13 +34,14 @@ import jax.numpy as jnp
 
 
 def main():
-    # Defaults from the measured shape sweep (PARITY.md): longer windows
-    # amortize the receptive-field overlap (242/16626 = 1.5% waste) and B=4
-    # keeps the per-tile working set resident; B=4/16384/512 beat B=8/8192/512
-    # by ~4.5% and every other swept (batch, t_out, t_tile) combination.
+    # Defaults from the measured shape sweeps (PARITY.md): longer windows
+    # amortize the receptive-field overlap (242/33010 = 0.7% waste) and B=4
+    # keeps the per-tile working set resident.  Post inter-block-fusion
+    # re-sweep: 32768 gains ~0.8% over 16384 (8.98 vs 8.91M); 65536 only
+    # ~0.4% more at twice the buffers, and t_tile 768/1024/1536 all lose.
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--t-out", type=int, default=16384)
+    ap.add_argument("--t-out", type=int, default=32768)
     ap.add_argument("--t-tile", type=int, default=512)
     args = ap.parse_args()
     from videopose3d_tpu.models.temporal import (
