@@ -98,16 +98,19 @@ def test_chunked_no_3d_no_cam(reference_modules):
     dev = ds.to_device()
     sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], batch_size, 1,
                                  shuffle=True, random_seed=4321, augment=False)
+    assert sampler.num_batches == ref_gen.num_batches
     ours_iter = sampler.next_epoch()
     for _, _, ref_2d in ref_gen.next_epoch():
         meta, n_valid = next(ours_iter)
         _, _, b2 = _assemble(ds, dev, meta, 2, 0, 1, with_3d=False, with_cams=False)
         np.testing.assert_array_equal(b2[:n_valid], ref_2d.astype(np.float32))
+    with pytest.raises(StopIteration):
+        next(ours_iter)
 
 
 def test_endless_state_and_resume(reference_modules):
     """The endless semi-supervised stream keeps mid-epoch state; RNG state
-    save/restore must reproduce the exact upcoming chunk order."""
+    save/restore reproduces the chunk order from a permutation boundary."""
     poses_2d, _, _ = _make_data(n_seqs=3, with_3d=False, with_cams=False)
     lengths = [p.shape[0] for p in poses_2d]
 
@@ -128,6 +131,43 @@ def test_endless_state_and_resume(reference_modules):
         np.testing.assert_array_equal(got, want)
 
 
+def test_endless_stream_state_resumes_mid_permutation():
+    """A mid-permutation save/restore continues the stream batch-for-batch.
+    The plain RNG state is NOT enough for this (restoring it mid-permutation
+    starts a fresh shuffle — the reference's resume semantics, run.py:607);
+    stream_state() captures the pre-draw RNG snapshot + batch index and
+    replays exactly."""
+    poses_2d, _, _ = _make_data(n_seqs=3, with_3d=False, with_cams=False)
+    lengths = [p.shape[0] for p in poses_2d]
+
+    s1 = ChunkedPairSampler(lengths, 4, 1, random_seed=4321, augment=True,
+                            endless=True)
+    it1 = s1.next_epoch()
+    for _ in range(3):  # advance mid-permutation
+        next(it1)
+    saved_rng = s1.random_state()
+    saved_stream = s1.stream_state()
+    assert saved_stream is not None and saved_stream[0] == 3
+    # Continue the original run well past the current permutation.
+    upcoming = [next(it1)[0] for _ in range(2 * s1.num_batches)]
+
+    # Plain-RNG restore (reference semantics) diverges mid-permutation...
+    s_rng = ChunkedPairSampler(lengths, 4, 1, random_seed=1, augment=True,
+                               endless=True)
+    s_rng.set_random_state(saved_rng)
+    first_rng = next(s_rng.next_epoch())[0]
+    assert not np.array_equal(first_rng, upcoming[0])
+
+    # ...while the stream-state restore continues exactly.
+    s2 = ChunkedPairSampler(lengths, 4, 1, random_seed=1, augment=True,
+                            endless=True)
+    s2.set_random_state(saved_rng)
+    s2.set_stream_state(saved_stream)
+    it2 = s2.next_epoch()
+    for want in upcoming:
+        np.testing.assert_array_equal(next(it2)[0], want)
+
+
 @pytest.mark.parametrize("pad,causal_shift,chunk", [
     (3, 0, 1), (13, 0, 1), (13, 13, 1), (4, 0, 5), (0, 0, 3),
 ])
@@ -145,7 +185,7 @@ def test_contiguous_assembly_equals_clamping(pad, causal_shift, chunk):
     sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, chunk,
                                  augment=True)
     perm = tuple(_flip_perm().tolist())
-    for (meta, n_valid), _ in zip(sampler.next_epoch(), range(10)):
+    for meta, n_valid in sampler.next_epoch():
         want = assemble_chunked_batch(
             dev.flat_2d, dev.flat_3d, dev.cameras, dev.seq_bounds,
             jnp_meta := np.asarray(meta), pad=pad, causal_shift=causal_shift,
@@ -180,7 +220,7 @@ def test_baked_flip_assembly_equals_clamping(pad, causal_shift, chunk):
 
     sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, chunk,
                                  augment=True)
-    for (meta, n_valid), _ in zip(sampler.next_epoch(), range(6)):
+    for meta, n_valid in sampler.next_epoch():
         meta = np.asarray(meta)
         want = assemble_chunked_batch(
             dev.flat_2d, dev.flat_3d, dev.cameras, dev.seq_bounds,

@@ -112,8 +112,8 @@ class TestParity:
     def test_train_mode_bn_parity(self, reference_modules):
         """Train-mode forward (batch stats) + running-stat update parity.
         Dropout disabled so randomness doesn't enter."""
-        cfg = _config((3, 3, 3))
-        cfg = TemporalModelConfig(**{**cfg.__dict__, "dropout": 0.0})
+        import dataclasses
+        cfg = dataclasses.replace(_config((3, 3, 3)), dropout=0.0)
         ref = _torch_reference_model(reference_modules, cfg, optimized=True).train()
         params, state = params_from_torch_state_dict(
             cfg, {k: v.numpy() for k, v in ref.state_dict().items()})
@@ -208,12 +208,12 @@ class TestRoundTripConversion:
         params, state = init_temporal_model(cfg, jax.random.PRNGKey(7))
         sd = params_to_torch_state_dict(params, state)
         params2, state2 = params_from_torch_state_dict(cfg, sd)
-        for a, b in zip(jax.tree_util.tree_leaves(params),
-                        jax.tree_util.tree_leaves(params2)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        for a, b in zip(jax.tree_util.tree_leaves(state),
-                        jax.tree_util.tree_leaves(state2)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for want, got in ((params, params2), (state, state2)):
+            assert (jax.tree_util.tree_structure(want)
+                    == jax.tree_util.tree_structure(got))
+            for a, b in zip(jax.tree_util.tree_leaves(want),
+                            jax.tree_util.tree_leaves(got), strict=True):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestFlagshipParity:

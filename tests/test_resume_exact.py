@@ -11,9 +11,10 @@ from videopose3d_tpu import runner
 
 
 def _loss_lines(out):
-    return {int(m.group(1)): (float(m.group(2)), float(m.group(3)))
+    return {int(m.group(1)): (float(m.group(2)), float(m.group(3)),
+                              float(m.group(4)))
             for m in re.finditer(
-                r"\[(\d+)\] time \S+ lr \S+ 3d_train (\S+) 3d_eval \S+ "
+                r"\[(\d+)\] time \S+ lr \S+ 3d_train (\S+) 3d_eval (\S+) "
                 r"3d_valid (\S+)", out)}
 
 
@@ -65,7 +66,45 @@ def test_resume_is_bit_exact(data_dir, tmp_path, capsys):
 
     assert set(resumed) == {3, 4}
     for epoch in (3, 4):
-        s_train, s_valid = straight[epoch]
-        r_train, r_valid = resumed[epoch]
+        s_train, s_eval, s_valid = straight[epoch]
+        r_train, r_eval, r_valid = resumed[epoch]
         assert s_train == pytest.approx(r_train, abs=1e-6), epoch
+        assert s_eval == pytest.approx(r_eval, abs=1e-6), epoch
         assert s_valid == pytest.approx(r_valid, abs=1e-6), epoch
+
+
+def test_semi_supervised_resume_is_continuation_exact(data_dir, tmp_path,
+                                                      capsys):
+    """Semi-supervised resume replays the interrupted run exactly — including
+    the endless unlabeled stream's mid-permutation position, which the
+    checkpoint carries as (pre-draw RNG snapshot, batch index).  The
+    reference cannot do this: it restores only the stream's RNG
+    (run.py:607), restarting a fresh permutation."""
+    def run(ckpt, epochs, resume=None):
+        args = ["-d", "h36m", "-k", "gt", "--data-dir", data_dir, "-c", ckpt,
+                "-arc", "3,3", "-ch", "16", "-b", "32", "--eval-bucket", "16",
+                "-e", str(epochs), "--checkpoint-frequency", "1",
+                "-str", "S1,S5", "-sun", "S6,S7", "--warmup", "0"]
+        if resume:
+            args += ["-r", resume]
+        runner.main(args)
+
+    def semi_lines(out):
+        return {int(m.group(1)): [float(g) for g in m.groups()[1:]]
+                for m in re.finditer(
+                    r"\[(\d+)\] time \S+ lr \S+ 3d_train (\S+) "
+                    r"3d_eval (\S+) traj_eval (\S+) "
+                    r"3d_valid (\S+) traj_valid (\S+) "
+                    r"2d_train_sup (\S+) 2d_train_unsup (\S+) "
+                    r"2d_valid (\S+)", out)}
+
+    ckpt = str(tmp_path / "semi")
+    run(ckpt, 4)
+    straight = semi_lines(capsys.readouterr().out)
+    assert set(straight) == {1, 2, 3, 4}
+
+    run(ckpt, 4, resume="epoch_2.bin")
+    resumed = semi_lines(capsys.readouterr().out)
+    assert set(resumed) == {3, 4}
+    for epoch in (3, 4):
+        assert straight[epoch] == pytest.approx(resumed[epoch], abs=1e-6), epoch

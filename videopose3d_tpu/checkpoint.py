@@ -54,7 +54,7 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 # calling process — a default orbax Checkpointer.save would block in
 # sync_global_processes waiting for peers that never enter save().
 
-_RNG_STATE_KEYS = ("random_state", "random_state_semi")
+_RNG_STATE_KEYS = ("random_state", "random_state_semi", "stream_rng_semi")
 
 
 def require_orbax() -> None:

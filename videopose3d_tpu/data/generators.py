@@ -233,6 +233,7 @@ class ChunkedPairSampler:
         self.augment = augment
         self.endless = endless
         self.state = None  # (next_batch_idx, shuffled_pairs) for endless streams
+        self._perm_rng_state = None  # RNG snapshot just before the current draw
 
         # Optional native (C++) shuffle core — bit-identical permutation and
         # RNG-state trajectory, so it composes with checkpoint resume.
@@ -267,9 +268,41 @@ class ChunkedPairSampler:
 
     def _next_pairs(self):
         if self.state is None:
+            # Snapshot the RNG before drawing: (snapshot, batch index) is a
+            # compact, exactly-replayable encoding of a mid-permutation
+            # position (see stream_state).
+            self._perm_rng_state = self.random.get_state()
             pairs = self._shuffled_pairs() if self.shuffle else self.pairs
             return 0, pairs
         return self.state
+
+    def stream_state(self):
+        """Mid-permutation position of an endless stream, checkpoint-compact:
+        ``(next_batch_idx, RNG state captured just before the current
+        permutation was drawn)`` — ~2.5 KB instead of the full shuffled pair
+        array.  None at a permutation boundary or for epoch-mode samplers."""
+        if self.state is None or self._perm_rng_state is None:
+            return None
+        return (int(self.state[0]), self._perm_rng_state)
+
+    def set_stream_state(self, stream_state):
+        """Resume an endless stream mid-permutation, continuation-exact:
+        rewind the RNG to the pre-draw snapshot, re-draw the identical
+        permutation (leaving the RNG positioned exactly as it was after the
+        original draw), and skip to the saved batch index.
+
+        Beyond-reference: the reference checkpoints only the semi stream's
+        RNG (``run.py:607``), so its resumed unlabeled stream restarts a
+        fresh permutation instead of continuing — pass None for that
+        behavior."""
+        if stream_state is None:
+            self.state = None
+            return
+        start_idx, rng_state = stream_state
+        self.random.set_state(rng_state)
+        self._perm_rng_state = self.random.get_state()
+        pairs = self._shuffled_pairs() if self.shuffle else self.pairs
+        self.state = (int(start_idx), pairs)
 
     def next_epoch(self):
         if self.endless and self.num_batches == 0:

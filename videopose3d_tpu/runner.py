@@ -536,6 +536,11 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             all_states = {"pos": state, "traj": state_traj}
             if checkpoint.get("random_state_semi") is not None:
                 sampler_semi.set_random_state(checkpoint["random_state_semi"])
+            if checkpoint.get("stream_rng_semi") is not None:
+                # Continuation-exact unlabeled stream (see payload note).
+                sampler_semi.set_stream_state(
+                    (int(checkpoint["stream_idx_semi"]),
+                     checkpoint["stream_rng_semi"]))
         if checkpoint.get("step_rng") is not None:
             step_rng = jnp.asarray(checkpoint["step_rng"])
         opt_state = set_learning_rate(opt_state, lr)
@@ -737,12 +742,19 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             rng_state = sampler.random_state()
             rng_state_semi = (sampler_semi.random_state()
                               if semi_supervised else None)
+            # Mid-permutation position of the endless unlabeled stream —
+            # beyond-reference: makes semi-supervised resume
+            # continuation-exact instead of restarting a fresh permutation
+            # from the restored RNG (the reference's behavior, run.py:607).
+            stream_semi = (sampler_semi.stream_state()
+                           if semi_supervised else None)
             snap = jax.tree_util.tree_map(
                 jnp.copy, (params, state, opt_state, params_traj, state_traj,
                            step_rng))
 
             def payload(epoch=epoch, lr=lr, snap=snap,
-                        rng_state=rng_state, rng_state_semi=rng_state_semi):
+                        rng_state=rng_state, rng_state_semi=rng_state_semi,
+                        stream_semi=stream_semi):
                 params, state, opt_state, params_traj, state_traj, \
                     step_rng = snap
                 return {
@@ -754,6 +766,10 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                     "model_traj": (params_to_torch_state_dict(
                         params_traj, state_traj) if semi_supervised else None),
                     "random_state_semi": rng_state_semi,
+                    "stream_idx_semi": (None if stream_semi is None
+                                        else stream_semi[0]),
+                    "stream_rng_semi": (None if stream_semi is None
+                                        else stream_semi[1]),
                     # Dropout PRNG key: resuming reproduces the exact mask
                     # sequence (the reference does not checkpoint torch's RNG,
                     # so its resumes are only sampler-exact; ours are fully
