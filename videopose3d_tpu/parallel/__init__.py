@@ -7,8 +7,9 @@ from videopose3d_tpu.parallel.mesh import (
     process_info,
     global_batch_array,
     replicated_array,
+    host_array_to_global,
 )
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
            "shard_batch_size", "initialize_distributed", "process_info",
-           "global_batch_array", "replicated_array"]
+           "global_batch_array", "replicated_array", "host_array_to_global"]

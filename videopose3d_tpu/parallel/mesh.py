@@ -106,25 +106,30 @@ def shard_batch_size(batch_size: int, mesh: Mesh) -> int:
     return -(-batch_size // n) * n
 
 
-def global_batch_array(host_array: np.ndarray, mesh: Mesh,
-                       axis_name: str = "data") -> jax.Array:
-    """Build a global batch-sharded ``jax.Array`` from a host array that every
-    process holds identically (e.g. the sampler's chunk descriptors, which are
-    deterministic per seed).
+def host_array_to_global(host_array: np.ndarray, mesh: Mesh,
+                         spec: P) -> jax.Array:
+    """Build a global ``jax.Array`` with the given :class:`PartitionSpec` from a
+    host array that every process holds identically (e.g. the sampler's chunk
+    descriptors, which are deterministic per seed).
 
     Single-host this is just a sharded ``device_put``; multi-host, each process
     materializes only its addressable shards — the supported way to feed
-    global-batch inputs to a pod-wide ``jit`` (a plain ``jnp.asarray`` of a
-    host array is invalid across processes).
+    global inputs to a pod-wide ``jit`` (no cross-process gather of
+    process-local arrays on the step path).
     """
+    host_array = np.asarray(host_array)
     return jax.make_array_from_callback(
-        host_array.shape, batch_sharding(mesh, axis_name),
+        host_array.shape, NamedSharding(mesh, spec),
         lambda idx: host_array[idx])
+
+
+def global_batch_array(host_array: np.ndarray, mesh: Mesh,
+                       axis_name: str = "data") -> jax.Array:
+    """:func:`host_array_to_global` with the leading (batch) dim sharded."""
+    return host_array_to_global(host_array, mesh, P(axis_name))
 
 
 def replicated_array(host_array: np.ndarray, mesh: Mesh) -> jax.Array:
     """Replicate a host array (identical on every process) across the mesh —
     multi-host-safe counterpart of ``device_put(x, replicated_sharding(mesh))``."""
-    return jax.make_array_from_callback(
-        host_array.shape, replicated_sharding(mesh),
-        lambda idx: host_array[idx])
+    return host_array_to_global(host_array, mesh, P())

@@ -297,6 +297,20 @@ def main(argv=None):
     args = parse_args(argv)
     print(args)
 
+    # Multi-host pod: join the jax distributed runtime BEFORE any API touches
+    # a backend, so jax.devices() below is the global pod device set and the
+    # data-parallel mesh spans every host (launcher env:
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID; no-op
+    # single-process).  The reference is single-device only (run.py:200-202).
+    from videopose3d_tpu.parallel import initialize_distributed
+    if initialize_distributed():
+        from videopose3d_tpu.parallel import process_info
+        info = process_info()
+        print("INFO: distributed runtime: process %d/%d, %d local / %d global "
+              "devices" % (info["process_index"], info["process_count"],
+                           info["local_device_count"],
+                           info["global_device_count"]))
+
     # Dropout-mask PRNG: the TPU hardware generator roughly halves train-step
     # time vs threefry at these mask volumes (~170M elements/step at RF 243).
     jax.config.update("jax_default_prng_impl", args.rng_impl)

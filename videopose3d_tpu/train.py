@@ -27,7 +27,7 @@ stochastic difference with no measurable effect, documented here for the record.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +141,29 @@ def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
 def set_learning_rate(opt_state, lr: float):
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
+
+
+def _feed(mesh, host, *, batch_axis: Optional[int] = None):
+    """Host->device feed for a per-step jit input (descriptors, valid counts,
+    momentum).  Single-process: plain ``asarray`` — jit reshards to the
+    declared in_sharding.  Multi-host: build the global array explicitly, each
+    process materializing only its addressable shards (no cross-process
+    resharding of process-local arrays on the step path;
+    ``parallel/mesh.py:host_array_to_global``).
+
+    ``batch_axis``: which axis of ``host`` is sharded over the mesh's data
+    axis (None = fully replicated) — must match the trainer's in_shardings.
+    """
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import PartitionSpec
+        from videopose3d_tpu.parallel.mesh import host_array_to_global
+        if batch_axis is None:
+            spec = PartitionSpec()
+        else:
+            axes = [None] * batch_axis + [mesh.axis_names[0]]
+            spec = PartitionSpec(*axes)
+        return host_array_to_global(np.asarray(host), mesh, spec)
+    return jnp.asarray(host)
 
 
 def _masked_sample_mean(per_sample, mask):
@@ -312,18 +335,18 @@ class SupervisedTrainer:
         """
         _check_margins(dev, self.loop_cfg)
         return self._epoch(params, state, opt_state, rng, _device_data_dict(dev),
-                           jnp.asarray(metas),
-                           jnp.asarray(n_valids, jnp.int32),
-                           jnp.asarray(momentum, jnp.float32),
+                           _feed(self.mesh, metas, batch_axis=1),
+                           _feed(self.mesh, np.asarray(n_valids, np.int32)),
+                           _feed(self.mesh, np.float32(momentum)),
                            (dev.aug_offset_2d, dev.aug_offset_3d))
 
     def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
         """One training step.  ``dev``: DeviceArrays for the labeled set."""
         _check_margins(dev, self.loop_cfg)
         return self._step(params, state, opt_state, rng, _device_data_dict(dev),
-                          jnp.asarray(meta),
-                          jnp.asarray(n_valid, jnp.int32),
-                          jnp.asarray(momentum, jnp.float32),
+                          _feed(self.mesh, meta, batch_axis=0),
+                          _feed(self.mesh, np.asarray(n_valid, np.int32)),
+                          _feed(self.mesh, np.float32(momentum)),
                           (dev.aug_offset_2d, dev.aug_offset_3d))
 
 
@@ -472,9 +495,11 @@ class SemiSupervisedTrainer:
         return self._step(
             params, states, opt_state, rng,
             _device_data_dict(dev), _device_data_dict(dev_semi, with_cameras=True),
-            jnp.asarray(meta), jnp.asarray(n_valid, jnp.int32),
-            jnp.asarray(meta_semi), jnp.asarray(n_valid_semi, jnp.int32),
-            jnp.asarray(momentum, jnp.float32), bool(skip),
+            _feed(self.mesh, meta, batch_axis=0),
+            _feed(self.mesh, np.asarray(n_valid, np.int32)),
+            _feed(self.mesh, meta_semi, batch_axis=0),
+            _feed(self.mesh, np.asarray(n_valid_semi, np.int32)),
+            _feed(self.mesh, np.float32(momentum)), bool(skip),
             ((dev.aug_offset_2d, dev.aug_offset_3d),
              (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d)))
 
@@ -511,8 +536,10 @@ class SemiSupervisedTrainer:
         return self._epoch(
             params, states, opt_state, rng,
             _device_data_dict(dev), _device_data_dict(dev_semi, with_cameras=True),
-            jnp.asarray(metas), jnp.asarray(n_valids, jnp.int32),
-            jnp.asarray(metas_semi), jnp.asarray(n_valids_semi, jnp.int32),
-            jnp.asarray(momentum, jnp.float32), bool(skip),
+            _feed(self.mesh, metas, batch_axis=1),
+            _feed(self.mesh, np.asarray(n_valids, np.int32)),
+            _feed(self.mesh, metas_semi, batch_axis=1),
+            _feed(self.mesh, np.asarray(n_valids_semi, np.int32)),
+            _feed(self.mesh, np.float32(momentum)), bool(skip),
             ((dev.aug_offset_2d, dev.aug_offset_3d),
              (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d)))
