@@ -43,9 +43,12 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--t-out", type=int, default=32768)
     ap.add_argument("--t-tile", type=int, default=512)
+    ap.add_argument("--skip-bf16", action="store_true",
+                    help="skip the secondary metric-grade bf16 measurement")
     args = ap.parse_args()
     from videopose3d_tpu.models.temporal import (
-        TemporalModelConfig, init_temporal_model, receptive_field)
+        TemporalModelConfig, init_temporal_model, receptive_field,
+        forward_dilated_fused)
     from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
         quantize_temporal_model, forward_dilated_int8)
 
@@ -66,44 +69,64 @@ def main():
     t_in = t_out + rf - 1
     frames_per_call = batch * t_out
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def infer_n(q, x, n):
-        def body(i, carry):
-            x_dep, acc = carry
-            # w8a8 fused residual-block serving path (int8 MXU, int8 stream).
-            pred = forward_dilated_int8(cfg, q, x_dep, t_tile=t_tile)
-            # Fold a scalar of the output back into the input: a true data
-            # dependency (not compiler-removable) with negligible numerics.
-            acc = jnp.sum(pred[0, 0, 0]) * jnp.float32(1e-30)
-            return x_dep + acc, acc
-        (_, acc) = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
-        return acc
+    def make_infer_n(forward):
+        @functools.partial(jax.jit, static_argnums=2)
+        def infer_n(w, x, n):
+            def body(i, carry):
+                x_dep, acc = carry
+                pred = forward(w, x_dep)
+                # Fold a scalar of the output back into the input: a true data
+                # dependency (not compiler-removable) with negligible numerics.
+                acc = jnp.sum(pred[0, 0, 0]) * jnp.float32(1e-30)
+                return x_dep + acc, acc
+            (_, acc) = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+            return acc
+        return infer_n
 
     x = jnp.asarray(rng.standard_normal((batch, t_in, 17, 2)), jnp.float32)
 
     n_iters = 16
 
-    def timed(n, reps=5):
-        float(infer_n(q, x, n))  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(infer_n(q, x, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def throughput(infer_n, w):
+        def timed(n, reps=5):
+            float(infer_n(w, x, n))  # compile + warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(infer_n(w, x, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    t1 = timed(1)
-    tn = timed(n_iters)
-    per_call = (tn - t1) / (n_iters - 1)
+        t1 = timed(1)
+        tn = timed(n_iters)
+        per_call = (tn - t1) / (n_iters - 1)
+        return frames_per_call / per_call
 
-    frames_per_sec = frames_per_call / per_call
+    # Headline: w8a8 int8 serving path (int8 MXU, int8 inter-block stream).
+    frames_per_sec = throughput(
+        make_infer_n(lambda q, xd: forward_dilated_int8(
+            cfg, q, xd, t_tile=t_tile)), q)
+
+    # Secondary: metric-grade bf16 fused-Pallas path — same methodology, so
+    # the JSON self-describes what the headline engine trades for speed
+    # (int8 carries mm-scale quantization error; see PARITY.md).
+    bf16_frames_per_sec = None
+    if not args.skip_bf16:
+        bf16_frames_per_sec = throughput(
+            make_infer_n(lambda ps, xd: forward_dilated_fused(
+                cfg, ps[0], ps[1], xd, t_tile=t_tile)), (params, state))
+
     baseline = 1_000_000.0
-    print(json.dumps({
+    result = {
         "metric": "lifted_frames_per_sec_per_chip_rf243",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / baseline, 3),
-    }))
+        "engine": "int8_w8a8",
+    }
+    if bf16_frames_per_sec is not None:
+        result["bf16_value"] = round(bf16_frames_per_sec, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -133,3 +133,31 @@ def test_runner_orbax_resume_bit_exact(tiny_data, tmp_path, capsys):
     resumed = lines(capsys.readouterr().out)
 
     assert straight[3] == resumed[3]
+
+
+def test_interrupted_swap_prefers_finalized_new(tmp_path):
+    """A crash between the two renames of the atomic overwrite leaves the
+    NEWEST finalized state at ``path + ".new"``; load must prefer it over the
+    previous epoch at ``path + ".old"`` (an .old-only fallback would silently
+    lose one checkpoint interval)."""
+    import os
+
+    path = str(tmp_path / "ck")
+    save_checkpoint_orbax(path, _payload())                    # epoch 7
+    save_checkpoint_orbax(path + ".new", dict(_payload(), epoch=8))
+    os.rename(path, path + ".old")  # crash window: swap half-done
+
+    restored = load_checkpoint_orbax(path)
+    assert restored["epoch"] == 8
+
+
+def test_partial_new_falls_back(tmp_path):
+    """A junk (non-finalized) ``.new`` directory must not mask the intact
+    checkpoint at ``path``."""
+    path = str(tmp_path / "ck")
+    save_checkpoint_orbax(path, _payload())                    # epoch 7
+    (tmp_path / "ck.new").mkdir()
+    (tmp_path / "ck.new" / "garbage").write_text("not a checkpoint")
+
+    restored = load_checkpoint_orbax(path)
+    assert restored["epoch"] == 7

@@ -106,3 +106,38 @@ def test_int8_calibration_transfer_structured_data():
     err = np.linalg.norm(np.asarray(got) - np.asarray(want), axis=-1).mean()
     scale = np.sqrt((np.asarray(want) ** 2).mean())
     assert err < 0.02 * scale, (err, scale)
+
+
+def test_evaluator_requant_cache_key():
+    """The quantization cache keys on the weight *buffers*: a fresh pytree
+    (even with identical values) triggers requantization; repeated calls with
+    the same buffers hit the cache (ADVICE r2: identity-of-the-tree keying
+    missed replaced leaves)."""
+    from videopose3d_tpu.evaluate import Evaluator
+    cfg, params, state, _, x = _setup()
+    ev = Evaluator(cfg, joints_flip_perm=np.arange(17), engine="int8")
+    ev.predict(params, state, x[:1], augment=False)
+    q1 = ev._q
+    ev.predict(params, state, x[:1], augment=False)
+    assert ev._q is q1  # cache hit on identical buffers
+
+    params2 = jax.tree_util.tree_map(jnp.array, params)
+    ev.predict(params2, state, x[:1], augment=False)
+    assert ev._q is not q1  # fresh buffers -> requantized
+
+
+def test_evaluator_designated_calibration():
+    """set_calibration pins the activation-scale calibration batch, removing
+    the first-predicted-batch call-order dependence."""
+    from videopose3d_tpu.evaluate import Evaluator
+    cfg, params, state, _, x = _setup()
+    calib = x[:1] * 0.5
+    ev = Evaluator(cfg, joints_flip_perm=np.arange(17), engine="int8")
+    ev.set_calibration(calib)
+    ev.predict(params, state, x[:1], augment=False)
+
+    q_direct = quantize_temporal_model(cfg, params, state, calib)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ev._q, q_direct)

@@ -112,10 +112,24 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
 
 def load_checkpoint_orbax(path: str) -> Dict[str, Any]:
     path = os.path.abspath(path)
-    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
-        # Interrupted overwrite: the previous complete checkpoint is intact.
-        path = path + ".old"
-    restored = _local_pytree_checkpointer().restore(path)
+    restored = None
+    last_err = None
+    # ``path + ".new"`` exists only after an interrupted overwrite, and orbax
+    # finalizes into place by rename — so if the directory exists it holds the
+    # NEWEST complete state and is preferred; ``path`` / ``path + ".old"`` are
+    # the progressively older fallbacks (a save crash window loses nothing).
+    for candidate in (path + ".new", path, path + ".old"):
+        if not os.path.isdir(candidate):
+            continue
+        try:
+            restored = _local_pytree_checkpointer().restore(candidate)
+            break
+        except Exception as e:  # partial write: fall back to the older copy
+            last_err = e
+    if restored is None:
+        if last_err is not None:
+            raise last_err
+        raise FileNotFoundError(f"no orbax checkpoint at {path}")
     # orbax round-trips tuples as lists; numpy's RandomState.set_state
     # requires the MT19937 state as a tuple.
     for key in _RNG_STATE_KEYS:

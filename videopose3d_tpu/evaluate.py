@@ -60,7 +60,9 @@ class Evaluator:
         self._infer_q = jax.jit(
             self._infer_int8_impl, static_argnames=("augment",))
         self._q = None
-        self._q_params = None
+        self._q_key = None
+        self._q_ref = None
+        self._calibration_batch = None
 
     def _tta_merge(self, pred, augment: bool):
         if not augment:
@@ -93,20 +95,45 @@ class Evaluator:
 
     def reset_quantization(self):
         self._q = None
-        self._q_params = None
+        self._q_key = None
+        self._q_ref = None
+
+    def set_calibration(self, batch_2d) -> None:
+        """Designate a fixed calibration batch for int8 activation scales.
+
+        Without this, scales calibrate from whichever batch happens to be
+        predicted first after a weight change — deterministic for the runner's
+        fixed batcher order, but call-order-dependent for ad-hoc callers."""
+        self._calibration_batch = jnp.asarray(batch_2d)
+        self.reset_quantization()
+
+    @staticmethod
+    def _weights_key(params, state):
+        """Cache key for the quantized-weights pytree: the identity of every
+        leaf buffer.  Replacing any leaf (or the tree) triggers
+        requantization; only in-place mutation of a leaf's *contents* (numpy
+        arrays mutated under the same object — jax arrays are immutable) is
+        undetectable, which callers must signal via reset_quantization()."""
+        return tuple(map(id, jax.tree_util.tree_leaves((params, state))))
 
     def predict(self, params, state, batch_2d, augment: bool) -> np.ndarray:
         """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
         batch_2d = jnp.asarray(batch_2d)
         if self.engine == "int8":
-            if self._q is None or self._q_params is not params:
-                # Requantize whenever a different weight pytree arrives — the
+            key = self._weights_key(params, state)
+            if self._q is None or self._q_key != key:
+                # Requantize whenever different weight buffers arrive — the
                 # cached scales would otherwise silently serve stale weights.
                 from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
                     quantize_temporal_model)
+                calib = (batch_2d if self._calibration_batch is None
+                         else self._calibration_batch)
                 self._q = quantize_temporal_model(
-                    self.model_cfg, params, state, batch_2d)
-                self._q_params = params
+                    self.model_cfg, params, state, calib)
+                self._q_key = key
+                # Strong reference: keeps the keyed leaf buffers alive so a
+                # gc'd tree can't recycle ids into a false cache hit.
+                self._q_ref = (params, state)
             return np.asarray(self._infer_q(self._q, batch_2d,
                                             augment=augment))
         return np.asarray(self._infer(params, state, batch_2d,

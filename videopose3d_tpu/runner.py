@@ -197,9 +197,11 @@ def fetch(args, dataset, keypoints, subjects, action_filter=None, subset=1,
 def load_any_checkpoint(path):
     """Load our pickle checkpoints, orbax checkpoint directories, or reference
     torch ``.bin`` files, returning state dicts as numpy arrays."""
-    if os.path.isdir(path) or os.path.isdir(path + ".old"):
-        # The .old directory is the crash-recovery window of the orbax
-        # atomic-replace save; load_checkpoint_orbax knows to fall back to it.
+    if (os.path.isdir(path) or os.path.isdir(path + ".old")
+            or os.path.isdir(path + ".new")):
+        # The .new/.old directories are the crash-recovery windows of the
+        # orbax atomic-replace save; load_checkpoint_orbax prefers a
+        # finalized .new (interrupted swap) and falls back to .old.
         from videopose3d_tpu.checkpoint import load_checkpoint_orbax
         return load_checkpoint_orbax(path)
     pickle_err = None

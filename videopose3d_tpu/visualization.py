@@ -46,10 +46,19 @@ def _pil_animation(path: str):
 
     Fallback decode path for machines without ffmpeg: covers GIF (and any
     other animation format PIL reads), which is also what our own renderer
-    emits — so render-with-overlay round-trips without external tools."""
+    emits — so render-with-overlay round-trips without external tools.
+
+    Only genuine multi-frame animations qualify: a still image that PIL
+    happens to read (a PNG passed by mistake) must NOT silently become a
+    one-frame 50 fps "video" — returning None lets the caller raise the
+    ffmpeg/ffprobe-missing error instead."""
     try:
         from PIL import Image
         im = Image.open(path)
+        if getattr(im, "n_frames", 1) <= 1 and not getattr(
+                im, "is_animated", False):
+            im.close()
+            return None
         im.seek(0)
         return im
     except Exception:
