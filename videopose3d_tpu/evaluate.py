@@ -99,11 +99,21 @@ class Evaluator:
         self._q_ref = None
 
     def set_calibration(self, batch_2d) -> None:
-        """Designate a fixed calibration batch for int8 activation scales.
+        """Designate fixed calibration data for int8 activation scales.
 
         Without this, scales calibrate from whichever batch happens to be
         predicted first after a weight change — deterministic for the runner's
-        fixed batcher order, but call-order-dependent for ad-hoc callers."""
+        fixed batcher order, but call-order-dependent for ad-hoc callers.
+
+        Accepts one (B, T, J, C) batch or a LIST of batches (ragged T / B
+        allowed): a list is flattened to one long time axis so the calibrated
+        per-channel ranges cover several clips.  Coverage matters for trained
+        models — ReLU channels silent on one clip can fire on another (see
+        ``quantize_temporal_model``)."""
+        if isinstance(batch_2d, (list, tuple)):
+            flat = [np.asarray(b, np.float32).reshape(
+                (1, -1) + np.asarray(b).shape[-2:]) for b in batch_2d]
+            batch_2d = np.concatenate(flat, axis=1)
         self._calibration_batch = jnp.asarray(batch_2d)
         self.reset_quantization()
 

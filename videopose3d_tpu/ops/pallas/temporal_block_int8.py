@@ -88,16 +88,27 @@ def _calibration_ranges(config, params, state, x_calib):
 
 
 def quantize_temporal_model(config: TemporalModelConfig, params, state,
-                            x_calib, *, margin: float = 1.25
-                            ) -> Dict[str, Any]:
+                            x_calib, *, margin: float = 1.25,
+                            floor_frac: float = 0.5) -> Dict[str, Any]:
     """Build the int8 serving pytree.
 
     Args:
       x_calib: (B, T, J, F) calibration keypoints (a few hundred frames of
-        representative data; T >= receptive_field).
+        representative data; T >= receptive_field).  Coverage matters for
+        TRAINED models: ReLU channels can be completely silent on one clip yet
+        active on another, so calibrate across several clips spanning the
+        serving distribution (``Evaluator.set_calibration`` accepts a list).
       margin: headroom multiplier on the calibrated activation ranges —
         values up to ``margin * calib_absmax`` quantize without clipping on
         data that exceeds the calibration set's extremes.
+      floor_frac: per-channel ranges are floored at ``floor_frac *`` the
+        layer-wide maximum.  A channel that never fired on the calibration
+        data would otherwise get a ~1e-6 range whose reciprocal scale
+        explodes the moment the channel fires at serving (measured: a single
+        such channel inflates whole-row dynamic requantization by ~1e6x and
+        costs hundreds of mm).  The floor costs at most 1/(floor_frac*254)
+        of the layer max in step size for genuinely small channels — the
+        same resolution a per-tensor scheme would give them.
 
     Returns a dict of per-layer int8 weights and folded f32 epilogue vectors,
     consumed by :func:`forward_dilated_int8`.
@@ -114,7 +125,8 @@ def quantize_temporal_model(config: TemporalModelConfig, params, state,
             f"receptive field is {rf}; supply at least one full window")
 
     caps = _calibration_ranges(config, params, state, x_calib)
-    caps = jax.tree.map(lambda v: v * margin, caps)
+    caps = jax.tree.map(
+        lambda v: jnp.maximum(v, floor_frac * jnp.max(v)) * margin, caps)
     q: Dict[str, Any] = {"blocks": []}
 
     # Expand stage stays bf16 (34-channel matmul, negligible FLOPs); its output
