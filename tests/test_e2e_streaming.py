@@ -1,0 +1,127 @@
+"""Streaming serving e2e (BASELINE config #5's terminal step): synthetic
+Detectron detections -> custom 2D archive -> ``python -m
+videopose3d_tpu.streaming`` with a causal checkpoint -> per-frame poses that
+match the OFFLINE causal evaluator frame-for-frame."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from videopose3d_tpu import streaming
+from videopose3d_tpu.data.prepare import custom_2d
+
+
+def _make_detectron_npz(path, n_frames, w=640, h=480, seed=0):
+    rng = np.random.default_rng(seed)
+    boxes, keypoints = [], []
+    for _ in range(n_frames):
+        bbs = rng.uniform(0, 100, (2, 5)).astype(np.float32)
+        bbs[:, 4] = [0.9, 0.4]
+        kps = rng.uniform(0, min(w, h), (2, 4, 17)).astype(np.float32)
+        boxes.append([[], bbs])
+        keypoints.append([[], kps])
+    np.savez(path, boxes=np.array(boxes, dtype=object),
+             keypoints=np.array(keypoints, dtype=object),
+             segments=np.array([None] * n_frames, dtype=object),
+             metadata={"w": w, "h": h})
+
+
+@pytest.fixture
+def wild_setup(tmp_path):
+    """Two wild clips of different lengths + a causal checkpoint."""
+    det_dir = tmp_path / "dets"
+    det_dir.mkdir()
+    _make_detectron_npz(str(det_dir / "clip_a.mp4.npz"), 40, seed=0)
+    _make_detectron_npz(str(det_dir / "clip_b.mp4.npz"), 25, seed=1)
+    data_dir = str(tmp_path / "data")
+    custom_2d.main(["-i", str(det_dir), "-o", "myvideos",
+                    "--data-dir", data_dir])
+
+    from videopose3d_tpu.checkpoint import save_checkpoint
+    from videopose3d_tpu.models import TemporalModelConfig, init_temporal_model
+    from videopose3d_tpu.models.convert import params_to_torch_state_dict
+    # (3, 3, 3): the int8 engine wants >= 2 residual blocks.
+    cfg = TemporalModelConfig(num_joints_in=17, in_features=2,
+                              num_joints_out=17, filter_widths=(3, 3, 3),
+                              causal=True, dropout=0.25, channels=16)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "causal.bin")
+    save_checkpoint(ckpt, {
+        "epoch": 80, "lr": None,
+        "model_pos": params_to_torch_state_dict(params, state),
+        "model_traj": None, "random_state": None, "optimizer": None,
+        "random_state_semi": None})
+    return data_dir, ckpt, cfg, params, state
+
+
+def _offline_causal_predictions(cfg, params, state, data_dir):
+    """The offline path: whole-sequence dilated causal evaluation of every
+    archive video (what ``run.py -d custom --evaluate`` computes)."""
+    from videopose3d_tpu.data.generators import UnchunkedBatcher
+    from videopose3d_tpu.evaluate import Evaluator
+    from videopose3d_tpu.models.temporal import receptive_field
+
+    videos, streams = streaming._load_wild_streams(data_dir, "myvideos")
+    pad = (receptive_field(cfg) - 1) // 2
+    evaluator = Evaluator(cfg, joints_flip_perm=None)
+    preds = {}
+    for video, kps in zip(videos, streams):
+        batcher = UnchunkedBatcher(None, None, [kps], pad=pad,
+                                   causal_shift=pad, bucket=16)
+        _, _, b2, n = next(batcher.next_epoch())
+        preds[video] = evaluator.predict(params, state, b2,
+                                         augment=False)[0, :n]
+    return preds
+
+
+def test_streaming_cli_matches_offline_causal(wild_setup, tmp_path, capsys):
+    data_dir, ckpt, cfg, params, state = wild_setup
+    out = str(tmp_path / "streamed.npz")
+    streaming.main(["-k", "myvideos", "--data-dir", data_dir,
+                    "--checkpoint", ckpt, "-arc", "3,3,3", "-ch", "16",
+                    "--output", out])
+    printed = capsys.readouterr().out
+    assert "streaming 2 video(s)" in printed
+
+    streamed = np.load(out)
+    offline = _offline_causal_predictions(cfg, params, state, data_dir)
+    assert set(streamed.files) == set(offline)
+    for video in offline:
+        got, want = streamed[video], offline[video]
+        assert got.shape == want.shape == (want.shape[0], 17, 3)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_streaming_cli_int8_engine(wild_setup, tmp_path):
+    """The int8 serving engine through the same CLI: mm-scale agreement with
+    the bf16 stream (clips here are shorter than the receptive field, also
+    exercising the calibration edge-replication)."""
+    data_dir, ckpt, *_ = wild_setup
+    out_bf16 = str(tmp_path / "s_bf16.npz")
+    out_int8 = str(tmp_path / "s_int8.npz")
+    base = ["-k", "myvideos", "--data-dir", data_dir, "--checkpoint", ckpt,
+            "-arc", "3,3,3", "-ch", "16"]
+    streaming.main(base + ["--output", out_bf16])
+    streaming.main(base + ["--engine", "int8", "--output", out_int8])
+    a, b = np.load(out_bf16), np.load(out_int8)
+    for video in a.files:
+        scale = np.sqrt((a[video] ** 2).mean())
+        err = np.linalg.norm(a[video] - b[video], axis=-1).mean()
+        assert err < 0.1 * scale, (video, err, scale)
+
+
+def test_streaming_cli_video_subset(wild_setup, tmp_path):
+    data_dir, ckpt, *_ = wild_setup
+    out = str(tmp_path / "one.npz")
+    streaming.main(["-k", "myvideos", "--data-dir", data_dir,
+                    "--checkpoint", ckpt, "-arc", "3,3,3", "-ch", "16",
+                    "--videos", "clip_b.mp4", "--output", out])
+    data = np.load(out)
+    assert data.files == ["clip_b.mp4"]
+    assert data["clip_b.mp4"].shape == (25, 17, 3)
+
+    with pytest.raises(KeyError):
+        streaming.main(["-k", "myvideos", "--data-dir", data_dir,
+                        "--checkpoint", ckpt, "-arc", "3,3,3", "-ch", "16",
+                        "--videos", "nope.mp4", "--output", out])

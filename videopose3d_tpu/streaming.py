@@ -430,3 +430,144 @@ class StreamingCausalLifter:
             out, self._stream_state = stream_step(
                 self.config, self.params, self.state, self._stream_state, frame)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Serving CLI: wild archive -> per-frame streamed poses
+# ---------------------------------------------------------------------------
+#
+# The terminal step of the in-the-wild pipeline
+# (``/root/reference/INFERENCE.md:30-79`` chains detectron -> custom 2D prep ->
+# offline evaluation; the reference never ships the real-time serving step its
+# causal mode exists for).  This CLI consumes the same custom-dataset archive
+# as ``run.py -d custom`` plus a causal checkpoint and emits one pose per
+# frame per video through the incremental engine — every video is one stream
+# in a single batched state, so N videos cost one dispatch per frame.
+
+
+def _load_wild_streams(data_dir: str, keypoints: str):
+    """Load a custom-dataset archive and return (video names, per-video
+    normalized (T, J, 2) keypoints) with the same screen normalization as the
+    offline driver (runner.load_2d_detections)."""
+    import os
+
+    from videopose3d_tpu.datasets.custom import CustomDataset
+    from videopose3d_tpu.ops.camera import normalize_screen_coordinates
+
+    archive_path = os.path.join(data_dir, f"data_2d_custom_{keypoints}.npz")
+    dataset = CustomDataset(archive_path)
+    archive = np.load(archive_path, allow_pickle=True)
+    detections = archive["positions_2d"].item()
+    videos, streams = [], []
+    for video in dataset.subjects():
+        kps = detections[video]["custom"][0].astype(np.float32)
+        cam = dataset.cameras()[video][0]
+        kps[..., :2] = np.asarray(normalize_screen_coordinates(
+            kps[..., :2], w=cam["res_w"], h=cam["res_h"]))
+        videos.append(video)
+        streams.append(kps)
+    return videos, streams
+
+
+def stream_archive(config: TemporalModelConfig, lifter: "StreamingCausalLifter",
+                   streams) -> List[np.ndarray]:
+    """Serve every video as one stream of a shared batch: videos that end
+    early keep being fed their last frame (their outputs are cut to length).
+
+    Returns one (T_i, J_out, 3) array per video."""
+    lengths = [s.shape[0] for s in streams]
+    t_max = max(lengths)
+    first = np.stack([s[0] for s in streams])
+    lifter.reset(first)
+    outputs = [[] for _ in streams]
+    for t in range(t_max):
+        frame = np.stack([s[min(t, n - 1)] for s, n in zip(streams, lengths)])
+        poses = np.asarray(lifter.step(frame))
+        for i, n in enumerate(lengths):
+            if t < n:
+                outputs[i].append(poses[i])
+    return [np.stack(o) for o in outputs]
+
+
+def main(argv=None):
+    import argparse
+    import os
+    import time
+
+    from videopose3d_tpu.models.convert import params_from_torch_state_dict
+    from videopose3d_tpu.models.temporal import receptive_field
+
+    ap = argparse.ArgumentParser(
+        prog="python -m videopose3d_tpu.streaming",
+        description="Per-frame streaming 3D lifting over a wild "
+                    "(custom-dataset) archive with a causal checkpoint")
+    ap.add_argument("-k", "--keypoints", required=True,
+                    help="custom archive suffix (data_2d_custom_<k>.npz)")
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--checkpoint", required=True,
+                    help="path to a causal-model checkpoint (.bin or orbax)")
+    ap.add_argument("-arc", "--architecture", default="3,3,3,3,3")
+    ap.add_argument("-ch", "--channels", type=int, default=1024)
+    ap.add_argument("--engine", choices=("bf16", "int8"), default="bf16")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="bf16-engine compute dtype (int8 ignores this)")
+    ap.add_argument("--videos", default=None,
+                    help="comma-separated subset of video names")
+    ap.add_argument("--output", required=True,
+                    help="output .npz: one (T, J, 3) pose array per video")
+    args = ap.parse_args(argv)
+
+    videos, streams = _load_wild_streams(args.data_dir, args.keypoints)
+    if args.videos:
+        wanted = args.videos.split(",")
+        missing = [v for v in wanted if v not in videos]
+        if missing:
+            raise KeyError(f"videos not in archive: {missing}")
+        streams = [streams[videos.index(v)] for v in wanted]
+        videos = wanted
+
+    from videopose3d_tpu.runner import load_any_checkpoint
+    checkpoint = load_any_checkpoint(args.checkpoint)
+    filter_widths = tuple(int(x) for x in args.architecture.split(","))
+    config = TemporalModelConfig(
+        num_joints_in=streams[0].shape[-2], in_features=streams[0].shape[-1],
+        num_joints_out=17, filter_widths=filter_widths, causal=True,
+        channels=args.channels, compute_dtype=args.compute_dtype)
+    params, state = params_from_torch_state_dict(
+        config, checkpoint["model_pos"])
+    rf = receptive_field(config)
+    print(f"INFO: streaming {len(videos)} video(s), receptive field {rf} "
+          f"frames, engine {args.engine}")
+
+    if args.engine == "int8":
+        from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+            quantize_temporal_model)
+        # Calibrate across every clip (trained ReLU channels can be silent on
+        # one clip and active on another — see quantize_temporal_model).
+        calib = np.concatenate(streams, axis=0)[None]
+        if calib.shape[1] < rf:  # short clips: edge-replicate to one window
+            pad_n = rf - calib.shape[1]
+            calib = np.concatenate(
+                [calib, np.repeat(calib[:, -1:], pad_n, axis=1)], axis=1)
+        q = quantize_temporal_model(config, params, state,
+                                    jnp.asarray(calib))
+        lifter = StreamingCausalLifter(config, engine="int8", quantized=q)
+    else:
+        lifter = StreamingCausalLifter(config, params, state)
+
+    t0 = time.perf_counter()
+    outputs = stream_archive(config, lifter, streams)
+    elapsed = time.perf_counter() - t0
+    n_frames = sum(s.shape[0] for s in streams)
+    print(f"INFO: streamed {n_frames} frames in {elapsed:.2f} s "
+          f"({n_frames / max(elapsed, 1e-9):.0f} poses/s end-to-end)")
+
+    out_dir = os.path.dirname(os.path.abspath(args.output))
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(args.output, **dict(zip(videos, outputs)))
+    print("Saved streamed poses to", args.output)
+
+
+if __name__ == "__main__":
+    main()
