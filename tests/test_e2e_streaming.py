@@ -125,3 +125,19 @@ def test_streaming_cli_video_subset(wild_setup, tmp_path):
         streaming.main(["-k", "myvideos", "--data-dir", data_dir,
                         "--checkpoint", ckpt, "-arc", "3,3,3", "-ch", "16",
                         "--videos", "nope.mp4", "--output", out])
+
+
+def test_streaming_cli_frames_per_step(wild_setup, tmp_path):
+    """Micro-batched dispatches through the CLI produce the same poses as
+    per-frame streaming (k does not divide the clip lengths: exercises the
+    padded final chunk and per-video trimming)."""
+    data_dir, ckpt, *_ = wild_setup
+    out1 = str(tmp_path / "k1.npz")
+    out4 = str(tmp_path / "k4.npz")
+    base = ["-k", "myvideos", "--data-dir", data_dir, "--checkpoint", ckpt,
+            "-arc", "3,3,3", "-ch", "16"]
+    streaming.main(base + ["--output", out1])
+    streaming.main(base + ["--frames-per-step", "4", "--output", out4])
+    a, b = np.load(out1), np.load(out4)
+    for video in a.files:
+        np.testing.assert_allclose(a[video], b[video], atol=2e-5)

@@ -59,3 +59,81 @@ def test_streaming_state_is_bounded():
     # Ring buffers: raw (3 frames) + blocks ((k-1)*d+1 = 7, 19 frames).
     caps = [buf.shape[1] for buf in st["bufs"]]
     assert caps == [3, 7, 19]
+
+
+@pytest.mark.parametrize("k", [2, 4, 5])
+def test_multi_frame_engine_matches_per_frame(k):
+    """The micro-batched bf16 engine (k frames per dispatch, doubled
+    k-aligned ring buffers) reproduces the per-frame engine's outputs across
+    multiple ring wraps."""
+    cfg = _cfg((3, 3, 3))
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    n, b = 40, 3
+    frames = rng.standard_normal((n, b, 17, 2)).astype(np.float32)
+
+    single = StreamingCausalLifter(cfg, params, state)
+    single.reset(frames[0])
+    want = np.stack([np.asarray(single.step(frames[t])) for t in range(n)],
+                    axis=1)
+
+    multi = StreamingCausalLifter(cfg, params, state, frames_per_step=k)
+    multi.reset(frames[0])
+    got = []
+    for t0 in range(0, n, k):
+        chunk = frames[t0:t0 + k]
+        pad_n = k - chunk.shape[0]
+        if pad_n:  # final partial chunk: feed the last frame again
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad_n, axis=0)])
+        out = np.asarray(multi.step(np.transpose(chunk, (1, 0, 2, 3))))
+        got.append(out[:, :k - pad_n])
+    got = np.concatenate(got, axis=1)
+
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("k", [4])
+def test_multi_frame_engine_matches_per_frame_int8(k):
+    """int8 micro-batched engine: same integer matmuls and per-row epilogues
+    as the per-frame engine — poses agree to f32 rounding (the bf16 shrink
+    matmul's accumulation tiling differs between the (B,) and (B*k,) row
+    shapes)."""
+    from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+        quantize_temporal_model)
+    cfg = _cfg((3, 3, 3))
+    rf = receptive_field(cfg)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    n, b = 24, 3
+    frames = rng.standard_normal((n, b, 17, 2)).astype(np.float32) * 0.4
+    calib = rng.standard_normal((1, rf + 50, 17, 2)).astype(np.float32) * 0.4
+    q = quantize_temporal_model(cfg, params, state, calib)
+
+    single = StreamingCausalLifter(cfg, engine="int8", quantized=q)
+    single.reset(frames[0])
+    want = np.stack([np.asarray(single.step(frames[t])) for t in range(n)],
+                    axis=1)
+
+    multi = StreamingCausalLifter(cfg, engine="int8", quantized=q,
+                                  frames_per_step=k)
+    multi.reset(frames[0])
+    got = np.concatenate(
+        [np.asarray(multi.step(np.transpose(frames[t0:t0 + k], (1, 0, 2, 3))))
+         for t0 in range(0, n, k)], axis=1)
+
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_multi_frame_wrong_alignment_raises():
+    cfg = _cfg((3, 3, 3))
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    from videopose3d_tpu.streaming import (init_stream_state_multi,
+                                           stream_step_multi)
+    rng = np.random.default_rng(4)
+    first = rng.standard_normal((2, 17, 2)).astype(np.float32)
+    ss = init_stream_state_multi(cfg, params, state, first, 4)
+    with pytest.raises(ValueError, match="frames_per_step"):
+        stream_step_multi(cfg, params, state, ss,
+                          rng.standard_normal((2, 3, 17, 2)).astype(
+                              np.float32))

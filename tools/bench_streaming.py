@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--streams", type=int, default=1024)
     ap.add_argument("--engine", choices=("bf16", "int8", "both"),
                     default="both")
+    ap.add_argument("--frames-per-step", type=int, default=1,
+                    help="micro-batched engine: lift k frames per dispatch "
+                         "(amortizes weight reads; adds k frames latency)")
     ap.add_argument("--iters-lo", type=int, default=32)
     ap.add_argument("--iters-hi", type=int, default=256)
     args = ap.parse_args()
@@ -50,7 +53,10 @@ def main():
     params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     b = args.streams
-    frame = jnp.asarray(rng.standard_normal((b, 17, 2)), jnp.float32)
+    k = args.frames_per_step
+    first = jnp.asarray(rng.standard_normal((b, 17, 2)), jnp.float32)
+    frame = (first if k == 1 else jnp.asarray(
+        rng.standard_normal((b, k, 17, 2)), jnp.float32))
 
     def bench(step_fn, init_state, tag):
         @functools.partial(jax.jit, static_argnums=2)
@@ -80,22 +86,39 @@ def main():
         float(run_n(init_state(), frame, args.iters_hi)[1])
         t_lo = timed(args.iters_lo)
         t_hi = timed(args.iters_hi)
-        ms = (t_hi - t_lo) / (args.iters_hi - args.iters_lo) * 1e3
+        ms = (t_hi - t_lo) / (args.iters_hi - args.iters_lo) * 1e3 / k
         print(json.dumps({
-            "engine": tag, "streams": b, "ms_per_frame": round(ms, 4),
+            "engine": tag, "streams": b, "frames_per_step": k,
+            "ms_per_frame": round(ms, 4),
             "stream_frames_per_sec": round(b / (ms * 1e-3), 1)}))
 
     if args.engine in ("bf16", "both"):
-        bench(lambda ss, f: streaming.stream_step(cfg, params, state, ss, f),
-              lambda: streaming.init_stream_state(cfg, params, state, frame),
-              "bf16")
+        if k == 1:
+            bench(lambda ss, f: streaming.stream_step(cfg, params, state, ss,
+                                                      f),
+                  lambda: streaming.init_stream_state(cfg, params, state,
+                                                      first),
+                  "bf16")
+        else:
+            bench(lambda ss, f: streaming.stream_step_multi(
+                      cfg, params, state, ss, f),
+                  lambda: streaming.init_stream_state_multi(
+                      cfg, params, state, first, k),
+                  "bf16")
     if args.engine in ("int8", "both"):
         calib = jnp.asarray(rng.standard_normal((1, rf + 200, 17, 2)),
                             jnp.float32)
         q = quantize_temporal_model(cfg, params, state, calib)
-        bench(lambda ss, f: streaming.stream_step_int8(cfg, q, ss, f),
-              lambda: streaming.init_stream_state_int8(cfg, q, frame),
-              "int8")
+        if k == 1:
+            bench(lambda ss, f: streaming.stream_step_int8(cfg, q, ss, f),
+                  lambda: streaming.init_stream_state_int8(cfg, q, first),
+                  "int8")
+        else:
+            bench(lambda ss, f: streaming.stream_step_int8_multi(cfg, q, ss,
+                                                                 f),
+                  lambda: streaming.init_stream_state_int8_multi(cfg, q,
+                                                                 first, k),
+                  "int8")
 
 
 if __name__ == "__main__":

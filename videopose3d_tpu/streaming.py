@@ -358,6 +358,269 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
     return poses, new_state
 
 
+# ---------------------------------------------------------------------------
+# Micro-batched streaming: k frames per step
+# ---------------------------------------------------------------------------
+#
+# The per-frame engines re-read every layer's weights each step — at 1024
+# streams that weight traffic is the dominant non-MXU HBM cost, and each
+# matmul is only (B, k*C).  Lifting k frames per dispatch amortizes the
+# weight reads k-fold and widens every matmul to (B*k, k*C), trading k frames
+# of latency for throughput (k=8 at 50 fps adds 160 ms — a knob, not a
+# default).
+#
+# Ring layout for contiguous block access: each layer's buffer is DOUBLED
+# ((B, 2*cap, C), every write lands at ptr and ptr+cap) and its capacity is
+# rounded up to a multiple of k.  The pointer then stays a multiple of k, a
+# k-row write never wraps, and every tap lag becomes ONE contiguous (B, k, C)
+# slice — no per-row gathers anywhere in the step.
+
+
+def _buffer_capacities_multi(config: TemporalModelConfig,
+                             frames_per_step: int) -> List[int]:
+    """Ring capacity per layer for k-frame blocks: the k rows being written
+    must never clobber live history (the max tap lag, original cap - 1 rows
+    before the write position), so each capacity is
+    ``(ceil(max_lag / k) + 1) * k`` — k-aligned, and >= max_lag + k."""
+    k = frames_per_step
+    return [(-(-(c - 1) // k) + 1) * k for c in _buffer_capacities(config)]
+
+
+def _ring_push_block(buf, ptr, cap, block):
+    """Write a (B, k, C) block of newest frames at ``ptr`` into a doubled ring
+    buffer (B, 2*cap, C); both copies are kept in sync so any window of up to
+    ``cap`` consecutive ring rows reads as one contiguous slice."""
+    buf = jax.lax.dynamic_update_slice(buf, block, (0, ptr, 0))
+    return jax.lax.dynamic_update_slice(buf, block, (0, ptr + cap, 0))
+
+
+def _ring_taps_block(buf, ptr, cap, width, dilation, k):
+    """(B, k, width*C) taps for the k frames at ring positions ptr..ptr+k-1,
+    oldest lag first (same column order as :func:`_ring_taps`).  Each lag is
+    one contiguous slice of the doubled buffer."""
+    b, _, c = buf.shape
+    cols = []
+    for j in range(width):
+        lag = (width - 1 - j) * dilation
+        start = jnp.mod(ptr - lag, cap)
+        cols.append(jax.lax.dynamic_slice(buf, (0, start, 0), (b, k, c)))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _steady_acts_bf16(config, params, state, x):
+    """Per-layer steady-state activations under a constant input ``x``
+    (B, C_in): [expand output, block 0 output, ...] — the analytic warm-up
+    values (a constant input is a fixed point of every layer)."""
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    w0 = params["expand_conv"]["weight"]
+    act = jnp.dot(x.astype(compute_dtype),
+                  jnp.sum(w0, axis=0).astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    s, t = _bn_affine(params["expand_bn"], state["expand_bn"])
+    act = jax.nn.relu(act * s + t)
+    acts = [act]
+    for i in range(len(config.filter_widths) - 2):
+        w1 = params["layers_conv"][2 * i]["weight"]
+        h = jnp.dot(act.astype(compute_dtype),
+                    jnp.sum(w1, axis=0).astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        s1, t1 = _bn_affine(params["layers_bn"][2 * i],
+                            state["layers_bn"][2 * i])
+        h = jax.nn.relu(h * s1 + t1)
+        w2 = params["layers_conv"][2 * i + 1]["weight"][0]
+        z = jnp.dot(h.astype(compute_dtype), w2.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        s2, t2 = _bn_affine(params["layers_bn"][2 * i + 1],
+                            state["layers_bn"][2 * i + 1])
+        act = act + jax.nn.relu(z * s2 + t2)
+        acts.append(act)
+    return acts
+
+
+def _steady_acts_int8(config, q, x):
+    """int8 counterpart of :func:`_steady_acts_bf16` (x: (B, C_in) bf16)."""
+    k0 = config.filter_widths[0]
+    act_q = _expand_step_i8(q, jnp.tile(x, (1, k0)))
+    acts = [act_q]
+    for i in range(len(config.filter_widths) - 2):
+        kw = config.filter_widths[i + 1]
+        act_q = _block_step_i8(q["blocks"][i], jnp.tile(act_q, (1, kw)),
+                               act_q, last=False)
+        acts.append(act_q)
+    return acts
+
+
+def _multi_init(config, frames_per_step, x_flat, acts, dtype0):
+    caps = _buffer_capacities_multi(config, frames_per_step)
+    b = x_flat.shape[0]
+    bufs = [jnp.broadcast_to(x_flat[:, None, :].astype(dtype0),
+                             (b, 2 * caps[0], x_flat.shape[-1]))]
+    for cap, act in zip(caps[1:], acts):
+        bufs.append(jnp.broadcast_to(act[:, None, :],
+                                     (b, 2 * cap, act.shape[-1])))
+    return {"bufs": bufs, "ptr": jnp.zeros(len(caps), jnp.int32)}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def init_stream_state_multi(config: TemporalModelConfig, params: Params,
+                            state: State, first_frame,
+                            frames_per_step: int) -> Dict[str, Any]:
+    """Analytic warm-up for the micro-batched bf16 engine (k-aligned doubled
+    ring buffers); semantics of :func:`init_stream_state` otherwise."""
+    if not config.causal:
+        raise ValueError("streaming inference requires a causal model")
+    if config.dense:
+        raise ValueError("streaming inference does not support dense convs")
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    x = jnp.asarray(first_frame)
+    x = x.reshape(x.shape[0], -1)
+    acts = [a.astype(compute_dtype)
+            for a in _steady_acts_bf16(config, params, state, x)]
+    return _multi_init(config, frames_per_step, x, acts, compute_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
+def stream_step_multi(config: TemporalModelConfig, params: Params,
+                      state: State, stream_state, frames):
+    """Advance all streams by k frames in one dispatch (bf16 engine).
+
+    Args:
+      stream_state: pytree from :func:`init_stream_state_multi` (donated);
+        its buffer alignment must match ``frames.shape[1]``.
+      frames: (B, k, J, F) the newest k keypoint frames of each stream.
+
+    Returns:
+      ((B, k, J_out, 3) poses, new stream state).
+    """
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    bufs = list(stream_state["bufs"])
+    ptr = stream_state["ptr"]
+    caps = [buf.shape[1] // 2 for buf in bufs]
+
+    x = jnp.asarray(frames)
+    b, k = x.shape[0], x.shape[1]
+    if any(cap % k for cap in caps):
+        raise ValueError(
+            f"stream state is aligned for a different frames_per_step "
+            f"(caps {caps}, got k={k})")
+    x = x.reshape(b, k, -1).astype(compute_dtype)
+
+    bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
+    w0 = params["expand_conv"]["weight"]
+    k0 = w0.shape[0]
+    t0 = _ring_taps_block(bufs[0], ptr[0], caps[0], k0, 1, k)
+    act = jnp.dot(t0.reshape(b * k, -1),
+                  w0.reshape(k0 * w0.shape[1], -1).astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    s, t_ = _bn_affine(params["expand_bn"], state["expand_bn"])
+    act = jax.nn.relu(act * s + t_)
+
+    for i in range(len(config.filter_widths) - 1):
+        cap = caps[i + 1]
+        kw = config.filter_widths[i + 1]
+        d = config.dilations[i + 1]
+        bufs[i + 1] = _ring_push_block(
+            bufs[i + 1], ptr[i + 1], cap,
+            act.reshape(b, k, -1).astype(compute_dtype))
+        w1 = params["layers_conv"][2 * i]["weight"]
+        tp = _ring_taps_block(bufs[i + 1], ptr[i + 1], cap, kw, d, k)
+        h = jnp.dot(tp.reshape(b * k, -1),
+                    w1.reshape(kw * w1.shape[1], -1).astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        s1, t1 = _bn_affine(params["layers_bn"][2 * i],
+                            state["layers_bn"][2 * i])
+        h = jax.nn.relu(h * s1 + t1).astype(compute_dtype)
+        w2 = params["layers_conv"][2 * i + 1]["weight"][0]
+        z = jnp.dot(h, w2.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        s2, t2 = _bn_affine(params["layers_bn"][2 * i + 1],
+                            state["layers_bn"][2 * i + 1])
+        act = act + jax.nn.relu(z * s2 + t2)
+
+    w_s = params["shrink"]["weight"][0]
+    out = jnp.dot(act.astype(compute_dtype), w_s.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    out = out + params["shrink"]["bias"]
+    out = out.reshape(b, k, config.num_joints_out, 3).astype(jnp.float32)
+
+    new_state = {"bufs": bufs,
+                 "ptr": jnp.mod(ptr + k, jnp.asarray(caps, jnp.int32))}
+    return out, new_state
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def init_stream_state_int8_multi(config: TemporalModelConfig, q, first_frame,
+                                 frames_per_step: int) -> Dict[str, Any]:
+    """Analytic warm-up for the micro-batched w8a8 engine."""
+    if not config.causal:
+        raise ValueError("streaming inference requires a causal model")
+    if config.dense:
+        raise ValueError("streaming inference does not support dense convs")
+    x = jnp.asarray(first_frame)
+    x = x.reshape(x.shape[0], -1).astype(jnp.bfloat16)
+    acts = _steady_acts_int8(config, q, x)
+    return _multi_init(config, frames_per_step, x, acts, jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
+                           frames):
+    """Advance all streams by k frames through the w8a8 pipeline in one
+    dispatch.  Same per-frame algebra as :func:`stream_step_int8` (the
+    dynamic row requantization is per (stream, frame) row, exactly as the
+    per-frame engine computes it); outputs agree to f32 rounding (only the
+    bf16 shrink matmul's accumulation tiling differs with row count).
+
+    Args:
+      frames: (B, k, J, F).
+
+    Returns:
+      ((B, k, J_out, 3) f32 poses, new stream state).
+    """
+    bufs = list(stream_state["bufs"])
+    ptr = stream_state["ptr"]
+    caps = [buf.shape[1] // 2 for buf in bufs]
+
+    x = jnp.asarray(frames)
+    b, k = x.shape[0], x.shape[1]
+    if any(cap % k for cap in caps):
+        raise ValueError(
+            f"stream state is aligned for a different frames_per_step "
+            f"(caps {caps}, got k={k})")
+    x = x.reshape(b, k, -1).astype(jnp.bfloat16)
+
+    bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
+    k0 = config.filter_widths[0]
+    taps0 = _ring_taps_block(bufs[0], ptr[0], caps[0], k0, 1, k)
+    act_q = _expand_step_i8(q, taps0.reshape(b * k, -1))
+
+    n_blocks = len(config.filter_widths) - 1
+    out = None
+    for i in range(n_blocks):
+        cap = caps[i + 1]
+        kw = config.filter_widths[i + 1]
+        d = config.dilations[i + 1]
+        bufs[i + 1] = _ring_push_block(bufs[i + 1], ptr[i + 1], cap,
+                                       act_q.reshape(b, k, -1))
+        taps = _ring_taps_block(bufs[i + 1], ptr[i + 1], cap, kw, d, k)
+        last = i == n_blocks - 1
+        result = _block_step_i8(q["blocks"][i], taps.reshape(b * k, -1),
+                                act_q, last=last)
+        if last:
+            out = result
+        else:
+            act_q = result
+
+    proj = jnp.dot(out.astype(jnp.bfloat16), q["shrink_w"],
+                   preferred_element_type=jnp.float32)
+    proj = proj + q["shrink_b"]
+    poses = proj.reshape(b, k, config.num_joints_out, 3).astype(jnp.float32)
+
+    new_state = {"bufs": bufs,
+                 "ptr": jnp.mod(ptr + k, jnp.asarray(caps, jnp.int32))}
+    return poses, new_state
+
+
 class StreamingCausalLifter:
     """Convenience wrapper: many concurrent video streams, one pose per frame.
 
@@ -381,18 +644,24 @@ class StreamingCausalLifter:
 
     def __init__(self, config: TemporalModelConfig, params: Params = None,
                  state: State = None, *, engine: str = "bf16", quantized=None,
-                 mesh=None):
+                 mesh=None, frames_per_step: int = 1):
         if engine not in ("bf16", "int8"):
             raise ValueError(f"unknown streaming engine {engine!r}")
         if engine == "int8" and quantized is None:
             raise ValueError("engine='int8' requires the quantized pytree")
         if engine == "bf16" and (params is None or state is None):
             raise ValueError("engine='bf16' requires params and state")
+        if frames_per_step < 1:
+            raise ValueError("frames_per_step must be >= 1")
         self.config = config
         self.params = params
         self.state = state
         self.engine = engine
         self.quantized = quantized
+        # > 1: micro-batched engine — step() takes (B, k, J, F) and returns
+        # (B, k, J_out, 3); k frames of latency traded for amortized weight
+        # reads and k-fold wider matmuls (see the multi-engine section).
+        self.frames_per_step = frames_per_step
         self._stream_state = None
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import (
@@ -413,19 +682,38 @@ class StreamingCausalLifter:
 
     def reset(self, first_frames) -> None:
         first_frames = self._shard_frames(first_frames)
+        k = self.frames_per_step
         if self.engine == "int8":
-            self._stream_state = init_stream_state_int8(
-                self.config, self.quantized, first_frames)
+            if k > 1:
+                self._stream_state = init_stream_state_int8_multi(
+                    self.config, self.quantized, first_frames, k)
+            else:
+                self._stream_state = init_stream_state_int8(
+                    self.config, self.quantized, first_frames)
+        elif k > 1:
+            self._stream_state = init_stream_state_multi(
+                self.config, self.params, self.state, first_frames, k)
         else:
             self._stream_state = init_stream_state(
                 self.config, self.params, self.state, first_frames)
 
     def step(self, frame) -> jnp.ndarray:
+        """One dispatch: frame is (B, J, F) — or (B, k, J, F) with
+        ``frames_per_step`` k > 1, returning (B, k, J_out, 3)."""
         assert self._stream_state is not None, "call reset() first"
         frame = self._shard_frames(frame)
+        k = self.frames_per_step
         if self.engine == "int8":
-            out, self._stream_state = stream_step_int8(
-                self.config, self.quantized, self._stream_state, frame)
+            if k > 1:
+                out, self._stream_state = stream_step_int8_multi(
+                    self.config, self.quantized, self._stream_state, frame)
+            else:
+                out, self._stream_state = stream_step_int8(
+                    self.config, self.quantized, self._stream_state, frame)
+        elif k > 1:
+            out, self._stream_state = stream_step_multi(
+                self.config, self.params, self.state, self._stream_state,
+                frame)
         else:
             out, self._stream_state = stream_step(
                 self.config, self.params, self.state, self._stream_state, frame)
@@ -473,19 +761,26 @@ def stream_archive(config: TemporalModelConfig, lifter: "StreamingCausalLifter",
                    streams) -> List[np.ndarray]:
     """Serve every video as one stream of a shared batch: videos that end
     early keep being fed their last frame (their outputs are cut to length).
+    Honors the lifter's ``frames_per_step`` (micro-batched dispatches).
 
     Returns one (T_i, J_out, 3) array per video."""
     lengths = [s.shape[0] for s in streams]
     t_max = max(lengths)
+    k = lifter.frames_per_step
     first = np.stack([s[0] for s in streams])
     lifter.reset(first)
     outputs = [[] for _ in streams]
-    for t in range(t_max):
-        frame = np.stack([s[min(t, n - 1)] for s, n in zip(streams, lengths)])
-        poses = np.asarray(lifter.step(frame))
+    for t0 in range(0, t_max, k):
+        block = np.stack([
+            np.stack([s[min(t, n - 1)] for t in range(t0, t0 + k)])
+            for s, n in zip(streams, lengths)])          # (B, k, J, F)
+        poses = np.asarray(lifter.step(block if k > 1 else block[:, 0]))
+        if k == 1:
+            poses = poses[:, None]
         for i, n in enumerate(lengths):
-            if t < n:
-                outputs[i].append(poses[i])
+            take = min(k, n - t0)
+            if take > 0:
+                outputs[i].extend(poses[i, :take])
     return [np.stack(o) for o in outputs]
 
 
@@ -514,6 +809,9 @@ def main(argv=None):
                     help="bf16-engine compute dtype (int8 ignores this)")
     ap.add_argument("--videos", default=None,
                     help="comma-separated subset of video names")
+    ap.add_argument("--frames-per-step", type=int, default=1,
+                    help="micro-batch k frames per dispatch (higher "
+                         "throughput, k frames of added latency)")
     ap.add_argument("--output", required=True,
                     help="output .npz: one (T, J, 3) pose array per video")
     args = ap.parse_args(argv)
@@ -552,9 +850,11 @@ def main(argv=None):
                 [calib, np.repeat(calib[:, -1:], pad_n, axis=1)], axis=1)
         q = quantize_temporal_model(config, params, state,
                                     jnp.asarray(calib))
-        lifter = StreamingCausalLifter(config, engine="int8", quantized=q)
+        lifter = StreamingCausalLifter(config, engine="int8", quantized=q,
+                                       frames_per_step=args.frames_per_step)
     else:
-        lifter = StreamingCausalLifter(config, params, state)
+        lifter = StreamingCausalLifter(config, params, state,
+                                       frames_per_step=args.frames_per_step)
 
     t0 = time.perf_counter()
     outputs = stream_archive(config, lifter, streams)
