@@ -126,3 +126,32 @@ def test_streaming_lifter_engine_validation():
         StreamingCausalLifter(cfg, engine="int8")
     with pytest.raises(ValueError, match="params"):
         StreamingCausalLifter(cfg, engine="bf16")
+
+
+@pytest.mark.parametrize("engine", ["bf16", "int8"])
+def test_streaming_mesh_sharded_multi_frame(engine):
+    """The micro-batched (k frames/step) engines under mesh sharding: the
+    doubled-ring pushes and block taps are stream-parallel, so sharded ==
+    unsharded."""
+    import jax
+    from videopose3d_tpu.parallel import make_mesh
+
+    assert jax.device_count() == 8
+    cfg, params, state, q, rng = _setup(fw=(3, 3, 3), channels=32)
+    k, b = 4, 16
+    frames = rng.standard_normal((3, b, k, 17, 2)).astype(np.float32)
+
+    kw = (dict(engine="int8", quantized=q) if engine == "int8"
+          else dict(engine="bf16"))
+    args = (cfg,) if engine == "int8" else (cfg, params, state)
+    single = StreamingCausalLifter(*args, **kw, frames_per_step=k)
+    sharded = StreamingCausalLifter(*args, **kw, frames_per_step=k,
+                                    mesh=make_mesh())
+    single.reset(frames[0, :, 0])
+    sharded.reset(frames[0, :, 0])
+    for t in range(frames.shape[0]):
+        a = single.step(frames[t])
+        bout = sharded.step(frames[t])
+        assert len(bout.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bout),
+                                   atol=2e-5)
