@@ -70,6 +70,12 @@ def run_scenario(mesh, *, epochs=2, checkpoint_path=None, resume_from=None):
                                        bn_momentum_for_epoch,
                                        set_learning_rate)
 
+    # Pin the PRNG impl: runner e2e tests set jax_default_prng_impl="rbg"
+    # globally in this process, and legacy PRNGKey arrays take their meaning
+    # from that flag at USE time — without the pin, a full-suite run computes
+    # the in-process control leg with different keys than the workers.
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
     cfg = TemporalModelConfig(
         num_joints_in=17, in_features=2, num_joints_out=17,
         filter_widths=ARC, dropout=0.0, channels=CHANNELS)
