@@ -369,11 +369,16 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
 # of latency for throughput (k=8 at 50 fps adds 160 ms — a knob, not a
 # default).
 #
-# Ring layout for contiguous block access: each layer's buffer is DOUBLED
-# ((B, 2*cap, C), every write lands at ptr and ptr+cap) and its capacity is
-# rounded up to a multiple of k.  The pointer then stays a multiple of k, a
-# k-row write never wraps, and every tap lag becomes ONE contiguous (B, k, C)
-# slice — no per-row gathers anywhere in the step.
+# Ring layout: TIME-MAJOR doubled buffers ((2*cap, B, C), every write lands at
+# ptr and ptr+cap), capacity rounded up so the pointer stays a multiple of k
+# and a k-frame write never wraps.  Time-major matters enormously on TPU: a
+# dynamic offset on the MAJOR axis is a contiguous slab DMA, while the same
+# k-frame window addressed as (B, k, C) — a dynamic offset on the
+# second-minor, tiled axis — ran at ~260 us per op REGARDLESS of size
+# (measured v5e; the time-major form measured at noise level).  Activations
+# therefore flow through the step frame-major as (k*B, C) rows; only the
+# step's input/output transpose to the caller's (B, k, ...) layout, a ~1 MB
+# copy.
 
 
 def _buffer_capacities_multi(config: TemporalModelConfig,
@@ -387,23 +392,24 @@ def _buffer_capacities_multi(config: TemporalModelConfig,
 
 
 def _ring_push_block(buf, ptr, cap, block):
-    """Write a (B, k, C) block of newest frames at ``ptr`` into a doubled ring
-    buffer (B, 2*cap, C); both copies are kept in sync so any window of up to
-    ``cap`` consecutive ring rows reads as one contiguous slice."""
-    buf = jax.lax.dynamic_update_slice(buf, block, (0, ptr, 0))
-    return jax.lax.dynamic_update_slice(buf, block, (0, ptr + cap, 0))
+    """Write a (k, B, C) block of newest frames at ``ptr`` into a time-major
+    doubled ring buffer (2*cap, B, C); both copies are kept in sync so any
+    window of up to ``cap`` consecutive ring frames reads as one contiguous
+    slab."""
+    buf = jax.lax.dynamic_update_slice(buf, block, (ptr, 0, 0))
+    return jax.lax.dynamic_update_slice(buf, block, (ptr + cap, 0, 0))
 
 
 def _ring_taps_block(buf, ptr, cap, width, dilation, k):
-    """(B, k, width*C) taps for the k frames at ring positions ptr..ptr+k-1,
+    """(k, B, width*C) taps for the k frames at ring positions ptr..ptr+k-1,
     oldest lag first (same column order as :func:`_ring_taps`).  Each lag is
-    one contiguous slice of the doubled buffer."""
-    b, _, c = buf.shape
+    one contiguous major-axis slab of the doubled buffer."""
+    _, b, c = buf.shape
     cols = []
     for j in range(width):
         lag = (width - 1 - j) * dilation
         start = jnp.mod(ptr - lag, cap)
-        cols.append(jax.lax.dynamic_slice(buf, (0, start, 0), (b, k, c)))
+        cols.append(jax.lax.dynamic_slice(buf, (start, 0, 0), (k, b, c)))
     return jnp.concatenate(cols, axis=-1)
 
 
@@ -453,11 +459,11 @@ def _steady_acts_int8(config, q, x):
 def _multi_init(config, frames_per_step, x_flat, acts, dtype0):
     caps = _buffer_capacities_multi(config, frames_per_step)
     b = x_flat.shape[0]
-    bufs = [jnp.broadcast_to(x_flat[:, None, :].astype(dtype0),
-                             (b, 2 * caps[0], x_flat.shape[-1]))]
+    bufs = [jnp.broadcast_to(x_flat[None, :, :].astype(dtype0),
+                             (2 * caps[0], b, x_flat.shape[-1]))]
     for cap, act in zip(caps[1:], acts):
-        bufs.append(jnp.broadcast_to(act[:, None, :],
-                                     (b, 2 * cap, act.shape[-1])))
+        bufs.append(jnp.broadcast_to(act[None, :, :],
+                                     (2 * cap, b, act.shape[-1])))
     return {"bufs": bufs, "ptr": jnp.zeros(len(caps), jnp.int32)}
 
 
@@ -495,7 +501,7 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
     compute_dtype = jnp.dtype(config.compute_dtype)
     bufs = list(stream_state["bufs"])
     ptr = stream_state["ptr"]
-    caps = [buf.shape[1] // 2 for buf in bufs]
+    caps = [buf.shape[0] // 2 for buf in bufs]
 
     x = jnp.asarray(frames)
     b, k = x.shape[0], x.shape[1]
@@ -503,7 +509,8 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
         raise ValueError(
             f"stream state is aligned for a different frames_per_step "
             f"(caps {caps}, got k={k})")
-    x = x.reshape(b, k, -1).astype(compute_dtype)
+    # Frame-major from here on: rows are (frame, stream) pairs.
+    x = jnp.swapaxes(x, 0, 1).reshape(k, b, -1).astype(compute_dtype)
 
     bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
     w0 = params["expand_conv"]["weight"]
@@ -521,7 +528,7 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
         d = config.dilations[i + 1]
         bufs[i + 1] = _ring_push_block(
             bufs[i + 1], ptr[i + 1], cap,
-            act.reshape(b, k, -1).astype(compute_dtype))
+            act.reshape(k, b, -1).astype(compute_dtype))
         w1 = params["layers_conv"][2 * i]["weight"]
         tp = _ring_taps_block(bufs[i + 1], ptr[i + 1], cap, kw, d, k)
         h = jnp.dot(tp.reshape(b * k, -1),
@@ -541,7 +548,8 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
     out = jnp.dot(act.astype(compute_dtype), w_s.astype(compute_dtype),
                   preferred_element_type=jnp.float32)
     out = out + params["shrink"]["bias"]
-    out = out.reshape(b, k, config.num_joints_out, 3).astype(jnp.float32)
+    out = jnp.swapaxes(
+        out.reshape(k, b, config.num_joints_out, 3), 0, 1).astype(jnp.float32)
 
     new_state = {"bufs": bufs,
                  "ptr": jnp.mod(ptr + k, jnp.asarray(caps, jnp.int32))}
@@ -579,7 +587,7 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
     """
     bufs = list(stream_state["bufs"])
     ptr = stream_state["ptr"]
-    caps = [buf.shape[1] // 2 for buf in bufs]
+    caps = [buf.shape[0] // 2 for buf in bufs]
 
     x = jnp.asarray(frames)
     b, k = x.shape[0], x.shape[1]
@@ -587,7 +595,8 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
         raise ValueError(
             f"stream state is aligned for a different frames_per_step "
             f"(caps {caps}, got k={k})")
-    x = x.reshape(b, k, -1).astype(jnp.bfloat16)
+    # Frame-major from here on: rows are (frame, stream) pairs.
+    x = jnp.swapaxes(x, 0, 1).reshape(k, b, -1).astype(jnp.bfloat16)
 
     bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
     k0 = config.filter_widths[0]
@@ -601,7 +610,7 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
         kw = config.filter_widths[i + 1]
         d = config.dilations[i + 1]
         bufs[i + 1] = _ring_push_block(bufs[i + 1], ptr[i + 1], cap,
-                                       act_q.reshape(b, k, -1))
+                                       act_q.reshape(k, b, -1))
         taps = _ring_taps_block(bufs[i + 1], ptr[i + 1], cap, kw, d, k)
         last = i == n_blocks - 1
         result = _block_step_i8(q["blocks"][i], taps.reshape(b * k, -1),
@@ -614,7 +623,8 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
     proj = jnp.dot(out.astype(jnp.bfloat16), q["shrink_w"],
                    preferred_element_type=jnp.float32)
     proj = proj + q["shrink_b"]
-    poses = proj.reshape(b, k, config.num_joints_out, 3).astype(jnp.float32)
+    poses = jnp.swapaxes(
+        proj.reshape(k, b, config.num_joints_out, 3), 0, 1).astype(jnp.float32)
 
     new_state = {"bufs": bufs,
                  "ptr": jnp.mod(ptr + k, jnp.asarray(caps, jnp.int32))}
