@@ -462,3 +462,31 @@ def test_semi_mesh_equals_single_device():
     np.testing.assert_allclose(l_mesh, l_one, rtol=3e-5, atol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=3e-6),
                  p_mesh, p_one)
+
+
+def test_fused_optimizer_apply_matches_chained():
+    """fused_optimizer_apply (one fused kernel per leaf) is bit-identical to
+    optimizer.update + optax.apply_updates over many steps, including the
+    full optimizer-state pytree."""
+    import optax
+    from videopose3d_tpu.train import fused_optimizer_apply, make_optimizer
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.standard_normal((64, 33)), jnp.float32),
+              "b": [jnp.asarray(rng.standard_normal(7), jnp.float32)]}
+    opt = make_optimizer(1e-3)
+    st_a = opt.init(params)
+    st_b = opt.init(params)
+    p_a = p_b = params
+    for i in range(10):
+        grads = jax.tree.map(
+            lambda x: jnp.asarray(
+                rng.standard_normal(x.shape) * 0.1, jnp.float32), p_a)
+        updates, st_a = opt.update(grads, st_a, p_a)
+        p_a = optax.apply_updates(p_a, updates)
+        p_b, st_b = fused_optimizer_apply(opt, grads, st_b, p_b)
+
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p_a, p_b)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 jax.tree.map(np.asarray, st_a),
+                 jax.tree.map(np.asarray, st_b))

@@ -30,7 +30,8 @@ from videopose3d_tpu.data.generators import (  # noqa: E402
 from videopose3d_tpu.models.temporal import (  # noqa: E402
     TemporalModelConfig, init_temporal_model, forward_strided,
     receptive_field)
-from videopose3d_tpu.train import make_optimizer  # noqa: E402
+from videopose3d_tpu.train import (  # noqa: E402
+    fused_optimizer_apply, make_optimizer)
 
 
 def main():
@@ -124,8 +125,9 @@ def main():
                     gsum = sum(jnp.sum(g) for g in
                                jax.tree_util.tree_leaves(grads))
                     return params, opt_state, loss * 1e-30 + gsum * 1e-30
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                # The trainers' one-pass AMSGrad+apply (train.py).
+                params, opt_state = fused_optimizer_apply(
+                    optimizer, grads, opt_state, params)
                 return params, opt_state, loss * 1e-30
             params, opt_state, acc = jax.lax.fori_loop(
                 0, n, body, (params, opt_state, jnp.float32(0.0)))

@@ -143,6 +143,62 @@ def set_learning_rate(opt_state, lr: float):
     return opt_state
 
 
+def fused_optimizer_apply(optimizer, grads, opt_state, params,
+                          b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8):
+    """One-pass AMSGrad update + apply: numerically identical (same float ops
+    in the same order) to ``optimizer.update`` + ``optax.apply_updates``, but
+    each parameter leaf's (m, v, vmax, param) are read and written in a
+    single fused elementwise kernel.
+
+    The chained form (scale_by_torch_amsgrad -> scale(-lr) -> apply_updates)
+    measured ~2.5 ms of the 13.4 ms train step at B=1024/RF=243 — roughly 3x
+    the one-pass HBM traffic of the optimizer state (~0.6 GB); XLA does not
+    fuse across the three tree_maps' output boundaries.
+
+    Returns (new_params, new_opt_state) with the exact ``make_optimizer``
+    state pytree (checkpoint-compatible; falls back to the generic path for
+    unrecognized optimizer states).
+    """
+    inner = getattr(opt_state, "inner_state", None)
+    if not (inner and isinstance(inner[0], _TorchAmsgradState)):
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state
+
+    lr = opt_state.hyperparams["learning_rate"]
+    ams: _TorchAmsgradState = inner[0]
+    count = ams.count + 1
+    bc1 = 1 - jnp.power(b1, count.astype(jnp.float32))
+    bc2_sqrt = jnp.sqrt(1 - jnp.power(b2, count.astype(jnp.float32)))
+
+    def leaf(g, m, v, vmax, p):
+        m_ = b1 * m + (1 - b1) * g
+        v_ = b2 * v + (1 - b2) * g * g
+        vmax_ = jnp.maximum(vmax, v_)
+        out = (m_ / bc1) / (jnp.sqrt(vmax_) / bc2_sqrt + eps)
+        return m_, v_, vmax_, p + (-lr) * out
+
+    flat_g, treedef = jax.tree_util.tree_flatten(grads)
+    flat_m = treedef.flatten_up_to(ams.m)
+    flat_v = treedef.flatten_up_to(ams.v)
+    flat_vmax = treedef.flatten_up_to(ams.vmax)
+    flat_p = treedef.flatten_up_to(params)
+    outs = [leaf(*args) for args in zip(flat_g, flat_m, flat_v, flat_vmax,
+                                        flat_p)]
+    unflatten = treedef.unflatten
+    new_ams = _TorchAmsgradState(
+        count=count,
+        m=unflatten([o[0] for o in outs]),
+        v=unflatten([o[1] for o in outs]),
+        vmax=unflatten([o[2] for o in outs]))
+    new_params = unflatten([o[3] for o in outs])
+    new_opt_state = opt_state._replace(
+        # The inject_hyperparams wrapper keeps its own step count.
+        count=opt_state.count + 1,
+        inner_state=(new_ams,) + tuple(inner[1:]))
+    return new_params, new_opt_state
+
+
 def _feed(mesh, host, *, batch_axis: Optional[int] = None):
     """Host->device feed for a per-step jit input (descriptors, valid counts,
     momentum).  Single-process: plain ``asarray`` — jit reshards to the
@@ -295,8 +351,8 @@ class SupervisedTrainer:
             return loss, new_state
 
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        new_params, new_opt_state = fused_optimizer_apply(
+            self.optimizer, grads, opt_state, params)
         return new_params, new_state, new_opt_state, rng, loss
 
     def _step_impl(self, params, state, opt_state, rng, data, meta, n_valid,
@@ -483,8 +539,8 @@ class SemiSupervisedTrainer:
 
         ((loss_total, (new_states, loss_pos, loss_traj, loss_recon)), grads) = (
             jax.value_and_grad(loss_fn, has_aux=True)(params))
-        updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
+        new_params, new_opt_state = fused_optimizer_apply(
+            self.optimizer, grads, opt_state, params)
         return (new_params, new_states, new_opt_state, rng,
                 loss_pos, loss_traj, loss_recon, loss_total)
 
