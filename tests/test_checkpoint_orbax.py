@@ -161,3 +161,19 @@ def test_partial_new_falls_back(tmp_path):
 
     restored = load_checkpoint_orbax(path)
     assert restored["epoch"] == 7
+
+
+def test_fresh_save_after_interrupted_swap_not_shadowed(tmp_path):
+    """Review r3: after a crash mid-swap, a later save that finds ``path``
+    absent must not leave the stale ``.new`` shadowing it (load prefers
+    .new)."""
+    import os
+
+    path = str(tmp_path / "ck")
+    save_checkpoint_orbax(path, _payload())                      # epoch 7
+    save_checkpoint_orbax(path + ".new", dict(_payload(), epoch=8))
+    os.rename(path, path + ".old")                               # crash window
+
+    save_checkpoint_orbax(path, dict(_payload(), epoch=9))       # next epoch
+    assert load_checkpoint_orbax(path)["epoch"] == 9
+    assert not os.path.exists(path + ".new")

@@ -265,3 +265,49 @@ def test_resumed_metrics_log(h36m_dir, tmp_path, capsys):
     assert "[2] time" in out
     records = [json.loads(l) for l in open(metrics)]
     assert records and records[-1]["epoch"] == 2
+
+
+class TestPilVideoFallback:
+    """probe_video / read_video without ffmpeg: genuine animations (including
+    our renderer's own 1-frame GIFs) decode via PIL; still images raise the
+    clear tool-missing error instead of becoming a 1-frame 50 fps video."""
+
+    @staticmethod
+    def _no_ffmpeg(monkeypatch):
+        import shutil as _shutil
+        from videopose3d_tpu import visualization as vz
+        monkeypatch.setattr(vz.shutil, "which", lambda tool: None)
+        return vz
+
+    def test_single_frame_gif_roundtrips(self, tmp_path, monkeypatch):
+        from PIL import Image
+        import numpy as np
+        gif = str(tmp_path / "one.gif")
+        Image.fromarray(np.zeros((8, 6, 3), np.uint8)).save(gif)
+        vz = self._no_ffmpeg(monkeypatch)
+        w, h, fps = vz.probe_video(gif)
+        assert (w, h) == (6, 8) and fps > 0
+        frames = list(vz.read_video(gif))
+        assert len(frames) == 1 and frames[0].shape == (8, 6, 3)
+
+    def test_multi_frame_gif(self, tmp_path, monkeypatch):
+        from PIL import Image
+        import numpy as np
+        gif = str(tmp_path / "anim.gif")
+        ims = [Image.fromarray(np.full((8, 6, 3), v, np.uint8))
+               for v in (0, 80, 160)]
+        ims[0].save(gif, save_all=True, append_images=ims[1:], duration=40)
+        vz = self._no_ffmpeg(monkeypatch)
+        assert vz.probe_video(gif)[2] == pytest.approx(25.0)
+        assert len(list(vz.read_video(gif))) == 3
+
+    def test_still_png_rejected(self, tmp_path, monkeypatch):
+        from PIL import Image
+        import numpy as np
+        png = str(tmp_path / "still.png")
+        Image.fromarray(np.zeros((8, 6, 3), np.uint8)).save(png)
+        vz = self._no_ffmpeg(monkeypatch)
+        with pytest.raises(RuntimeError, match="ffprobe"):
+            vz.probe_video(png)
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            list(vz.read_video(png))

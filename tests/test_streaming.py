@@ -137,3 +137,20 @@ def test_multi_frame_wrong_alignment_raises():
         stream_step_multi(cfg, params, state, ss,
                           rng.standard_normal((2, 3, 17, 2)).astype(
                               np.float32))
+
+
+def test_multi_frame_k_mismatch_that_divides_caps_raises():
+    """Review r3: caps built for k=4 with fw=(9,3) are (12, 24) — divisible
+    by 6 too, but stepping with k=6 would clobber live history; the guard
+    must catch it (cap >= max_lag + k), not just cap % k."""
+    from videopose3d_tpu.streaming import (init_stream_state_multi,
+                                           stream_step_multi)
+    cfg = _cfg((9, 3))
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    first = rng.standard_normal((2, 17, 2)).astype(np.float32)
+    ss = init_stream_state_multi(cfg, params, state, first, 4)
+    with pytest.raises(ValueError, match="frames_per_step"):
+        stream_step_multi(cfg, params, state, ss,
+                          rng.standard_normal((2, 6, 17, 2)).astype(
+                              np.float32))

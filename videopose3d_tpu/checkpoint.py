@@ -92,7 +92,20 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
     payload = {k: (jax.tree_util.tree_map(to_host, v) if v is not None
                    else None) for k, v in payload.items()}
     path = os.path.abspath(path)
+    new, old = path + ".new", path + ".old"
     ckptr = _local_pytree_checkpointer()
+    if not os.path.exists(path) and os.path.isdir(new):
+        # A previous run crashed mid-swap: ``.new`` holds the newest state
+        # (what load_checkpoint_orbax has been restoring).  Complete the swap
+        # BEFORE cleaning stale dirs — deleting it as "stale" while writing
+        # this save fresh at ``path`` would leave every later load preferring
+        # nothing, but keeping it would shadow the newer save we are about to
+        # write (load prefers .new).  If .new was a partial write, the
+        # overwrite branch below replaces it atomically anyway.
+        os.rename(new, path)
+    for stale in (new, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     if not os.path.exists(path):
         ckptr.save(path, payload)
         return
@@ -100,10 +113,6 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
     # the existing checkpoint *before* writing the new one, so a crash in
     # between loses both; here the old directory exists (as ``path`` or
     # ``path + ".old"``) until the new one is fully finalized.
-    new, old = path + ".new", path + ".old"
-    for stale in (new, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
     ckptr.save(new, payload)
     os.rename(path, old)
     os.rename(new, path)

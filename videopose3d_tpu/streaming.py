@@ -113,33 +113,15 @@ def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
     caps = _buffer_capacities(config)
     compute_dtype = jnp.dtype(config.compute_dtype)
 
+    # Steady-state activations shared with the micro-batched engine's init
+    # (one implementation of the warm-up algebra, see _steady_acts_bf16).
     bufs = [jnp.broadcast_to(x[:, None, :], (b, caps[0], x.shape[-1]))
             .astype(compute_dtype)]
-
-    # Steady state of the expand layer under constant input: all taps equal.
-    w0 = params["expand_conv"]["weight"]  # (k, C_in, C)
-    act = jnp.dot(x.astype(compute_dtype), jnp.sum(w0, axis=0).astype(compute_dtype),
-                  preferred_element_type=jnp.float32)
-    s, t = _bn_affine(params["expand_bn"], state["expand_bn"])
-    act = jax.nn.relu(act * s + t)
-
-    for i in range(len(config.filter_widths) - 1):
+    for cap, act in zip(caps[1:],
+                        _steady_acts_bf16(config, params, state, x)):
         bufs.append(jnp.broadcast_to(
             act[:, None, :].astype(compute_dtype),
-            (b, caps[i + 1], act.shape[-1])).astype(compute_dtype))
-        w1 = params["layers_conv"][2 * i]["weight"]
-        h = jnp.dot(act.astype(compute_dtype),
-                    jnp.sum(w1, axis=0).astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
-        s1, t1 = _bn_affine(params["layers_bn"][2 * i],
-                            state["layers_bn"][2 * i])
-        h = jax.nn.relu(h * s1 + t1)
-        w2 = params["layers_conv"][2 * i + 1]["weight"][0]
-        z = jnp.dot(h.astype(compute_dtype), w2.astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
-        s2, t2 = _bn_affine(params["layers_bn"][2 * i + 1],
-                            state["layers_bn"][2 * i + 1])
-        act = act + jax.nn.relu(z * s2 + t2)
+            (b, cap, act.shape[-1])))
 
     return {"bufs": bufs,
             "ptr": jnp.zeros(len(caps), jnp.int32)}
@@ -292,18 +274,12 @@ def init_stream_state_int8(config: TemporalModelConfig, q,
     x = x.reshape(b, -1).astype(jnp.bfloat16)
     caps = _buffer_capacities(config)
 
+    # Steady-state int8 streams shared with the micro-batched engine's init
+    # (one implementation of the warm-up algebra, see _steady_acts_int8).
     bufs = [jnp.broadcast_to(x[:, None, :], (b, caps[0], x.shape[-1]))]
-    k0 = config.filter_widths[0]
-    act_q = _expand_step_i8(q, jnp.tile(x, (1, k0)))
-
-    n_blocks = len(config.filter_widths) - 1
-    for i in range(n_blocks):
+    for cap, act_q in zip(caps[1:], _steady_acts_int8(config, q, x)):
         bufs.append(jnp.broadcast_to(
-            act_q[:, None, :], (b, caps[i + 1], act_q.shape[-1])))
-        if i < n_blocks - 1:
-            k = config.filter_widths[i + 1]
-            act_q = _block_step_i8(
-                q["blocks"][i], jnp.tile(act_q, (1, k)), act_q, last=False)
+            act_q[:, None, :], (b, cap, act_q.shape[-1])))
 
     return {"bufs": bufs,
             "ptr": jnp.zeros(len(caps), jnp.int32)}
@@ -389,6 +365,21 @@ def _buffer_capacities_multi(config: TemporalModelConfig,
     ``(ceil(max_lag / k) + 1) * k`` — k-aligned, and >= max_lag + k."""
     k = frames_per_step
     return [(-(-(c - 1) // k) + 1) * k for c in _buffer_capacities(config)]
+
+
+def _check_multi_alignment(config, caps, k):
+    """A state built for frames_per_step=k' stepped with k frames is silent
+    corruption, not an out-of-bounds error: a too-large k clobbers ring rows
+    the taps still need.  Checking ``cap % k`` alone is an incomplete proxy
+    (e.g. caps (12, 24) built for k=4 also divide by 6, yet 12 < 8 + 6), so
+    also require every capacity to hold the max tap lag PLUS the k rows
+    being written."""
+    max_lags = [c - 1 for c in _buffer_capacities(config)]
+    if any(cap % k or cap < lag + k for cap, lag in zip(caps, max_lags)):
+        raise ValueError(
+            f"stream state (caps {caps}) was built for a different "
+            f"frames_per_step than the {k} frames passed; re-init with "
+            f"frames_per_step={k}")
 
 
 def _ring_push_block(buf, ptr, cap, block):
@@ -505,10 +496,7 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
 
     x = jnp.asarray(frames)
     b, k = x.shape[0], x.shape[1]
-    if any(cap % k for cap in caps):
-        raise ValueError(
-            f"stream state is aligned for a different frames_per_step "
-            f"(caps {caps}, got k={k})")
+    _check_multi_alignment(config, caps, k)
     # Frame-major from here on: rows are (frame, stream) pairs.
     x = jnp.swapaxes(x, 0, 1).reshape(k, b, -1).astype(compute_dtype)
 
@@ -591,10 +579,7 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
 
     x = jnp.asarray(frames)
     b, k = x.shape[0], x.shape[1]
-    if any(cap % k for cap in caps):
-        raise ValueError(
-            f"stream state is aligned for a different frames_per_step "
-            f"(caps {caps}, got k={k})")
+    _check_multi_alignment(config, caps, k)
     # Frame-major from here on: rows are (frame, stream) pairs.
     x = jnp.swapaxes(x, 0, 1).reshape(k, b, -1).astype(jnp.bfloat16)
 

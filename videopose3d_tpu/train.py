@@ -90,8 +90,16 @@ class _TorchAmsgradState(NamedTuple):
     vmax: Any
 
 
-def scale_by_torch_amsgrad(b1: float = 0.9, b2: float = 0.999,
-                           eps: float = 1e-8) -> optax.GradientTransformation:
+# Single source of truth for the AMSGrad hyperparameters: both the optax
+# transformation and the fused one-pass apply below read these, so they can
+# never drift apart (torch.optim.Adam defaults, run.py:252-253).
+AMSGRAD_B1 = 0.9
+AMSGRAD_B2 = 0.999
+AMSGRAD_EPS = 1e-8
+
+
+def scale_by_torch_amsgrad(b1: float = AMSGRAD_B1, b2: float = AMSGRAD_B2,
+                           eps: float = AMSGRAD_EPS) -> optax.GradientTransformation:
     """torch.optim.Adam(amsgrad=True) semantics, exactly.
 
     optax's ``amsgrad`` differs from torch in where the bias correction and
@@ -144,8 +152,8 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def fused_optimizer_apply(optimizer, grads, opt_state, params,
-                          b1: float = 0.9, b2: float = 0.999,
-                          eps: float = 1e-8):
+                          b1: float = AMSGRAD_B1, b2: float = AMSGRAD_B2,
+                          eps: float = AMSGRAD_EPS):
     """One-pass AMSGrad update + apply: numerically identical (same float ops
     in the same order) to ``optimizer.update`` + ``optax.apply_updates``, but
     each parameter leaf's (m, v, vmax, param) are read and written in a
@@ -158,7 +166,10 @@ def fused_optimizer_apply(optimizer, grads, opt_state, params,
 
     Returns (new_params, new_opt_state) with the exact ``make_optimizer``
     state pytree (checkpoint-compatible; falls back to the generic path for
-    unrecognized optimizer states).
+    unrecognized optimizer states).  Callers that built the transformation
+    with non-default betas/eps must pass the same values here — the state
+    does not carry them (module constants keep the two default sets in
+    lockstep).
     """
     inner = getattr(opt_state, "inner_state", None)
     if not (inner and isinstance(inner[0], _TorchAmsgradState)):

@@ -48,15 +48,19 @@ def _pil_animation(path: str):
     other animation format PIL reads), which is also what our own renderer
     emits — so render-with-overlay round-trips without external tools.
 
-    Only genuine multi-frame animations qualify: a still image that PIL
-    happens to read (a PNG passed by mistake) must NOT silently become a
-    one-frame 50 fps "video" — returning None lets the caller raise the
-    ffmpeg/ffprobe-missing error instead."""
+    Only animation *containers* qualify: a still image that PIL happens to
+    read (a PNG passed by mistake) must NOT silently become a one-frame
+    50 fps "video" — returning None lets the caller raise the
+    ffmpeg/ffprobe-missing error instead.  A single-frame GIF still counts:
+    our own renderer legitimately emits one for 1-frame clips and the
+    round-trip must keep working without ffmpeg."""
     try:
         from PIL import Image
         im = Image.open(path)
-        if getattr(im, "n_frames", 1) <= 1 and not getattr(
-                im, "is_animated", False):
+        animation = (getattr(im, "n_frames", 1) > 1
+                     or getattr(im, "is_animated", False)
+                     or im.format == "GIF")
+        if not animation:
             im.close()
             return None
         im.seek(0)
