@@ -56,8 +56,9 @@ def test_streaming_state_is_bounded():
     cfg = _cfg((3, 3, 3))
     params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
     st = init_stream_state(cfg, params, state, np.zeros((2, 17, 2), np.float32))
-    # Ring buffers: raw (3 frames) + blocks ((k-1)*d+1 = 7, 19 frames).
-    caps = [buf.shape[1] for buf in st["bufs"]]
+    # Ring buffers: raw (3 frames) + blocks ((k-1)*d+1 = 7, 19 frames);
+    # time-major layout (cap, B, C).
+    caps = [buf.shape[0] for buf in st["bufs"]]
     assert caps == [3, 7, 19]
 
 

@@ -86,7 +86,7 @@ def test_streaming_int8_state_is_bounded():
     lifter = StreamingCausalLifter(cfg, engine="int8", quantized=q)
     lifter.reset(np.zeros((2, 17, 2), np.float32))
     bufs = lifter._stream_state["bufs"]
-    assert [b.shape[1] for b in bufs] == [3, 7, 19]
+    assert [b.shape[0] for b in bufs] == [3, 7, 19]  # time-major (cap, B, C)
     assert bufs[0].dtype == jnp.bfloat16          # raw input history
     assert all(b.dtype == jnp.int8 for b in bufs[1:])  # int8 streams
 

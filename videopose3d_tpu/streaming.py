@@ -56,25 +56,28 @@ def _buffer_capacities(config: TemporalModelConfig) -> List[int]:
 
 
 def _ring_push(buf, ptr, cap, value):
-    """Write the newest frame at slot ``ptr % cap`` (per-layer position)."""
+    """Write the newest frame at slot ``ptr % cap``.  Buffers are TIME-MAJOR
+    ((cap, B, C)): a dynamic offset on the major axis is a contiguous slab
+    DMA, where the same single-row op addressed (B, 1, C) on the
+    second-minor tiled axis measured ~2.3x slower for bf16 on v5e (and the
+    multi-row version of it ~260 us flat — see the micro-batched section)."""
     return jax.lax.dynamic_update_slice(
-        buf, value[:, None, :], (0, jnp.mod(ptr, cap), 0))
+        buf, value[None, :, :], (jnp.mod(ptr, cap), 0, 0))
 
 
 def _ring_taps(buf, ptr, cap, width, dilation):
     """Tap activations at lags ``(width-1-j)*dilation``, j=0..width-1, newest
-    last; returns (B, width*C).  One single-row ``dynamic_slice`` per tap — a
-    dynamic-index ``take`` along the ring axis lowers to a gather that
-    materializes the whole ring buffer (measured ~1 ms/frame at cap=163,
+    last; returns (B, width*C).  One single-frame major-axis ``dynamic_slice``
+    per tap — a dynamic-index ``take`` along the ring axis lowers to a gather
+    that materializes the whole ring buffer (measured ~1 ms/frame at cap=163,
     B=1024 on v5e)."""
-    b = buf.shape[0]
+    _, b, c = buf.shape
     rows = []
     for j in range(width):
         lag = (width - 1 - j) * dilation
         idx = jnp.mod(ptr - lag, cap)
-        rows.append(jax.lax.dynamic_slice(
-            buf, (0, idx, 0), (b, 1, buf.shape[2])))
-    return jnp.concatenate(rows, axis=1).reshape(b, -1)
+        rows.append(jax.lax.dynamic_slice(buf, (idx, 0, 0), (1, b, c)))
+    return jnp.concatenate(rows, axis=-1).reshape(b, -1)
 
 
 def _advance_ptrs(ptrs, caps):
@@ -98,8 +101,8 @@ def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
       first_frame: (B, J, F) first frame of each stream.
 
     Returns:
-      stream state pytree {"bufs": [(B, cap_i, C_i)], "ptr": per-layer
-      int32 ring positions (len(caps),)}.
+      stream state pytree {"bufs": time-major [(cap_i, B, C_i)], "ptr":
+      per-layer int32 ring positions (len(caps),)}.
     """
     if not config.causal:
         raise ValueError("streaming inference requires a causal model")
@@ -115,13 +118,13 @@ def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
 
     # Steady-state activations shared with the micro-batched engine's init
     # (one implementation of the warm-up algebra, see _steady_acts_bf16).
-    bufs = [jnp.broadcast_to(x[:, None, :], (b, caps[0], x.shape[-1]))
+    bufs = [jnp.broadcast_to(x[None, :, :], (caps[0], b, x.shape[-1]))
             .astype(compute_dtype)]
     for cap, act in zip(caps[1:],
                         _steady_acts_bf16(config, params, state, x)):
         bufs.append(jnp.broadcast_to(
-            act[:, None, :].astype(compute_dtype),
-            (b, cap, act.shape[-1])))
+            act[None, :, :].astype(compute_dtype),
+            (cap, b, act.shape[-1])))
 
     return {"bufs": bufs,
             "ptr": jnp.zeros(len(caps), jnp.int32)}
@@ -276,10 +279,10 @@ def init_stream_state_int8(config: TemporalModelConfig, q,
 
     # Steady-state int8 streams shared with the micro-batched engine's init
     # (one implementation of the warm-up algebra, see _steady_acts_int8).
-    bufs = [jnp.broadcast_to(x[:, None, :], (b, caps[0], x.shape[-1]))]
+    bufs = [jnp.broadcast_to(x[None, :, :], (caps[0], b, x.shape[-1]))]
     for cap, act_q in zip(caps[1:], _steady_acts_int8(config, q, x)):
         bufs.append(jnp.broadcast_to(
-            act_q[:, None, :], (b, cap, act_q.shape[-1])))
+            act_q[None, :, :], (cap, b, act_q.shape[-1])))
 
     return {"bufs": bufs,
             "ptr": jnp.zeros(len(caps), jnp.int32)}
