@@ -141,3 +141,20 @@ def test_evaluator_designated_calibration():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         ev._q, q_direct)
+
+
+@pytest.mark.parametrize("fw,causal", [((3, 3, 3), False), ((3, 3, 3), True),
+                                       ((3, 3, 3, 3), False)])
+def test_int8_tap_modes_bit_identical(fw, causal):
+    """The accshift tap form (aligned int8 operand slices + int32-side
+    shifts, _taps_i8) must be BIT-identical to the slice form through the
+    whole forward: integer adds commute and the f32 residual convert is
+    elementwise.  accshift_min_d=0 forces accshift on every block (incl. the
+    expand block's in-register taps); the huge value forces slice."""
+    cfg, params, state, calib, x = _setup(fw, 64, causal=causal)
+    q = quantize_temporal_model(cfg, params, state, calib)
+    base = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=32,
+                                accshift_min_d=10**9)
+    shifted = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=32,
+                                   accshift_min_d=0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(shifted))

@@ -14,6 +14,17 @@ flagship shape (B=4, T_out=16384, C=1024, t_tile=512):
 
 Outputs agree bit-exactly between base and psum (integer adds commute).
 
+CONCLUSIONS (v5e, 2026-08-17, interleaved warm-chip A/Bs): base and psum
+measure within noise at every dilation — base 1.75-2.00 ms/call, psum
+1.98-2.04 across d=9/27/81; aligned controls 1.74-1.82.  The true
+unaligned-slice tax is therefore only ~5-12% of the block (not the ~2.5x a
+cold-chip first run suggested: base d=9 read 4.10 ms while the chip was
+still slow and psum "won" only by running later).  psum's +32-row tap dots
+and int32-side shifts consume the recovered tax.  The production kernels
+keep the slice form by default; the psum form ships as the bit-identical
+``accshift`` tap mode (``forward_dilated_int8(accshift_min_d=...)``,
+``ACCSHIFT_MIN_DILATION`` in temporal_block_int8.py).
+
 Usage: python tools/exp_realign.py [--t-out 16384] [--iters 16]
 """
 

@@ -69,14 +69,18 @@ def _tile_geometry(t, t_out, t_tile, reach, align=16):
     return t_tile, n_tiles, t_padded_out, win, pad_amount
 
 
-def _rows_needed(t, t_out, t_tile, reach, geometry=_tile_geometry):
-    """Physical input rows a stage's window DMAs touch (its t_needed)."""
+def _rows_needed(t, t_out, t_tile, reach, geometry=_tile_geometry, slack=0):
+    """Physical input rows a stage's window DMAs touch (its t_needed).
+
+    ``slack`` widens every window by that many rows without changing tile
+    geometry — used by the int8 accshift tap mode, whose aligned-start tap
+    dots read up to 32 rows past the base window."""
     tt, n_tiles, _, win, _ = geometry(t, t_out, t_tile, reach)
-    return (n_tiles - 1) * tt + win
+    return (n_tiles - 1) * tt + win + slack
 
 
 def _alloc_rows(t_padded_out, t_tile_stage, t_out, t_tile, next_reach,
-                geometry=_tile_geometry):
+                geometry=_tile_geometry, next_slack=0):
     """Rows to allocate for a stage's output stream.
 
     Grown past the stage's own padded output so the NEXT stage's window DMAs
@@ -90,7 +94,7 @@ def _alloc_rows(t_padded_out, t_tile_stage, t_out, t_tile, next_reach,
     if next_reach is None:
         return t_padded_out
     need = _rows_needed(t_out, t_out - next_reach, t_tile, next_reach,
-                        geometry)
+                        geometry, slack=next_slack)
     # Multiple of the stage's tile so the out BlockSpec tiling stays regular.
     return max(t_padded_out, -(-need // t_tile_stage) * t_tile_stage)
 

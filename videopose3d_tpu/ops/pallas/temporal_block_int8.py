@@ -188,6 +188,68 @@ def _i8dot(a, b):
         preferred_element_type=jnp.int32)
 
 
+# Dilations at or above this default to the accshift tap form below.
+# Disabled by default: warm-chip interleaved A/Bs on v5e (tools/exp_realign.py,
+# flagship mid-block shape, B=4/T_out=16384/C=1024/t_tile=512) measure the two
+# forms within noise at every dilation — slice 1.75-2.00 ms/call vs accshift
+# 1.98-2.04 across d=9/27/81, with slice marginally ahead.  The aligned
+# controls (d=32/96: 1.74-1.82) put the true unaligned-slice tax at only
+# ~5-12%, which accshift's +32-row tap dots and int32-side shifts consume.
+# (An earlier cold-chip run that showed accshift winning 2.04 vs 2.41 at d=81
+# did not reproduce warm; cold-start pollution.)  Kept as a measured,
+# bit-identical experiment knob (forward_dilated_int8(accshift_min_d=...)).
+ACCSHIFT_MIN_DILATION = 10 ** 9
+
+# Extra VMEM-window rows the accshift form reads past the base window (one
+# int8 sublane tile: tap dots start at aligned offsets <= the tap offset and
+# cover t_tile + 32 rows).
+_ACCSHIFT_SLACK = 32
+
+
+def _stage_slack(tap_mode):
+    return _ACCSHIFT_SLACK if tap_mode == "accshift" else 0
+
+
+def _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode):
+    """Accumulate the dilated taps ``sum_j x[j*d : j*d + t_tile] @ wq_a[j]``.
+
+    ``slice`` — operand slices at the raw (sublane-unaligned for d % 32 != 0)
+    offsets; Mosaic realigns the packed int8 rows before each MXU issue.
+
+    ``accshift`` — every tap dot reads an ALIGNED slice ``x[(j*d)//32*32 :]``
+    of t_tile + 32 rows and the sub-32 shift moves to the int32 accumulator
+    side (``p[off : off + t_tile]``), where a 32-bit sublane rotate replaces
+    the packed-int8 realignment.  Integer adds commute, so the two forms are
+    bit-identical (asserted on real TPU and in tests/test_int8_serving.py).
+    Costs +32/t_tile extra MXU rows per shifted tap; measured a wash vs the
+    slice form at all production dilations (see ACCSHIFT_MIN_DILATION).
+    """
+    acc = _i8dot(x[0:t_tile], wq_a[0])
+    for j in range(1, n_taps):
+        start = j * dilation
+        if tap_mode == "slice" or start % 32 == 0:
+            acc += _i8dot(x[start:start + t_tile], wq_a[j])
+        else:
+            astart = start // 32 * 32
+            off = start - astart
+            p = _i8dot(x[astart:astart + t_tile + 32], wq_a[j])
+            acc += p[off:off + t_tile]
+    return acc
+
+
+def _residual_rows(x, res_offset, t_tile, tap_mode):
+    """The residual tap ``x[res_offset : res_offset + t_tile]`` as f32 rows,
+    realigned on the f32 side in accshift mode (same trick as _taps_i8 —
+    the f32 convert is elementwise, so converting a superset of rows first
+    and slicing after is value-identical)."""
+    if tap_mode == "slice" or res_offset % 32 == 0:
+        return x[res_offset:res_offset + t_tile].astype(jnp.float32)
+    rstart = res_offset // 32 * 32
+    roff = res_offset - rstart
+    wide = x[rstart:rstart + t_tile + 32].astype(jnp.float32)
+    return wide[roff:roff + t_tile]
+
+
 def _quantize_relu(acc_i32, scale_row, shift_row):
     """relu + affine from an int32 accumulator, then *per-row dynamic*
     requantization into 0..127 int8.
@@ -205,7 +267,7 @@ def _quantize_relu(acc_i32, scale_row, shift_row):
 
 def _mid_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, out,
                          x_vmem, sems, *, t_tile, dilation, res_offset,
-                         n_taps, win):
+                         n_taps, win, tap_mode):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -236,22 +298,20 @@ def _mid_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, out,
     window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
-    acc = _i8dot(x[0:t_tile], wq_a[0])
-    for j in range(1, n_taps):
-        acc += _i8dot(x[j * dilation: j * dilation + t_tile], wq_a[j])
+    acc = _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode)
     hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
 
     acc2 = _i8dot(hq, wq_b[:, :])
     y = jnp.maximum(
         acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
         + b2[0, :], 0.0)
-    res = x[res_offset: res_offset + t_tile].astype(jnp.float32) * r[0, :]
+    res = _residual_rows(x, res_offset, t_tile, tap_mode) * r[0, :]
     out[0] = jnp.clip(jnp.round(res + y), 0.0, QMAX).astype(jnp.int8)
 
 
 def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
                             r, out, raw_vmem, sems, *, t_tile, dilation,
-                            res_offset, n_taps, win):
+                            res_offset, n_taps, win, tap_mode):
     # The raw input arrives PRE-TAPPED by the host driver (one row already
     # holds all k0 taps), so the expand conv is exactly one bf16 matmul here.
     b = pl.program_id(0)
@@ -288,22 +348,20 @@ def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
     eq = jnp.clip(jnp.round(jnp.maximum(
         eacc * s0[0, :] + b0[0, :], 0.0)), 0.0, QMAX).astype(jnp.int8)
 
-    acc = _i8dot(eq[0:t_tile], wq_a[0])
-    for j in range(1, n_taps):
-        acc += _i8dot(eq[j * dilation: j * dilation + t_tile], wq_a[j])
+    acc = _taps_i8(eq, wq_a, n_taps, dilation, t_tile, tap_mode)
     hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
 
     acc2 = _i8dot(hq, wq_b[:, :])
     y = jnp.maximum(
         acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
         + b2[0, :], 0.0)
-    res = eq[res_offset: res_offset + t_tile].astype(jnp.float32) * r[0, :]
+    res = _residual_rows(eq, res_offset, t_tile, tap_mode) * r[0, :]
     out[0] = jnp.clip(jnp.round(res + y), 0.0, QMAX).astype(jnp.int8)
 
 
 def _shrink_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, ws, bs, out,
                             x_vmem, sems, *, t_tile, dilation, res_offset,
-                            n_taps, win):
+                            n_taps, win, tap_mode):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -334,16 +392,14 @@ def _shrink_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, ws, bs, out,
     window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
-    acc = _i8dot(x[0:t_tile], wq_a[0])
-    for j in range(1, n_taps):
-        acc += _i8dot(x[j * dilation: j * dilation + t_tile], wq_a[j])
+    acc = _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode)
     hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
 
     acc2 = _i8dot(hq, wq_b[:, :])
     y = jnp.maximum(
         acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
         + b2[0, :], 0.0)
-    res = x[res_offset: res_offset + t_tile].astype(jnp.float32) * r[0, :]
+    res = _residual_rows(x, res_offset, t_tile, tap_mode) * r[0, :]
     block_out = (res + y).astype(jnp.bfloat16)
 
     proj = jnp.dot(block_out, ws[:, :], preferred_element_type=jnp.float32)
@@ -374,7 +430,8 @@ _alloc_rows = functools.partial(_alloc_rows_base, geometry=_tile_geometry)
 
 
 def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
-                  interpret, next_reach=None):
+                  interpret, next_reach=None, tap_mode="slice",
+                  next_slack=0):
     """One mid int8 block over ``xq[:, :valid]`` (rows past ``valid`` are the
     producer's scratch tail).  Returns (stream, valid_out)."""
     n_taps = blk["wq_a"].shape[0]
@@ -385,14 +442,16 @@ def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
     t_out = t - (n_taps - 1) * dilation
     t_tile, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation)
+    win += _stage_slack(tap_mode)
     t_needed = (n_tiles - 1) * t_tile + win
     if t_phys < t_needed:
         xq = jnp.pad(xq, ((0, 0), (0, t_needed - t_phys), (0, 0)))
-    alloc = _alloc_rows(t_padded_out, t_tile, t_out, t_tile_param, next_reach)
+    alloc = _alloc_rows(t_padded_out, t_tile, t_out, t_tile_param, next_reach,
+                        next_slack=next_slack)
 
     kernel = functools.partial(
         _mid_block_i8_kernel, t_tile=t_tile, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps, win=win)
+        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=tap_mode)
     vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -426,14 +485,19 @@ def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("t_tile", "interpret"))
+                   static_argnames=("t_tile", "interpret", "accshift_min_d"))
 def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
-                         t_tile: int = 512, interpret: bool = False):
+                         t_tile: int = 512, interpret: bool = False,
+                         accshift_min_d: int = ACCSHIFT_MIN_DILATION):
     """w8a8 int8 inference over the full dilated model.
 
     Args:
       q: pytree from :func:`quantize_temporal_model`.
       x: (B, T, J_in, F) keypoints, T >= receptive_field.
+      accshift_min_d: blocks whose dilation is >= this use the accshift tap
+        form (see :func:`_taps_i8`); bit-identical either way, chosen per
+        dilation for speed.  0 forces accshift everywhere, a huge value
+        forces the slice form.
 
     Returns:
       (B, T - receptive_field + 1, J_out, 3) f32 poses.
@@ -470,22 +534,30 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
         x = jnp.pad(x, ((0, 0), (0, 0), (0, c_in_pad - c_in)))
         w0 = jnp.pad(w0, ((0, 0), (0, c_in_pad - c_in), (0, 0)))
 
+    def _mode(d):
+        return "accshift" if d >= accshift_min_d else "slice"
+
     res_offset = (n_taps - 1) * dilation // 2 + config.causal_shifts_dilated[1]
     t_out = t_expand - (n_taps - 1) * dilation
     t_tile0, n_tiles, t_padded_out, win, pad_amount = _tile_geometry(
         t_expand, t_out, t_tile, (n_taps - 1) * dilation)
+    mode0 = _mode(dilation)
+    win += _stage_slack(mode0)
+    t_needed = (n_tiles - 1) * t_tile0 + win
+    pad_amount = max(t_padded_out - t_out, t_needed - t_expand, pad_amount)
     if pad_amount > 0:
         x = jnp.pad(x, ((0, 0), (0, pad_amount), (0, 0)))
 
     blk = q["blocks"][0]
     kernel = functools.partial(
         _expand_block_i8_kernel, t_tile=t_tile0, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps, win=win)
+        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=mode0)
     vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
     reach_next = ((int(q["blocks"][1]["wq_a"].shape[0]) - 1)
                   * config.dilations[2])
-    alloc = _alloc_rows(t_padded_out, t_tile0, t_out, t_tile, reach_next)
+    alloc = _alloc_rows(t_padded_out, t_tile0, t_out, t_tile, reach_next,
+                        next_slack=_stage_slack(_mode(config.dilations[2])))
     stream = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, alloc, c), jnp.int8),
@@ -524,7 +596,9 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
         stream, valid = _mid_block_i8(
             stream, valid, q["blocks"][i], dilation=config.dilations[i + 1],
             causal_shift=config.causal_shifts_dilated[i + 1],
-            t_tile=t_tile, interpret=interpret, next_reach=reach_next)
+            t_tile=t_tile, interpret=interpret, next_reach=reach_next,
+            tap_mode=_mode(config.dilations[i + 1]),
+            next_slack=_stage_slack(_mode(config.dilations[nxt + 1])))
 
     # --- last block + shrink ----------------------------------------------
     i = n_blocks - 1
@@ -539,13 +613,15 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
     t_out = t - (n_taps - 1) * dilation
     t_tile_l, n_tiles, t_padded_out, win, _ = _tile_geometry(
         t, t_out, t_tile, (n_taps - 1) * dilation)
+    mode_l = _mode(dilation)
+    win += _stage_slack(mode_l)
     t_needed = (n_tiles - 1) * t_tile_l + win
     if t_phys < t_needed:
         stream = jnp.pad(stream, ((0, 0), (0, t_needed - t_phys), (0, 0)))
 
     kernel = functools.partial(
         _shrink_block_i8_kernel, t_tile=t_tile_l, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps, win=win)
+        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=mode_l)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bq, t_padded_out, j3), jnp.float32),
