@@ -65,19 +65,25 @@ def _ring_push(buf, ptr, cap, value):
         buf, value[None, :, :], (jnp.mod(ptr, cap), 0, 0))
 
 
-def _ring_taps(buf, ptr, cap, width, dilation):
-    """Tap activations at lags ``(width-1-j)*dilation``, j=0..width-1, newest
-    last; returns (B, width*C).  One single-frame major-axis ``dynamic_slice``
-    per tap — a dynamic-index ``take`` along the ring axis lowers to a gather
-    that materializes the whole ring buffer (measured ~1 ms/frame at cap=163,
-    B=1024 on v5e)."""
+def _ring_tap_rows(buf, ptr, cap, width, dilation):
+    """The OLDER taps (lags ``(width-1-j)*dilation``, j=0..width-2) as a list
+    of (B, C) rows, oldest first.  One single-frame major-axis
+    ``dynamic_slice`` per tap — a dynamic-index ``take`` along the ring axis
+    lowers to a gather that materializes the whole ring buffer (measured
+    ~1 ms/frame at cap=163, B=1024 on v5e).  The lag-0 tap is the frame the
+    caller just pushed, so it never needs a ring read — the per-frame steps
+    pass the in-register activation instead and contract each tap against
+    its own weight slice (``sum_j row_j @ w[j]``), skipping both one
+    dynamic_slice and the (B, width*C) concat copy of the fused-operand
+    form."""
     _, b, c = buf.shape
     rows = []
-    for j in range(width):
+    for j in range(width - 1):
         lag = (width - 1 - j) * dilation
         idx = jnp.mod(ptr - lag, cap)
-        rows.append(jax.lax.dynamic_slice(buf, (idx, 0, 0), (1, b, c)))
-    return jnp.concatenate(rows, axis=-1).reshape(b, -1)
+        rows.append(jax.lax.dynamic_slice(buf, (idx, 0, 0),
+                                          (1, b, c)).reshape(b, c))
+    return rows
 
 
 def _advance_ptrs(ptrs, caps):
@@ -151,11 +157,13 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     b = x.shape[0]
     x = x.reshape(b, -1).astype(compute_dtype)
 
-    # Raw input layer.
+    # Raw input layer (tiny C_in: the concat form is fine here, and the
+    # newest tap is ``x`` itself).
     bufs[0] = _ring_push(bufs[0], ptr[0], caps[0], x)
     w0 = params["expand_conv"]["weight"]
     k0 = w0.shape[0]
-    t0 = _ring_taps(bufs[0], ptr[0], caps[0], k0, 1)
+    t0 = jnp.concatenate(
+        _ring_tap_rows(bufs[0], ptr[0], caps[0], k0, 1) + [x], axis=-1)
     act = jnp.dot(t0, w0.reshape(k0 * w0.shape[1], -1).astype(compute_dtype),
                   preferred_element_type=jnp.float32)
     s, t_ = _bn_affine(params["expand_bn"], state["expand_bn"])
@@ -165,13 +173,17 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
         cap = caps[i + 1]
         k = config.filter_widths[i + 1]
         d = config.dilations[i + 1]
-        bufs[i + 1] = _ring_push(bufs[i + 1], ptr[i + 1], cap,
-                                 act.astype(compute_dtype))
+        act_c = act.astype(compute_dtype)
+        bufs[i + 1] = _ring_push(bufs[i + 1], ptr[i + 1], cap, act_c)
 
-        w1 = params["layers_conv"][2 * i]["weight"]
-        tp = _ring_taps(bufs[i + 1], ptr[i + 1], cap, k, d)
-        h = jnp.dot(tp, w1.reshape(k * w1.shape[1], -1).astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
+        # Per-tap dots (newest tap = the activation just pushed, read from
+        # registers): same accumulation order as the offline fused kernel's
+        # tap loop, no (B, k*C) concat operand.
+        w1 = params["layers_conv"][2 * i]["weight"].astype(compute_dtype)
+        rows = _ring_tap_rows(bufs[i + 1], ptr[i + 1], cap, k, d) + [act_c]
+        h = jnp.dot(rows[0], w1[0], preferred_element_type=jnp.float32)
+        for j in range(1, k):
+            h += jnp.dot(rows[j], w1[j], preferred_element_type=jnp.float32)
         s1, t1 = _bn_affine(params["layers_bn"][2 * i],
                             state["layers_bn"][2 * i])
         h = jax.nn.relu(h * s1 + t1).astype(compute_dtype)
@@ -225,17 +237,23 @@ def _expand_step_i8(q, raw_taps):
     return jnp.clip(jnp.round(real), 0.0, _QMAX).astype(jnp.int8)
 
 
-def _block_step_i8(blk, taps_q, newest_q, *, last):
-    """One residual block on one frame: int8 taps -> (output, is_int8).
+def _block_step_i8(blk, tap_rows, newest_q, *, last):
+    """One residual block on one frame: int8 tap rows -> (output, is_int8).
 
     Same unit algebra as ``_mid_block_i8_kernel`` / ``_shrink_block_i8_kernel``:
     ``A1/B1`` land the mid activation in "127 = calibrated max" units, the
     dynamic row scale stretches each stream's row to full int8 range and
     factors out of the second contraction, and ``R`` rescales the residual
     stream into the block-output units (real units for the last block).
+
+    ``tap_rows`` are the (B, C) int8 taps oldest-first, newest (== the
+    caller's just-pushed activation) last; contracting each against its own
+    ``wq_a[j]`` is bit-identical to the fused (B, k*C) operand form (int32
+    adds commute) without materializing the concat.
     """
-    k_c = blk["wq_a"].shape[0] * blk["wq_a"].shape[1]
-    acc = _i8dot(taps_q, blk["wq_a"].reshape(k_c, -1))
+    acc = _i8dot(tap_rows[0], blk["wq_a"][0])
+    for j in range(1, len(tap_rows)):
+        acc += _i8dot(tap_rows[j], blk["wq_a"][j])
     hq, rowmax = _quantize_relu(acc, blk["A1"], blk["B1"])
     acc2 = _i8dot(hq, blk["wq_b"])
     y = jnp.maximum(
@@ -310,7 +328,9 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
 
     bufs[0] = _ring_push(bufs[0], ptr[0], caps[0], x)
     k0 = config.filter_widths[0]
-    act_q = _expand_step_i8(q, _ring_taps(bufs[0], ptr[0], caps[0], k0, 1))
+    raw_taps = jnp.concatenate(
+        _ring_tap_rows(bufs[0], ptr[0], caps[0], k0, 1) + [x], axis=-1)
+    act_q = _expand_step_i8(q, raw_taps)
 
     n_blocks = len(config.filter_widths) - 1
     out = None
@@ -321,7 +341,8 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
         bufs[i + 1] = _ring_push(bufs[i + 1], ptr[i + 1], cap, act_q)
         last = i == n_blocks - 1
         result = _block_step_i8(
-            q["blocks"][i], _ring_taps(bufs[i + 1], ptr[i + 1], cap, k, d),
+            q["blocks"][i],
+            _ring_tap_rows(bufs[i + 1], ptr[i + 1], cap, k, d) + [act_q],
             act_q, last=last)
         if last:
             out = result
@@ -394,17 +415,21 @@ def _ring_push_block(buf, ptr, cap, block):
     return jax.lax.dynamic_update_slice(buf, block, (ptr + cap, 0, 0))
 
 
-def _ring_taps_block(buf, ptr, cap, width, dilation, k):
-    """(k, B, width*C) taps for the k frames at ring positions ptr..ptr+k-1,
-    oldest lag first (same column order as :func:`_ring_taps`).  Each lag is
-    one contiguous major-axis slab of the doubled buffer."""
+def _ring_tap_rows_block(buf, ptr, cap, width, dilation, k):
+    """The OLDER tap slabs (lags ``(width-1-j)*dilation``, j=0..width-2) as
+    frame-major (k*B, C) rows, oldest first.  The lag-0 slab is exactly the
+    k-frame block the caller just pushed, so it reads from registers instead
+    of the ring — see :func:`_ring_tap_rows` for the per-frame analogue and
+    the per-tap-contraction rationale.  Lags below ``k`` overlap the pushed
+    block; those windows still read the ring, which was updated first."""
     _, b, c = buf.shape
-    cols = []
-    for j in range(width):
+    rows = []
+    for j in range(width - 1):
         lag = (width - 1 - j) * dilation
         start = jnp.mod(ptr - lag, cap)
-        cols.append(jax.lax.dynamic_slice(buf, (start, 0, 0), (k, b, c)))
-    return jnp.concatenate(cols, axis=-1)
+        rows.append(jax.lax.dynamic_slice(
+            buf, (start, 0, 0), (k, b, c)).reshape(k * b, c))
+    return rows
 
 
 def _steady_acts_bf16(config, params, state, x):
@@ -444,7 +469,7 @@ def _steady_acts_int8(config, q, x):
     acts = [act_q]
     for i in range(len(config.filter_widths) - 2):
         kw = config.filter_widths[i + 1]
-        act_q = _block_step_i8(q["blocks"][i], jnp.tile(act_q, (1, kw)),
+        act_q = _block_step_i8(q["blocks"][i], [act_q] * kw,
                                act_q, last=False)
         acts.append(act_q)
     return acts
@@ -506,9 +531,10 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
     bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
     w0 = params["expand_conv"]["weight"]
     k0 = w0.shape[0]
-    t0 = _ring_taps_block(bufs[0], ptr[0], caps[0], k0, 1, k)
-    act = jnp.dot(t0.reshape(b * k, -1),
-                  w0.reshape(k0 * w0.shape[1], -1).astype(compute_dtype),
+    t0 = jnp.concatenate(
+        _ring_tap_rows_block(bufs[0], ptr[0], caps[0], k0, 1, k)
+        + [x.reshape(k * b, -1)], axis=-1)
+    act = jnp.dot(t0, w0.reshape(k0 * w0.shape[1], -1).astype(compute_dtype),
                   preferred_element_type=jnp.float32)
     s, t_ = _bn_affine(params["expand_bn"], state["expand_bn"])
     act = jax.nn.relu(act * s + t_)
@@ -517,14 +543,15 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
         cap = caps[i + 1]
         kw = config.filter_widths[i + 1]
         d = config.dilations[i + 1]
+        act_c = act.astype(compute_dtype)
         bufs[i + 1] = _ring_push_block(
-            bufs[i + 1], ptr[i + 1], cap,
-            act.reshape(k, b, -1).astype(compute_dtype))
-        w1 = params["layers_conv"][2 * i]["weight"]
-        tp = _ring_taps_block(bufs[i + 1], ptr[i + 1], cap, kw, d, k)
-        h = jnp.dot(tp.reshape(b * k, -1),
-                    w1.reshape(kw * w1.shape[1], -1).astype(compute_dtype),
-                    preferred_element_type=jnp.float32)
+            bufs[i + 1], ptr[i + 1], cap, act_c.reshape(k, b, -1))
+        w1 = params["layers_conv"][2 * i]["weight"].astype(compute_dtype)
+        rows = _ring_tap_rows_block(
+            bufs[i + 1], ptr[i + 1], cap, kw, d, k) + [act_c]
+        h = jnp.dot(rows[0], w1[0], preferred_element_type=jnp.float32)
+        for j in range(1, kw):
+            h += jnp.dot(rows[j], w1[j], preferred_element_type=jnp.float32)
         s1, t1 = _bn_affine(params["layers_bn"][2 * i],
                             state["layers_bn"][2 * i])
         h = jax.nn.relu(h * s1 + t1).astype(compute_dtype)
@@ -588,8 +615,11 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
 
     bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
     k0 = config.filter_widths[0]
-    taps0 = _ring_taps_block(bufs[0], ptr[0], caps[0], k0, 1, k)
-    act_q = _expand_step_i8(q, taps0.reshape(b * k, -1))
+    x_rows = x.reshape(k * b, -1)
+    taps0 = jnp.concatenate(
+        _ring_tap_rows_block(bufs[0], ptr[0], caps[0], k0, 1, k) + [x_rows],
+        axis=-1)
+    act_q = _expand_step_i8(q, taps0)
 
     n_blocks = len(config.filter_widths) - 1
     out = None
@@ -599,10 +629,10 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
         d = config.dilations[i + 1]
         bufs[i + 1] = _ring_push_block(bufs[i + 1], ptr[i + 1], cap,
                                        act_q.reshape(k, b, -1))
-        taps = _ring_taps_block(bufs[i + 1], ptr[i + 1], cap, kw, d, k)
+        rows = _ring_tap_rows_block(
+            bufs[i + 1], ptr[i + 1], cap, kw, d, k) + [act_q]
         last = i == n_blocks - 1
-        result = _block_step_i8(q["blocks"][i], taps.reshape(b * k, -1),
-                                act_q, last=last)
+        result = _block_step_i8(q["blocks"][i], rows, act_q, last=last)
         if last:
             out = result
         else:
