@@ -111,6 +111,22 @@ def test_streaming_cli_int8_engine(wild_setup, tmp_path):
         assert err < 0.1 * scale, (video, err, scale)
 
 
+def test_streaming_cli_int8_fused_engine(wild_setup, tmp_path):
+    """The single-kernel fused int8 engine through the CLI is bit-identical
+    to the per-layer int8 engine (same quantized pytree, same step math —
+    see tests/test_streaming_fused.py for the kernel-level parity)."""
+    data_dir, ckpt, *_ = wild_setup
+    out_int8 = str(tmp_path / "s_int8.npz")
+    out_fused = str(tmp_path / "s_fused.npz")
+    base = ["-k", "myvideos", "--data-dir", data_dir, "--checkpoint", ckpt,
+            "-arc", "3,3,3", "-ch", "16"]
+    streaming.main(base + ["--engine", "int8", "--output", out_int8])
+    streaming.main(base + ["--engine", "int8_fused", "--output", out_fused])
+    a, b = np.load(out_int8), np.load(out_fused)
+    for video in a.files:
+        np.testing.assert_array_equal(a[video], b[video])
+
+
 def test_streaming_cli_video_subset(wild_setup, tmp_path):
     data_dir, ckpt, *_ = wild_setup
     out = str(tmp_path / "one.npz")

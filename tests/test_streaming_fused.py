@@ -1,0 +1,97 @@
+"""Bit-parity of the single-kernel fused int8 streaming step.
+
+``stream_step_int8_fused`` must produce bit-identical poses AND bit-identical
+ring-buffer state to the per-layer XLA engine ``stream_step_int8`` at every
+frame, including after the ring pointers wrap.  Runs in Pallas interpret mode
+on CPU (the kernel self-selects interpret off-TPU).
+
+Parity anchor: the reference's causal mode (/root/reference/common/model.py:95)
+has no streaming engine; both engines here implement the same TPU-native
+serving step, so they must agree exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videopose3d_tpu.models.temporal import (
+    TemporalModelConfig, init_temporal_model, receptive_field)
+from videopose3d_tpu import streaming
+from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+    quantize_temporal_model)
+
+
+def _setup(filter_widths, channels, b, seed=0):
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=filter_widths, causal=True, dropout=0.0,
+        channels=channels, compute_dtype="bfloat16")
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    calib = jnp.asarray(
+        rng.standard_normal((1, receptive_field(cfg) + 64, 17, 2)),
+        jnp.float32)
+    q = quantize_temporal_model(cfg, params, state, calib)
+    first = jnp.asarray(rng.standard_normal((b, 17, 2)), jnp.float32)
+    return cfg, q, first, rng
+
+
+@pytest.mark.parametrize("filter_widths,channels,b", [
+    ((3, 3, 3), 64, 4),
+    ((3, 3, 3, 3), 32, 2),
+    ((3, 5, 5), 32, 2),
+])
+def test_fused_step_bit_parity(filter_widths, channels, b):
+    cfg, q, first, rng = _setup(filter_widths, channels, b)
+    ss_ref = streaming.init_stream_state_int8(cfg, q, first)
+    ss_fused = jax.tree_util.tree_map(jnp.copy, ss_ref)
+
+    # Enough frames for every ring to wrap at least once.
+    caps = streaming._buffer_capacities(cfg)
+    n_frames = max(caps) + 3
+    for t in range(n_frames):
+        frame = jnp.asarray(rng.standard_normal((b, 17, 2)), jnp.float32)
+        p_ref, ss_ref = streaming.stream_step_int8(cfg, q, ss_ref, frame)
+        p_fused, ss_fused = streaming.stream_step_int8_fused(
+            cfg, q, ss_fused, frame)
+        np.testing.assert_array_equal(
+            np.asarray(p_ref), np.asarray(p_fused),
+            err_msg=f"pose mismatch at frame {t}")
+        for i, (br, bf) in enumerate(zip(ss_ref["bufs"], ss_fused["bufs"])):
+            np.testing.assert_array_equal(
+                np.asarray(br), np.asarray(bf),
+                err_msg=f"ring {i} mismatch at frame {t}")
+        np.testing.assert_array_equal(
+            np.asarray(ss_ref["ptr"]), np.asarray(ss_fused["ptr"]))
+
+
+def test_fused_matches_offline_causal():
+    """Fused engine vs the offline int8 causal kernels on an edge-padded
+    sequence (same check as test_streaming_int8.py for the XLA engine)."""
+    from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+        forward_dilated_int8)
+    cfg, q, first, rng = _setup((3, 3, 3), 64, 3, seed=1)
+    rf = receptive_field(cfg)
+    pad = (rf - 1) // 2
+    n, b = 24, 3
+    frames = rng.standard_normal((n, b, 17, 2)).astype(np.float32)
+
+    seq = np.transpose(frames, (1, 0, 2, 3))              # (B, N, J, 2)
+    padded = np.concatenate(
+        [np.repeat(seq[:, :1], 2 * pad, axis=1), seq], axis=1)
+    want = np.asarray(forward_dilated_int8(cfg, q, jnp.asarray(padded),
+                                           interpret=True, t_tile=32))
+
+    ss = streaming.init_stream_state_int8(cfg, q, jnp.asarray(frames[0]))
+    got = []
+    for t in range(n):
+        p, ss = streaming.stream_step_int8_fused(
+            cfg, q, ss, jnp.asarray(frames[t]))
+        got.append(np.asarray(p))
+    got = np.stack(got, axis=1)                           # (B, N, J, 3)
+
+    assert got.shape == want.shape
+    scale = np.sqrt((want ** 2).mean())
+    err = np.abs(got - want).max()
+    assert err < 0.01 * scale, (err, scale)

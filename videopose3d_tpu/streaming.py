@@ -358,6 +358,52 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
     return poses, new_state
 
 
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+def stream_step_int8_fused(config: TemporalModelConfig, q, stream_state,
+                           frame):
+    """Advance all streams one frame with the single-kernel int8 pipeline.
+
+    Same state pytree and same bit-exact outputs as :func:`stream_step_int8`
+    (regression-tested); every residual block, ring update, and the shrink
+    projection run inside ONE ``pallas_call``
+    (``ops/pallas/streaming_fused.py``), eliminating the per-layer fusion
+    boundaries and dynamic-update-slice pushes of the XLA engine.
+    """
+    from videopose3d_tpu.ops.pallas.streaming_fused import fused_blocks_step
+
+    caps = _buffer_capacities(config)
+    bufs = list(stream_state["bufs"])
+    ptr = stream_state["ptr"]
+
+    x = jnp.asarray(frame)
+    b = x.shape[0]
+    x = x.reshape(b, -1).astype(jnp.bfloat16)
+
+    # Raw ring + expand stay in XLA (tiny matmul, odd lane counts).
+    bufs[0] = _ring_push(bufs[0], ptr[0], caps[0], x)
+    k0 = config.filter_widths[0]
+    raw_taps = jnp.concatenate(
+        _ring_tap_rows(bufs[0], ptr[0], caps[0], k0, 1) + [x], axis=-1)
+    eq = _expand_step_i8(q, raw_taps)
+
+    widths = tuple(config.filter_widths[1:])
+    idx = []
+    for i, kw in enumerate(widths):
+        cap = caps[i + 1]
+        d = config.dilations[i + 1]
+        idx.append(jnp.mod(ptr[i + 1], cap))
+        idx += [jnp.mod(ptr[i + 1] - (kw - 1 - j) * d, cap)
+                for j in range(kw - 1)]
+    idx = jnp.stack(idx).astype(jnp.int32)
+
+    poses_flat, new_rings = fused_blocks_step(q, bufs[1:], eq, idx,
+                                              widths=widths)
+    poses = poses_flat.reshape(b, config.num_joints_out, 3)
+    new_state = {"bufs": [bufs[0]] + new_rings,
+                 "ptr": _advance_ptrs(ptr, caps)}
+    return poses, new_state
+
+
 # ---------------------------------------------------------------------------
 # Micro-batched streaming: k frames per step
 # ---------------------------------------------------------------------------
@@ -673,14 +719,16 @@ class StreamingCausalLifter:
     def __init__(self, config: TemporalModelConfig, params: Params = None,
                  state: State = None, *, engine: str = "bf16", quantized=None,
                  mesh=None, frames_per_step: int = 1):
-        if engine not in ("bf16", "int8"):
+        if engine not in ("bf16", "int8", "int8_fused"):
             raise ValueError(f"unknown streaming engine {engine!r}")
-        if engine == "int8" and quantized is None:
-            raise ValueError("engine='int8' requires the quantized pytree")
+        if engine in ("int8", "int8_fused") and quantized is None:
+            raise ValueError(f"engine={engine!r} requires the quantized pytree")
         if engine == "bf16" and (params is None or state is None):
             raise ValueError("engine='bf16' requires params and state")
         if frames_per_step < 1:
             raise ValueError("frames_per_step must be >= 1")
+        if engine == "int8_fused" and frames_per_step != 1:
+            raise ValueError("engine='int8_fused' is per-frame (k == 1)")
         self.config = config
         self.params = params
         self.state = state
@@ -711,7 +759,7 @@ class StreamingCausalLifter:
     def reset(self, first_frames) -> None:
         first_frames = self._shard_frames(first_frames)
         k = self.frames_per_step
-        if self.engine == "int8":
+        if self.engine in ("int8", "int8_fused"):
             if k > 1:
                 self._stream_state = init_stream_state_int8_multi(
                     self.config, self.quantized, first_frames, k)
@@ -731,7 +779,10 @@ class StreamingCausalLifter:
         assert self._stream_state is not None, "call reset() first"
         frame = self._shard_frames(frame)
         k = self.frames_per_step
-        if self.engine == "int8":
+        if self.engine == "int8_fused":
+            out, self._stream_state = stream_step_int8_fused(
+                self.config, self.quantized, self._stream_state, frame)
+        elif self.engine == "int8":
             if k > 1:
                 out, self._stream_state = stream_step_int8_multi(
                     self.config, self.quantized, self._stream_state, frame)
@@ -831,7 +882,8 @@ def main(argv=None):
                     help="path to a causal-model checkpoint (.bin or orbax)")
     ap.add_argument("-arc", "--architecture", default="3,3,3,3,3")
     ap.add_argument("-ch", "--channels", type=int, default=1024)
-    ap.add_argument("--engine", choices=("bf16", "int8"), default="bf16")
+    ap.add_argument("--engine", choices=("bf16", "int8", "int8_fused"),
+                    default="bf16")
     ap.add_argument("--compute-dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="bf16-engine compute dtype (int8 ignores this)")
@@ -866,7 +918,7 @@ def main(argv=None):
     print(f"INFO: streaming {len(videos)} video(s), receptive field {rf} "
           f"frames, engine {args.engine}")
 
-    if args.engine == "int8":
+    if args.engine in ("int8", "int8_fused"):
         from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
             quantize_temporal_model)
         # Calibrate across every clip (trained ReLU channels can be silent on
@@ -878,7 +930,8 @@ def main(argv=None):
                 [calib, np.repeat(calib[:, -1:], pad_n, axis=1)], axis=1)
         q = quantize_temporal_model(config, params, state,
                                     jnp.asarray(calib))
-        lifter = StreamingCausalLifter(config, engine="int8", quantized=q,
+        lifter = StreamingCausalLifter(config, engine=args.engine,
+                                       quantized=q,
                                        frames_per_step=args.frames_per_step)
     else:
         lifter = StreamingCausalLifter(config, params, state,
