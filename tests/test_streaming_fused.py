@@ -41,6 +41,8 @@ def _setup(filter_widths, channels, b, seed=0):
     ((3, 3, 3), 64, 4),
     ((3, 3, 3, 3), 32, 2),
     ((3, 5, 5), 32, 2),
+    # b=64 activates the chunk-interleaved (halves=2) kernel form.
+    ((3, 3, 3), 32, 64),
 ])
 def test_fused_step_bit_parity(filter_widths, channels, b):
     cfg, q, first, rng = _setup(filter_widths, channels, b)

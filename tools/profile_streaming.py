@@ -30,7 +30,8 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=1024)
-    ap.add_argument("--engine", choices=("bf16", "int8"), default="int8")
+    ap.add_argument("--engine", choices=("bf16", "int8", "int8_fused"),
+                    default="int8")
     ap.add_argument("--frames-per-step", type=int, default=1)
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--top", type=int, default=25)
@@ -54,11 +55,16 @@ def main():
     frame = (first if k == 1 else jnp.asarray(
         rng.standard_normal((b, k, 17, 2)), jnp.float32))
 
-    if args.engine == "int8":
+    if args.engine in ("int8", "int8_fused"):
         calib = jnp.asarray(rng.standard_normal((1, rf + 200, 17, 2)),
                             jnp.float32)
         q = quantize_temporal_model(cfg, params, state, calib)
-        if k == 1:
+        if args.engine == "int8_fused":
+            assert k == 1, "int8_fused is a per-frame engine"
+            step = lambda ss, f: streaming.stream_step_int8_fused(cfg, q,
+                                                                  ss, f)
+            init = lambda: streaming.init_stream_state_int8(cfg, q, first)
+        elif k == 1:
             step = lambda ss, f: streaming.stream_step_int8(cfg, q, ss, f)
             init = lambda: streaming.init_stream_state_int8(cfg, q, first)
         else:

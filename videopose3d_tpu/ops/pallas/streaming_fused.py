@@ -21,6 +21,15 @@ Math is copied operation-for-operation from ``streaming._block_step_i8``
 (same int32 accumulation order, same f32 epilogue order), so outputs are
 bit-identical to the XLA engine — asserted in tests/test_streaming_fused.py.
 
+Measured (v5e, B=1024, C=1024, RF 243, same-session A/B vs the XLA engine at
+0.136-0.139 ms/frame): single-chain kernel 0.143 (the strict MXU->VPU->MXU
+dependency chain idles the MXU through every requantize epilogue), two-chunk
+interleaved form 0.1334 (halves=2; halves=4 regresses to 0.141 — the
+512-row dots are the sweet spot between overlap granularity and MXU
+efficiency).  Kernel-internal time 124 us/frame single-chain vs a ~92 us
+dot floor; the remaining XLA-side ~16 us is the raw ring push + expand
+step + the eq HBM round-trip into the kernel.
+
 Parity anchor: the reference's causal "real-time" mode
 (/root/reference/common/model.py:95) has no serving engine at all; this is
 the TPU-native terminal step of BASELINE config 5.
@@ -38,13 +47,20 @@ from jax.experimental.pallas import tpu as pltpu
 from videopose3d_tpu.ops.pallas.temporal_block_int8 import QMAX, _i8dot
 
 
-def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, caps, j3):
+def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, halves):
     """refs layout (after idx/eq):
     inputs:  per block: wq_a, wq_b, vecs(8,C f32: A1,B1,A2,B2,R,pad...);
              shrink_w, shrink_b; per block: ring_i (ANY).
     outputs: poses, per block: ring_out_i (ANY, aliased to ring_i).
     scratch: per block: taps (k-1, B, C) i8; stage (n_blocks-1, B, C) i8;
              read_sems (n_blocks, max_taps); write_sems (n_blocks,).
+
+    ``halves`` > 1 splits the batch into independent row chunks and emits
+    each block's work chunk-interleaved, so one chunk's VPU epilogue
+    (requantize / rowmax) has another chunk's MXU dots available to overlap
+    with — the single-chunk form is one strict MXU->VPU->MXU dependency
+    chain that leaves the MXU idle through every epilogue.  Per-row math is
+    unchanged (row chunks are independent), so outputs stay bit-identical.
     """
     pos = 0
     blk = []
@@ -84,44 +100,64 @@ def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, caps, j3):
                                     write_sems.at[0])
     eq_push.start()
 
-    newest = eq[...].reshape(eq.shape[-2], eq.shape[-1])
-    out_f32 = None
+    b_total = eq.shape[-2]
+    bh = b_total // halves
+    row = lambda h: pl.ds(h * bh, bh)
+    eq_full = eq[...].reshape(b_total, eq.shape[-1])
+    newest = [eq_full[h * bh:(h + 1) * bh] for h in range(halves)]
+    out_f32 = [None] * halves
     for i in range(n_blocks):
         k = widths[i]
         vecs = blk[i]["vecs"]
         for j in range(k - 1):
             tap_dma(i, j).wait()
-        acc = _i8dot(taps[i][0], blk[i]["wq_a"][0])
-        for j in range(1, k - 1):
-            acc += _i8dot(taps[i][j], blk[i]["wq_a"][j])
-        acc += _i8dot(newest, blk[i]["wq_a"][k - 1])
+        tap_rows = [taps[i][j] for j in range(k - 1)]
+
+        # Emission is phase-major over chunks: every chunk's dots precede
+        # every chunk's epilogue, giving the scheduler MXU work to overlap
+        # with each VPU phase.  Math per row matches _block_step_i8 exactly.
+        acc = []
+        for h in range(halves):
+            a = _i8dot(tap_rows[0][h * bh:(h + 1) * bh], blk[i]["wq_a"][0])
+            for j in range(1, k - 1):
+                a += _i8dot(tap_rows[j][h * bh:(h + 1) * bh],
+                            blk[i]["wq_a"][j])
+            acc.append(a + _i8dot(newest[h], blk[i]["wq_a"][k - 1]))
 
         # _quantize_relu, inlined (same op order for bit-parity).
-        real = jnp.maximum(
-            acc.astype(jnp.float32) * vecs[0:1, :] + vecs[1:2, :], 0.0)
-        rowmax = jnp.maximum(jnp.max(real, axis=1, keepdims=True), 1.0)
-        hq = jnp.round(real * (QMAX / rowmax)).astype(jnp.int8)
+        hq, rowmax = [], []
+        for h in range(halves):
+            real = jnp.maximum(
+                acc[h].astype(jnp.float32) * vecs[0:1, :] + vecs[1:2, :], 0.0)
+            rm = jnp.maximum(jnp.max(real, axis=1, keepdims=True), 1.0)
+            rowmax.append(rm)
+            hq.append(jnp.round(real * (QMAX / rm)).astype(jnp.int8))
 
-        acc2 = _i8dot(hq, blk[i]["wq_b"][...])
-        y = jnp.maximum(
-            acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * vecs[2:3, :]
-            + vecs[3:4, :], 0.0)
-        res = newest.astype(jnp.float32) * vecs[4:5, :]
-        out = res + y
+        acc2 = [_i8dot(hq[h], blk[i]["wq_b"][...]) for h in range(halves)]
+        for h in range(halves):
+            y = jnp.maximum(
+                acc2[h].astype(jnp.float32) * (rowmax[h] * (1.0 / QMAX))
+                * vecs[2:3, :] + vecs[3:4, :], 0.0)
+            res = newest[h].astype(jnp.float32) * vecs[4:5, :]
+            out = res + y
+            if i < n_blocks - 1:
+                newest[h] = jnp.clip(jnp.round(out), 0.0, QMAX
+                                     ).astype(jnp.int8)
+                stage[pl.ds(i, 1), row(h)] = newest[h][None]
+            else:
+                out_f32[h] = out
         if i < n_blocks - 1:
-            newest = jnp.clip(jnp.round(out), 0.0, QMAX).astype(jnp.int8)
             # Push block i+1's newest tap; the DMA overlaps its dots.
-            stage[pl.ds(i, 1)] = newest[None]
             w = idx_ref[off[i + 1]]
             pltpu.make_async_copy(
                 stage.at[pl.ds(i, 1)], rings_out[i + 1].at[pl.ds(w, 1)],
                 write_sems.at[i + 1]).start()
-        else:
-            out_f32 = out
 
-    proj = jnp.dot(out_f32.astype(jnp.bfloat16), shrink_w[...],
-                   preferred_element_type=jnp.float32)
-    poses[...] = proj + shrink_b[0:1, :]
+    proj = [jnp.dot(out_f32[h].astype(jnp.bfloat16), shrink_w[...],
+                    preferred_element_type=jnp.float32)
+            for h in range(halves)]
+    for h in range(halves):
+        poses[row(h)] = proj[h] + shrink_b[0:1, :]
 
     # All in-flight ring writes must land before the kernel retires.
     for i in range(n_blocks):
@@ -137,8 +173,9 @@ def _pack_vecs(blk):
     return jnp.pad(v, ((0, 8 - v.shape[0]), (0, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("widths", "interpret"))
-def fused_blocks_step(q, rings, eq, idx, *, widths, interpret=False):
+@functools.partial(jax.jit, static_argnames=("widths", "halves", "interpret"))
+def fused_blocks_step(q, rings, eq, idx, *, widths, halves=2,
+                      interpret=False):
     """Run every residual block + shrink on one frame in a single kernel.
 
     Args:
@@ -157,6 +194,9 @@ def fused_blocks_step(q, rings, eq, idx, *, widths, interpret=False):
         interpret = True
     n_blocks = len(widths)
     b, c = eq.shape
+    # Row chunks must keep int8 sublane alignment (32-row multiples).
+    if b % halves or (b // halves) % 32:
+        halves = 1
     j3 = q["shrink_w"].shape[1]
 
     inputs = [idx, eq[None]]     # (1, B, C): rank-matched to ring-row DMAs
@@ -194,7 +234,7 @@ def fused_blocks_step(q, rings, eq, idx, *, widths, interpret=False):
 
     kernel = functools.partial(
         _fused_blocks_kernel, n_blocks=n_blocks, widths=tuple(widths),
-        caps=tuple(r.shape[0] for r in rings), j3=j3)
+        halves=halves)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
