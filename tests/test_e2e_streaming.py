@@ -127,6 +127,26 @@ def test_streaming_cli_int8_fused_engine(wild_setup, tmp_path):
         np.testing.assert_array_equal(a[video], b[video])
 
 
+def test_streaming_cli_bf16_fused_engine(wild_setup, tmp_path):
+    """The single-kernel fused bf16 engine through the CLI is bit-identical
+    to the per-layer bf16 engine at the same compute dtype."""
+    data_dir, ckpt, *_ = wild_setup
+    out_ref = str(tmp_path / "s_bf16.npz")
+    out_fused = str(tmp_path / "s_bf16_fused.npz")
+    base = ["-k", "myvideos", "--data-dir", data_dir, "--checkpoint", ckpt,
+            "-arc", "3,3,3", "-ch", "16", "--compute-dtype", "bfloat16"]
+    streaming.main(base + ["--output", out_ref])
+    streaming.main(base + ["--engine", "bf16_fused", "--output", out_fused])
+    a, b = np.load(out_ref), np.load(out_fused)
+    for video in a.files:
+        np.testing.assert_array_equal(a[video], b[video])
+
+    with pytest.raises(SystemExit):
+        streaming.main(base[:-2] + ["--compute-dtype", "float32",
+                                    "--engine", "bf16_fused",
+                                    "--output", out_fused])
+
+
 def test_streaming_cli_video_subset(wild_setup, tmp_path):
     data_dir, ckpt, *_ = wild_setup
     out = str(tmp_path / "one.npz")

@@ -68,6 +68,47 @@ def test_fused_step_bit_parity(filter_widths, channels, b):
             np.asarray(ss_ref["ptr"]), np.asarray(ss_fused["ptr"]))
 
 
+@pytest.mark.parametrize("filter_widths,channels,b", [
+    ((3, 3, 3), 64, 4),
+    ((3, 5, 5), 32, 2),
+    # b=64 activates the chunk-interleaved (halves=2) kernel form.
+    ((3, 3, 3), 32, 64),
+])
+def test_fused_bf16_step_bit_parity(filter_widths, channels, b):
+    """stream_step_bf16_fused is bit-identical to the per-layer XLA bf16
+    engine at every frame, including ring state after pointer wrap."""
+    cfg, _, first, rng = _setup(filter_widths, channels, b)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(7))
+    ss_ref = streaming.init_stream_state(cfg, params, state, first)
+    ss_fused = jax.tree_util.tree_map(jnp.copy, ss_ref)
+
+    caps = streaming._buffer_capacities(cfg)
+    n_frames = max(caps) + 3
+    for t in range(n_frames):
+        frame = jnp.asarray(rng.standard_normal((b, 17, 2)), jnp.float32)
+        p_ref, ss_ref = streaming.stream_step(cfg, params, state, ss_ref,
+                                              frame)
+        p_fused, ss_fused = streaming.stream_step_bf16_fused(
+            cfg, params, state, ss_fused, frame)
+        np.testing.assert_array_equal(
+            np.asarray(p_ref), np.asarray(p_fused),
+            err_msg=f"pose mismatch at frame {t}")
+        for i, (br, bf) in enumerate(zip(ss_ref["bufs"], ss_fused["bufs"])):
+            np.testing.assert_array_equal(
+                np.asarray(br), np.asarray(bf),
+                err_msg=f"ring {i} mismatch at frame {t}")
+
+
+def test_fused_bf16_requires_bf16_compute():
+    import dataclasses
+    cfg, _, first, _ = _setup((3, 3, 3), 32, 2)
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    ss = streaming.init_stream_state(cfg, params, state, first)
+    with pytest.raises(ValueError, match="bfloat16"):
+        streaming.stream_step_bf16_fused(cfg, params, state, ss, first)
+
+
 def test_fused_matches_offline_causal():
     """Fused engine vs the offline int8 causal kernels on an edge-padded
     sequence (same check as test_streaming_int8.py for the XLA engine)."""

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=1024)
-    ap.add_argument("--engine", choices=("bf16", "int8", "int8_fused",
-                                         "both", "all"),
+    ap.add_argument("--engine", choices=("bf16", "bf16_fused", "int8",
+                                         "int8_fused", "both", "all"),
                     default="both")
     ap.add_argument("--frames-per-step", type=int, default=1,
                     help="micro-batched engine: lift k frames per dispatch "
@@ -93,6 +93,8 @@ def main():
             "ms_per_frame": round(ms, 4),
             "stream_frames_per_sec": round(b / (ms * 1e-3), 1)}))
 
+    if args.engine in ("bf16_fused", "int8_fused") and k != 1:
+        raise SystemExit(f"{args.engine} is a per-frame engine (k == 1)")
     if args.engine in ("bf16", "both", "all"):
         if k == 1:
             bench(lambda ss, f: streaming.stream_step(cfg, params, state, ss,
@@ -106,12 +108,15 @@ def main():
                   lambda: streaming.init_stream_state_multi(
                       cfg, params, state, first, k),
                   "bf16")
+    if args.engine in ("bf16_fused", "all") and k == 1:
+        bench(lambda ss, f: streaming.stream_step_bf16_fused(
+                  cfg, params, state, ss, f),
+              lambda: streaming.init_stream_state(cfg, params, state, first),
+              "bf16_fused")
     if args.engine in ("int8", "int8_fused", "both", "all"):
         calib = jnp.asarray(rng.standard_normal((1, rf + 200, 17, 2)),
                             jnp.float32)
         q = quantize_temporal_model(cfg, params, state, calib)
-        if args.engine == "int8_fused" and k != 1:
-            raise SystemExit("int8_fused is a per-frame engine (k == 1)")
         if k == 1 and args.engine in ("int8", "both", "all"):
             bench(lambda ss, f: streaming.stream_step_int8(cfg, q, ss, f),
                   lambda: streaming.init_stream_state_int8(cfg, q, first),

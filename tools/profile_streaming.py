@@ -30,7 +30,8 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=1024)
-    ap.add_argument("--engine", choices=("bf16", "int8", "int8_fused"),
+    ap.add_argument("--engine", choices=("bf16", "bf16_fused", "int8",
+                                         "int8_fused"),
                     default="int8")
     ap.add_argument("--frames-per-step", type=int, default=1)
     ap.add_argument("--iters", type=int, default=64)
@@ -72,7 +73,13 @@ def main():
             init = lambda: streaming.init_stream_state_int8_multi(cfg, q,
                                                                   first, k)
     else:
-        if k == 1:
+        if args.engine == "bf16_fused":
+            assert k == 1, "bf16_fused is a per-frame engine"
+            step = lambda ss, f: streaming.stream_step_bf16_fused(
+                cfg, params, state, ss, f)
+            init = lambda: streaming.init_stream_state(cfg, params, state,
+                                                       first)
+        elif k == 1:
             step = lambda ss, f: streaming.stream_step(cfg, params, state,
                                                        ss, f)
             init = lambda: streaming.init_stream_state(cfg, params, state,

@@ -245,3 +245,174 @@ def fused_blocks_step(q, rings, eq, idx, *, widths, halves=2,
         interpret=interpret,
     )(*inputs)
     return outs[0], list(outs[1:])
+
+
+def _fused_blocks_bf16_kernel(idx_ref, a0, *refs, n_blocks, widths, halves):
+    """bf16 variant of :func:`_fused_blocks_kernel`.
+
+    Differences: the activation carried between blocks is the f32 residual
+    stream (``act = act + relu(z*s2 + t2)``, matching
+    ``streaming.stream_step``'s epilogue exactly); rings store its bf16 cast,
+    so EVERY ring push goes through the bf16 ``stage`` scratch (block 0's
+    newest tap ``a0`` arrives as f32).  vecs rows are [s1, t1, s2, t2] from
+    ``fold_batchnorm``.
+    """
+    pos = 0
+    blk = []
+    for i in range(n_blocks):
+        blk.append({"w1": refs[pos], "w2": refs[pos + 1],
+                    "vecs": refs[pos + 2]})
+        pos += 3
+    shrink_w = refs[pos]; shrink_b = refs[pos + 1]; pos += 2
+    rings_in = refs[pos:pos + n_blocks]; pos += n_blocks
+    poses = refs[pos]; pos += 1
+    rings_out = refs[pos:pos + n_blocks]; pos += n_blocks
+    taps = refs[pos:pos + n_blocks]; pos += n_blocks
+    stage = refs[pos]; pos += 1
+    read_sems = refs[pos]; write_sems = refs[pos + 1]
+
+    off = [0]
+    for i in range(n_blocks):
+        off.append(off[-1] + widths[i])
+
+    def tap_dma(i, j):
+        t = idx_ref[off[i] + 1 + j]
+        return pltpu.make_async_copy(
+            rings_in[i].at[pl.ds(t, 1)], taps[i].at[pl.ds(j, 1)],
+            read_sems.at[i, j])
+
+    for i in range(n_blocks):
+        for j in range(widths[i] - 1):
+            tap_dma(i, j).start()
+
+    b_total = a0.shape[-2]
+    bh = b_total // halves
+    row = lambda h: pl.ds(h * bh, bh)
+    a0_full = a0[...].reshape(b_total, a0.shape[-1])
+    act = [a0_full[h * bh:(h + 1) * bh] for h in range(halves)]
+
+    def push(i, values):
+        """Stage the bf16 cast of this block's input and DMA it to ring i."""
+        cast = [v.astype(jnp.bfloat16) for v in values]
+        for h in range(halves):
+            stage[pl.ds(i, 1), row(h)] = cast[h][None]
+        w = idx_ref[off[i]]
+        pltpu.make_async_copy(stage.at[pl.ds(i, 1)],
+                              rings_out[i].at[pl.ds(w, 1)],
+                              write_sems.at[i]).start()
+        return cast
+
+    newest = push(0, act)
+    for i in range(n_blocks):
+        k = widths[i]
+        vecs = blk[i]["vecs"]
+        for j in range(k - 1):
+            tap_dma(i, j).wait()
+        tap_rows = [taps[i][j] for j in range(k - 1)]
+
+        # Phase-major over chunks, as in the int8 kernel; per-row math
+        # matches streaming.stream_step exactly (per-tap f32-accumulated
+        # dots, f32 residual carried between blocks).
+        acc = []
+        for h in range(halves):
+            a = jnp.dot(tap_rows[0][h * bh:(h + 1) * bh], blk[i]["w1"][0],
+                        preferred_element_type=jnp.float32)
+            for j in range(1, k - 1):
+                a += jnp.dot(tap_rows[j][h * bh:(h + 1) * bh],
+                             blk[i]["w1"][j],
+                             preferred_element_type=jnp.float32)
+            acc.append(a + jnp.dot(newest[h], blk[i]["w1"][k - 1],
+                                   preferred_element_type=jnp.float32))
+
+        mid = [jnp.maximum(acc[h] * vecs[0:1, :] + vecs[1:2, :], 0.0
+                           ).astype(jnp.bfloat16) for h in range(halves)]
+        acc2 = [jnp.dot(mid[h], blk[i]["w2"][...],
+                        preferred_element_type=jnp.float32)
+                for h in range(halves)]
+        for h in range(halves):
+            act[h] = act[h] + jnp.maximum(
+                acc2[h] * vecs[2:3, :] + vecs[3:4, :], 0.0)
+        if i < n_blocks - 1:
+            newest = push(i + 1, act)
+
+    proj = [jnp.dot(act[h].astype(jnp.bfloat16), shrink_w[...],
+                    preferred_element_type=jnp.float32)
+            for h in range(halves)]
+    for h in range(halves):
+        poses[row(h)] = proj[h] + shrink_b[0:1, :]
+
+    for i in range(n_blocks):
+        pltpu.make_async_copy(
+            stage.at[pl.ds(i, 1)],
+            rings_out[i].at[pl.ds(idx_ref[off[i]], 1)],
+            write_sems.at[i]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("widths", "halves", "interpret"))
+def fused_blocks_step_bf16(weights, rings, a0, idx, *, widths, halves=2,
+                           interpret=False):
+    """bf16 counterpart of :func:`fused_blocks_step`.
+
+    Args:
+      weights: dict with per-block lists ``w1`` ((k, C, C) arrays), ``w2``
+        ((C, C)), ``vecs`` ((8, C) f32 rows [s1, t1, s2, t2] from
+        ``fold_batchnorm``), plus ``shrink_w`` (C, J3) and ``shrink_b``
+        (J3,) — built by ``streaming.stream_step_bf16_fused``.
+      rings: per-block bf16 ring buffers, time-major (cap_i, B, C); DONATED.
+      a0: (B, C) f32 expand activation for this frame.
+      idx: as in :func:`fused_blocks_step`.
+
+    Returns:
+      ((B, J3) f32 flat poses, [updated rings]).
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_blocks = len(widths)
+    b, c = a0.shape
+    if b % halves or (b // halves) % 32:
+        halves = 1
+    j3 = weights["shrink_w"].shape[1]
+
+    inputs = [idx, a0[None].astype(jnp.float32)]
+    for i in range(n_blocks):
+        inputs += [jnp.asarray(weights["w1"][i], jnp.bfloat16),
+                   jnp.asarray(weights["w2"][i], jnp.bfloat16),
+                   weights["vecs"][i]]
+    inputs += [jnp.asarray(weights["shrink_w"], jnp.bfloat16),
+               jnp.pad(jnp.asarray(weights["shrink_b"], jnp.float32)[None],
+                       ((0, 7), (0, 0)))]
+    inputs += list(rings)
+
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = ([vm()] + [vm()] * (3 * n_blocks) + [vm(), vm()]
+                + [any_()] * n_blocks)
+    out_specs = [vm()] + [any_()] * n_blocks
+    out_shape = ([jax.ShapeDtypeStruct((b, j3), jnp.float32)]
+                 + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rings])
+    ring_in0 = 2 + 3 * n_blocks + 2
+    aliases = {ring_in0 + i: 1 + i for i in range(n_blocks)}
+
+    max_taps = max(w - 1 for w in widths)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=(
+            [pltpu.VMEM((w - 1, b, c), jnp.bfloat16) for w in widths]
+            + [pltpu.VMEM((n_blocks, b, c), jnp.bfloat16),
+               pltpu.SemaphoreType.DMA((n_blocks, max_taps)),
+               pltpu.SemaphoreType.DMA((n_blocks,))]))
+
+    kernel = functools.partial(
+        _fused_blocks_bf16_kernel, n_blocks=n_blocks, widths=tuple(widths),
+        halves=halves)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 120)),
+        interpret=interpret,
+    )(*inputs)
+    return outs[0], list(outs[1:])

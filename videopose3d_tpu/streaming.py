@@ -205,6 +205,77 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     return out, new_state
 
 
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
+def stream_step_bf16_fused(config: TemporalModelConfig, params: Params,
+                           state: State, stream_state, frame):
+    """Advance all streams one frame with the single-kernel bf16 pipeline.
+
+    Same state pytree and same bit-exact outputs as :func:`stream_step` with
+    ``compute_dtype="bfloat16"`` (regression-tested); every residual block,
+    ring update, and the shrink projection run inside ONE ``pallas_call``
+    (``ops/pallas/streaming_fused.fused_blocks_step_bf16``).
+    """
+    from videopose3d_tpu.ops.pallas.streaming_fused import (
+        fused_blocks_step_bf16)
+
+    if jnp.dtype(config.compute_dtype) != jnp.bfloat16:
+        raise ValueError("the fused bf16 engine requires "
+                         "compute_dtype='bfloat16'")
+    caps = _buffer_capacities(config)
+    bufs = list(stream_state["bufs"])
+    ptr = stream_state["ptr"]
+
+    x = jnp.asarray(frame)
+    b = x.shape[0]
+    x = x.reshape(b, -1).astype(jnp.bfloat16)
+
+    # Raw ring + expand stay in XLA (tiny matmul, odd lane counts).
+    bufs[0] = _ring_push(bufs[0], ptr[0], caps[0], x)
+    w0 = params["expand_conv"]["weight"]
+    k0 = w0.shape[0]
+    t0 = jnp.concatenate(
+        _ring_tap_rows(bufs[0], ptr[0], caps[0], k0, 1) + [x], axis=-1)
+    a0 = jnp.dot(t0, w0.reshape(k0 * w0.shape[1], -1).astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+    s, t_ = _bn_affine(params["expand_bn"], state["expand_bn"])
+    a0 = jax.nn.relu(a0 * s + t_)
+
+    widths = tuple(config.filter_widths[1:])
+    idx = []
+    for i, kw in enumerate(widths):
+        cap = caps[i + 1]
+        d = config.dilations[i + 1]
+        idx.append(jnp.mod(ptr[i + 1], cap))
+        idx += [jnp.mod(ptr[i + 1] - (kw - 1 - j) * d, cap)
+                for j in range(kw - 1)]
+    idx = jnp.stack(idx).astype(jnp.int32)
+
+    def vecs(i):
+        s1, t1 = _bn_affine(params["layers_bn"][2 * i],
+                            state["layers_bn"][2 * i])
+        s2, t2 = _bn_affine(params["layers_bn"][2 * i + 1],
+                            state["layers_bn"][2 * i + 1])
+        v = jnp.stack([jnp.asarray(r, jnp.float32).reshape(-1)
+                       for r in (s1, t1, s2, t2)])
+        return jnp.pad(v, ((0, 8 - v.shape[0]), (0, 0)))
+
+    weights = {
+        "w1": [params["layers_conv"][2 * i]["weight"]
+               for i in range(len(widths))],
+        "w2": [params["layers_conv"][2 * i + 1]["weight"][0]
+               for i in range(len(widths))],
+        "vecs": [vecs(i) for i in range(len(widths))],
+        "shrink_w": params["shrink"]["weight"][0],
+        "shrink_b": params["shrink"]["bias"],
+    }
+    poses_flat, new_rings = fused_blocks_step_bf16(weights, bufs[1:], a0,
+                                                   idx, widths=widths)
+    poses = poses_flat.reshape(b, config.num_joints_out, 3)
+    new_state = {"bufs": [bufs[0]] + new_rings,
+                 "ptr": _advance_ptrs(ptr, caps)}
+    return poses, new_state
+
+
 # ---------------------------------------------------------------------------
 # w8a8 int8 streaming (serving)
 # ---------------------------------------------------------------------------
@@ -719,16 +790,17 @@ class StreamingCausalLifter:
     def __init__(self, config: TemporalModelConfig, params: Params = None,
                  state: State = None, *, engine: str = "bf16", quantized=None,
                  mesh=None, frames_per_step: int = 1):
-        if engine not in ("bf16", "int8", "int8_fused"):
+        if engine not in ("bf16", "bf16_fused", "int8", "int8_fused"):
             raise ValueError(f"unknown streaming engine {engine!r}")
         if engine in ("int8", "int8_fused") and quantized is None:
             raise ValueError(f"engine={engine!r} requires the quantized pytree")
-        if engine == "bf16" and (params is None or state is None):
-            raise ValueError("engine='bf16' requires params and state")
+        if engine in ("bf16", "bf16_fused") and (params is None
+                                                 or state is None):
+            raise ValueError(f"engine={engine!r} requires params and state")
         if frames_per_step < 1:
             raise ValueError("frames_per_step must be >= 1")
-        if engine == "int8_fused" and frames_per_step != 1:
-            raise ValueError("engine='int8_fused' is per-frame (k == 1)")
+        if engine.endswith("_fused") and frames_per_step != 1:
+            raise ValueError(f"engine={engine!r} is per-frame (k == 1)")
         self.config = config
         self.params = params
         self.state = state
@@ -782,6 +854,10 @@ class StreamingCausalLifter:
         if self.engine == "int8_fused":
             out, self._stream_state = stream_step_int8_fused(
                 self.config, self.quantized, self._stream_state, frame)
+        elif self.engine == "bf16_fused":
+            out, self._stream_state = stream_step_bf16_fused(
+                self.config, self.params, self.state, self._stream_state,
+                frame)
         elif self.engine == "int8":
             if k > 1:
                 out, self._stream_state = stream_step_int8_multi(
@@ -882,7 +958,8 @@ def main(argv=None):
                     help="path to a causal-model checkpoint (.bin or orbax)")
     ap.add_argument("-arc", "--architecture", default="3,3,3,3,3")
     ap.add_argument("-ch", "--channels", type=int, default=1024)
-    ap.add_argument("--engine", choices=("bf16", "int8", "int8_fused"),
+    ap.add_argument("--engine", choices=("bf16", "bf16_fused", "int8",
+                                         "int8_fused"),
                     default="bf16")
     ap.add_argument("--compute-dtype", default="float32",
                     choices=("float32", "bfloat16"),
@@ -895,6 +972,9 @@ def main(argv=None):
     ap.add_argument("--output", required=True,
                     help="output .npz: one (T, J, 3) pose array per video")
     args = ap.parse_args(argv)
+
+    if args.engine == "bf16_fused" and args.compute_dtype != "bfloat16":
+        ap.error("--engine bf16_fused requires --compute-dtype bfloat16")
 
     videos, streams = _load_wild_streams(args.data_dir, args.keypoints)
     if args.videos:
@@ -935,6 +1015,7 @@ def main(argv=None):
                                        frames_per_step=args.frames_per_step)
     else:
         lifter = StreamingCausalLifter(config, params, state,
+                                       engine=args.engine,
                                        frames_per_step=args.frames_per_step)
 
     t0 = time.perf_counter()
