@@ -21,14 +21,24 @@ Math is copied operation-for-operation from ``streaming._block_step_i8``
 (same int32 accumulation order, same f32 epilogue order), so outputs are
 bit-identical to the XLA engine — asserted in tests/test_streaming_fused.py.
 
-Measured (v5e, B=1024, C=1024, RF 243, same-session A/B vs the XLA engine at
-0.136-0.139 ms/frame): single-chain kernel 0.143 (the strict MXU->VPU->MXU
-dependency chain idles the MXU through every requantize epilogue), two-chunk
-interleaved form 0.1334 (halves=2; halves=4 regresses to 0.141 — the
-512-row dots are the sweet spot between overlap granularity and MXU
-efficiency).  Kernel-internal time 124 us/frame single-chain vs a ~92 us
-dot floor; the remaining XLA-side ~16 us is the raw ring push + expand
-step + the eq HBM round-trip into the kernel.
+Measured (v5e, B=1024, C=1024, RF 243, interleaved same-process A/B —
+tools/exp_stream_ab.py, 5 reps): int8 XLA engine 0.1346-0.1444 ms/frame
+(mean 0.1396) vs this kernel 0.1334-0.1471 (mean 0.1405) — STATISTICAL
+PARITY.  The kernel's wins (no per-layer HBM round-trips, in-place DMA ring
+pushes) are exactly offset by what XLA's per-layer fusions already achieve;
+sequential non-interleaved benches swung ±10% across processes and briefly
+read as a 2% win (and a 30% win vs one outlier XLA leg) — only the
+interleaved reps settled it.  Form notes: the single-chain kernel body
+measured 0.143 (the strict MXU->VPU->MXU dependency chain idles the MXU
+through every requantize epilogue); halves=2 chunk interleaving recovered
+~10 us; halves=4 regressed (0.141) — 512-row dots are the sweet spot
+between overlap granularity and MXU efficiency.  Kernel-internal time ~113
+us/frame vs a ~92 us dot floor; the remaining XLA-side ~16 us is the raw
+ring push + expand step + the eq HBM round-trip into the kernel.  The bf16
+variant is consistently ~15% SLOWER than its XLA engine (0.236-0.250 vs
+0.202-0.208): bf16 dots leave less epilogue time to hide and the kernel
+forgoes XLA's residual-add fusion.  Both fused engines therefore ship as
+non-default alternatives; the XLA engines remain the defaults.
 
 Parity anchor: the reference's causal "real-time" mode
 (/root/reference/common/model.py:95) has no serving engine at all; this is
