@@ -158,3 +158,18 @@ def test_int8_tap_modes_bit_identical(fw, causal):
     shifted = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=32,
                                    accshift_min_d=0)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(shifted))
+
+
+@pytest.mark.parametrize("fw,causal", [((3, 3, 3), False), ((3, 3, 3), True),
+                                       ((3, 3, 3, 3), False)])
+def test_int8_halves_bit_identical(fw, causal):
+    """The chunk-interleaved kernel form (halves=2: phase-major emission so
+    one chunk's requantize VPU epilogue overlaps the other chunk's MXU dots)
+    must be BIT-identical to the single-chunk form: row chunks are
+    independent and per-row math is unchanged (_chunked_block_i8)."""
+    cfg, params, state, calib, x = _setup(fw, 64, causal=causal)
+    q = quantize_temporal_model(cfg, params, state, calib)
+    base = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=64)
+    split = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=64,
+                                 halves=2)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(split))

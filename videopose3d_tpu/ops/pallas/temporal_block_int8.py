@@ -210,8 +210,17 @@ def _stage_slack(tap_mode):
     return _ACCSHIFT_SLACK if tap_mode == "accshift" else 0
 
 
-def _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode):
-    """Accumulate the dilated taps ``sum_j x[j*d : j*d + t_tile] @ wq_a[j]``.
+def _halves_for(tile, halves):
+    """Clamp the chunk-interleave factor to what the tile supports: chunks
+    must be whole int8 sublane tiles (32 rows) for the tap-slice alignment
+    story to be unchanged."""
+    if halves > 1 and tile % halves == 0 and (tile // halves) % 32 == 0:
+        return halves
+    return 1
+
+
+def _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode, row0=0):
+    """Accumulate the dilated taps ``sum_j x[row0 + j*d :][:t_tile] @ wq_a[j]``.
 
     ``slice`` — operand slices at the raw (sublane-unaligned for d % 32 != 0)
     offsets; Mosaic realigns the packed int8 rows before each MXU issue.
@@ -224,9 +233,9 @@ def _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode):
     Costs +32/t_tile extra MXU rows per shifted tap; measured a wash vs the
     slice form at all production dilations (see ACCSHIFT_MIN_DILATION).
     """
-    acc = _i8dot(x[0:t_tile], wq_a[0])
+    acc = _i8dot(x[row0:row0 + t_tile], wq_a[0])
     for j in range(1, n_taps):
-        start = j * dilation
+        start = row0 + j * dilation
         if tap_mode == "slice" or start % 32 == 0:
             acc += _i8dot(x[start:start + t_tile], wq_a[j])
         else:
@@ -237,11 +246,12 @@ def _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode):
     return acc
 
 
-def _residual_rows(x, res_offset, t_tile, tap_mode):
-    """The residual tap ``x[res_offset : res_offset + t_tile]`` as f32 rows,
+def _residual_rows(x, res_offset, t_tile, tap_mode, row0=0):
+    """The residual tap ``x[row0 + res_offset :][:t_tile]`` as f32 rows,
     realigned on the f32 side in accshift mode (same trick as _taps_i8 —
     the f32 convert is elementwise, so converting a superset of rows first
     and slicing after is value-identical)."""
+    res_offset = res_offset + row0
     if tap_mode == "slice" or res_offset % 32 == 0:
         return x[res_offset:res_offset + t_tile].astype(jnp.float32)
     rstart = res_offset // 32 * 32
@@ -265,9 +275,38 @@ def _quantize_relu(acc_i32, scale_row, shift_row):
     return q, rowmax
 
 
+def _chunked_block_i8(x, wq_a, a1, b1, wq_b, a2, b2, r, *, t_tile, dilation,
+                      res_offset, n_taps, tap_mode, halves):
+    """The common int8 residual-block body over one tile, split into
+    ``halves`` independent row chunks with phase-major emission: every
+    chunk's tap dots are emitted before any chunk's requantize, and every
+    requantize before any second dot — giving the scheduler MXU work to
+    overlap with each VPU phase (the single-chunk form is one strict
+    MXU->VPU->MXU chain that idles the MXU through both epilogues; same
+    trick as streaming_fused.py's ``halves``).  Per-row math is unchanged,
+    so outputs are bit-identical to the single-chunk form.
+
+    Returns the list of (t_tile/halves, C) f32 pre-clip block outputs.
+    """
+    th = t_tile // halves
+    accs = [_taps_i8(x, wq_a, n_taps, dilation, th, tap_mode, row0=h * th)
+            for h in range(halves)]
+    qs = [_quantize_relu(acc, a1[0, :], b1[0, :]) for acc in accs]
+    acc2s = [_i8dot(hq, wq_b[:, :]) for hq, _ in qs]
+    outs = []
+    for h in range(halves):
+        rowmax = qs[h][1]
+        y = jnp.maximum(
+            acc2s[h].astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
+            + b2[0, :], 0.0)
+        res = _residual_rows(x, res_offset, th, tap_mode, row0=h * th) * r[0, :]
+        outs.append(res + y)
+    return outs
+
+
 def _mid_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, out,
                          x_vmem, sems, *, t_tile, dilation, res_offset,
-                         n_taps, win, tap_mode):
+                         n_taps, win, tap_mode, halves):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -298,20 +337,19 @@ def _mid_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, out,
     window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
-    acc = _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode)
-    hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
-
-    acc2 = _i8dot(hq, wq_b[:, :])
-    y = jnp.maximum(
-        acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
-        + b2[0, :], 0.0)
-    res = _residual_rows(x, res_offset, t_tile, tap_mode) * r[0, :]
-    out[0] = jnp.clip(jnp.round(res + y), 0.0, QMAX).astype(jnp.int8)
+    outs = _chunked_block_i8(x, wq_a, a1, b1, wq_b, a2, b2, r,
+                             t_tile=t_tile, dilation=dilation,
+                             res_offset=res_offset, n_taps=n_taps,
+                             tap_mode=tap_mode, halves=halves)
+    th = t_tile // halves
+    for h in range(halves):
+        out[0, h * th:(h + 1) * th] = jnp.clip(
+            jnp.round(outs[h]), 0.0, QMAX).astype(jnp.int8)
 
 
 def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
                             r, out, raw_vmem, sems, *, t_tile, dilation,
-                            res_offset, n_taps, win, tap_mode):
+                            res_offset, n_taps, win, tap_mode, halves):
     # The raw input arrives PRE-TAPPED by the host driver (one row already
     # holds all k0 taps), so the expand conv is exactly one bf16 matmul here.
     b = pl.program_id(0)
@@ -348,20 +386,19 @@ def _expand_block_i8_kernel(raw_hbm, w0, s0, b0, wq_a, a1, b1, wq_b, a2, b2,
     eq = jnp.clip(jnp.round(jnp.maximum(
         eacc * s0[0, :] + b0[0, :], 0.0)), 0.0, QMAX).astype(jnp.int8)
 
-    acc = _taps_i8(eq, wq_a, n_taps, dilation, t_tile, tap_mode)
-    hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
-
-    acc2 = _i8dot(hq, wq_b[:, :])
-    y = jnp.maximum(
-        acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
-        + b2[0, :], 0.0)
-    res = _residual_rows(eq, res_offset, t_tile, tap_mode) * r[0, :]
-    out[0] = jnp.clip(jnp.round(res + y), 0.0, QMAX).astype(jnp.int8)
+    outs = _chunked_block_i8(eq, wq_a, a1, b1, wq_b, a2, b2, r,
+                             t_tile=t_tile, dilation=dilation,
+                             res_offset=res_offset, n_taps=n_taps,
+                             tap_mode=tap_mode, halves=halves)
+    th = t_tile // halves
+    for h in range(halves):
+        out[0, h * th:(h + 1) * th] = jnp.clip(
+            jnp.round(outs[h]), 0.0, QMAX).astype(jnp.int8)
 
 
 def _shrink_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, ws, bs, out,
                             x_vmem, sems, *, t_tile, dilation, res_offset,
-                            n_taps, win, tap_mode):
+                            n_taps, win, tap_mode, halves):
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -392,18 +429,15 @@ def _shrink_block_i8_kernel(x_hbm, wq_a, a1, b1, wq_b, a2, b2, r, ws, bs, out,
     window_dma(slot, b, t).wait()
     x = x_vmem[slot]
 
-    acc = _taps_i8(x, wq_a, n_taps, dilation, t_tile, tap_mode)
-    hq, rowmax = _quantize_relu(acc, a1[0, :], b1[0, :])
-
-    acc2 = _i8dot(hq, wq_b[:, :])
-    y = jnp.maximum(
-        acc2.astype(jnp.float32) * (rowmax * (1.0 / QMAX)) * a2[0, :]
-        + b2[0, :], 0.0)
-    res = _residual_rows(x, res_offset, t_tile, tap_mode) * r[0, :]
-    block_out = (res + y).astype(jnp.bfloat16)
-
-    proj = jnp.dot(block_out, ws[:, :], preferred_element_type=jnp.float32)
-    out[0] = proj + bs[0, :]
+    outs = _chunked_block_i8(x, wq_a, a1, b1, wq_b, a2, b2, r,
+                             t_tile=t_tile, dilation=dilation,
+                             res_offset=res_offset, n_taps=n_taps,
+                             tap_mode=tap_mode, halves=halves)
+    projs = [jnp.dot(o.astype(jnp.bfloat16), ws[:, :],
+                     preferred_element_type=jnp.float32) for o in outs]
+    th = t_tile // halves
+    for h in range(halves):
+        out[0, h * th:(h + 1) * th] = projs[h] + bs[0, :]
 
 
 # ---------------------------------------------------------------------------
@@ -431,7 +465,7 @@ _alloc_rows = functools.partial(_alloc_rows_base, geometry=_tile_geometry)
 
 def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
                   interpret, next_reach=None, tap_mode="slice",
-                  next_slack=0):
+                  next_slack=0, halves=1):
     """One mid int8 block over ``xq[:, :valid]`` (rows past ``valid`` are the
     producer's scratch tail).  Returns (stream, valid_out)."""
     n_taps = blk["wq_a"].shape[0]
@@ -451,7 +485,8 @@ def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
 
     kernel = functools.partial(
         _mid_block_i8_kernel, t_tile=t_tile, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=tap_mode)
+        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=tap_mode,
+        halves=_halves_for(t_tile, halves))
     vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -485,10 +520,12 @@ def _mid_block_i8(xq, valid, blk, *, dilation, causal_shift, t_tile,
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("t_tile", "interpret", "accshift_min_d"))
+                   static_argnames=("t_tile", "interpret", "accshift_min_d",
+                                    "halves"))
 def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
                          t_tile: int = 512, interpret: bool = False,
-                         accshift_min_d: int = ACCSHIFT_MIN_DILATION):
+                         accshift_min_d: int = ACCSHIFT_MIN_DILATION,
+                         halves: int = 1):
     """w8a8 int8 inference over the full dilated model.
 
     Args:
@@ -498,6 +535,10 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
         form (see :func:`_taps_i8`); bit-identical either way, chosen per
         dilation for speed.  0 forces accshift everywhere, a huge value
         forces the slice form.
+      halves: split each tile into this many row chunks with phase-major
+        emission inside the kernels (overlaps requantize VPU epilogues with
+        the next chunk's MXU dots; see :func:`_chunked_block_i8`).
+        Bit-identical to halves=1.
 
     Returns:
       (B, T - receptive_field + 1, J_out, 3) f32 poses.
@@ -551,7 +592,8 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
     blk = q["blocks"][0]
     kernel = functools.partial(
         _expand_block_i8_kernel, t_tile=t_tile0, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=mode0)
+        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=mode0,
+        halves=_halves_for(t_tile0, halves))
     vec = lambda: pl.BlockSpec((1, c), lambda b, t: (0, 0),
                                memory_space=pltpu.VMEM)
     reach_next = ((int(q["blocks"][1]["wq_a"].shape[0]) - 1)
@@ -598,7 +640,8 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
             causal_shift=config.causal_shifts_dilated[i + 1],
             t_tile=t_tile, interpret=interpret, next_reach=reach_next,
             tap_mode=_mode(config.dilations[i + 1]),
-            next_slack=_stage_slack(_mode(config.dilations[nxt + 1])))
+            next_slack=_stage_slack(_mode(config.dilations[nxt + 1])),
+            halves=halves)
 
     # --- last block + shrink ----------------------------------------------
     i = n_blocks - 1
@@ -621,7 +664,8 @@ def forward_dilated_int8(config: TemporalModelConfig, q, x, *,
 
     kernel = functools.partial(
         _shrink_block_i8_kernel, t_tile=t_tile_l, dilation=dilation,
-        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=mode_l)
+        res_offset=res_offset, n_taps=n_taps, win=win, tap_mode=mode_l,
+        halves=_halves_for(t_tile_l, halves))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bq, t_padded_out, j3), jnp.float32),
