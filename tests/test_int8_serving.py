@@ -173,3 +173,15 @@ def test_int8_halves_bit_identical(fw, causal):
     split = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=64,
                                  halves=2)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(split))
+
+
+def test_int8_accshift_with_halves_bit_identical():
+    """Both experiment knobs together: the chunked accshift branch
+    (_taps_i8/_residual_rows with row0 != 0 shifting the aligned-slice
+    arithmetic) must still be bit-identical to the plain form."""
+    cfg, params, state, calib, x = _setup((3, 3, 3), 64, causal=True)
+    q = quantize_temporal_model(cfg, params, state, calib)
+    base = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=64)
+    both = forward_dilated_int8(cfg, q, x, interpret=True, t_tile=64,
+                                halves=2, accshift_min_d=0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(both))

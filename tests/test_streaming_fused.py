@@ -79,6 +79,7 @@ def test_fused_bf16_step_bit_parity(filter_widths, channels, b):
     engine at every frame, including ring state after pointer wrap."""
     cfg, _, first, rng = _setup(filter_widths, channels, b)
     params, state = init_temporal_model(cfg, jax.random.PRNGKey(7))
+    prepared = streaming.prepare_bf16_fused(cfg, params, state)
     ss_ref = streaming.init_stream_state(cfg, params, state, first)
     ss_fused = jax.tree_util.tree_map(jnp.copy, ss_ref)
 
@@ -89,7 +90,7 @@ def test_fused_bf16_step_bit_parity(filter_widths, channels, b):
         p_ref, ss_ref = streaming.stream_step(cfg, params, state, ss_ref,
                                               frame)
         p_fused, ss_fused = streaming.stream_step_bf16_fused(
-            cfg, params, state, ss_fused, frame)
+            cfg, prepared, ss_fused, frame)
         np.testing.assert_array_equal(
             np.asarray(p_ref), np.asarray(p_fused),
             err_msg=f"pose mismatch at frame {t}")
@@ -104,9 +105,33 @@ def test_fused_bf16_requires_bf16_compute():
     cfg, _, first, _ = _setup((3, 3, 3), 32, 2)
     cfg = dataclasses.replace(cfg, compute_dtype="float32")
     params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
-    ss = streaming.init_stream_state(cfg, params, state, first)
     with pytest.raises(ValueError, match="bfloat16"):
-        streaming.stream_step_bf16_fused(cfg, params, state, ss, first)
+        streaming.prepare_bf16_fused(cfg, params, state)
+    with pytest.raises(ValueError, match="bfloat16"):
+        streaming.StreamingCausalLifter(cfg, params, state,
+                                        engine="bf16_fused")
+
+
+def test_fused_engines_reject_mesh():
+    cfg, q, first, _ = _setup((3, 3, 3), 32, 2)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    from videopose3d_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="mesh"):
+        streaming.StreamingCausalLifter(cfg, quantized=q,
+                                        engine="int8_fused", mesh=mesh)
+    with pytest.raises(ValueError, match="mesh"):
+        streaming.StreamingCausalLifter(cfg, params, state,
+                                        engine="bf16_fused", mesh=mesh)
+
+
+def test_per_frame_step_rejects_multi_state():
+    """A micro-batched (doubled, k-aligned) state fed to a per-frame step
+    must raise, not silently corrupt the rings."""
+    cfg, q, first, _ = _setup((3, 3, 3), 64, 4)
+    ss_multi = streaming.init_stream_state_int8_multi(cfg, q, first, 2)
+    with pytest.raises(ValueError, match="capacities"):
+        streaming.stream_step_int8(cfg, q, ss_multi, first)
 
 
 def test_fused_matches_offline_causal():

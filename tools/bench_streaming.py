@@ -109,8 +109,9 @@ def main():
                       cfg, params, state, first, k),
                   "bf16")
     if args.engine in ("bf16_fused", "all") and k == 1:
+        prepared = streaming.prepare_bf16_fused(cfg, params, state)
         bench(lambda ss, f: streaming.stream_step_bf16_fused(
-                  cfg, params, state, ss, f),
+                  cfg, prepared, ss, f),
               lambda: streaming.init_stream_state(cfg, params, state, first),
               "bf16_fused")
     if args.engine in ("int8", "int8_fused", "both", "all"):

@@ -47,6 +47,7 @@ def main():
     calib = jnp.asarray(rng.standard_normal((1, rf + 200, 17, 2)),
                         jnp.float32)
     q = quantize_temporal_model(cfg, params, state, calib)
+    prepared_bf16 = streaming.prepare_bf16_fused(cfg, params, state)
 
     engines = {
         "bf16": (lambda ss, f: streaming.stream_step(cfg, params, state,
@@ -54,7 +55,7 @@ def main():
                  lambda: streaming.init_stream_state(cfg, params, state,
                                                      first)),
         "bf16_fused": (lambda ss, f: streaming.stream_step_bf16_fused(
-                           cfg, params, state, ss, f),
+                           cfg, prepared_bf16, ss, f),
                        lambda: streaming.init_stream_state(cfg, params,
                                                            state, first)),
         "int8": (lambda ss, f: streaming.stream_step_int8(cfg, q, ss, f),

@@ -75,8 +75,9 @@ def main():
     else:
         if args.engine == "bf16_fused":
             assert k == 1, "bf16_fused is a per-frame engine"
+            prepared = streaming.prepare_bf16_fused(cfg, params, state)
             step = lambda ss, f: streaming.stream_step_bf16_fused(
-                cfg, params, state, ss, f)
+                cfg, prepared, ss, f)
             init = lambda: streaming.init_stream_state(cfg, params, state,
                                                        first)
         elif k == 1:

@@ -57,25 +57,15 @@ from jax.experimental.pallas import tpu as pltpu
 from videopose3d_tpu.ops.pallas.temporal_block_int8 import QMAX, _i8dot
 
 
-def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, halves):
-    """refs layout (after idx/eq):
-    inputs:  per block: wq_a, wq_b, vecs(8,C f32: A1,B1,A2,B2,R,pad...);
-             shrink_w, shrink_b; per block: ring_i (ANY).
-    outputs: poses, per block: ring_out_i (ANY, aliased to ring_i).
-    scratch: per block: taps (k-1, B, C) i8; stage (n_blocks-1, B, C) i8;
-             read_sems (n_blocks, max_taps); write_sems (n_blocks,).
-
-    ``halves`` > 1 splits the batch into independent row chunks and emits
-    each block's work chunk-interleaved, so one chunk's VPU epilogue
-    (requantize / rowmax) has another chunk's MXU dots available to overlap
-    with — the single-chunk form is one strict MXU->VPU->MXU dependency
-    chain that leaves the MXU idle through every epilogue.  Per-row math is
-    unchanged (row chunks are independent), so outputs stay bit-identical.
-    """
+def _unpack_refs(refs, n_blocks, a_key, b_key):
+    """Shared ref layout for both fused kernels (after the idx/activation
+    operands): per block [a, b, vecs(8, C)]; shrink_w, shrink_b; rings (ANY);
+    poses out; rings out (aliased); taps scratch per block; stage scratch;
+    read/write DMA semaphores."""
     pos = 0
     blk = []
     for i in range(n_blocks):
-        blk.append({"wq_a": refs[pos], "wq_b": refs[pos + 1],
+        blk.append({a_key: refs[pos], b_key: refs[pos + 1],
                     "vecs": refs[pos + 2]})
         pos += 3
     shrink_w = refs[pos]; shrink_b = refs[pos + 1]; pos += 2
@@ -85,11 +75,19 @@ def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, halves):
     taps = refs[pos:pos + n_blocks]; pos += n_blocks
     stage = refs[pos]; pos += 1
     read_sems = refs[pos]; write_sems = refs[pos + 1]
+    return (blk, shrink_w, shrink_b, rings_in, poses, rings_out, taps,
+            stage, read_sems, write_sems)
 
-    # Scalar-prefetched ring indices: per block [write_slot, tap_slots...].
+
+def _start_tap_reads(idx_ref, widths, rings_in, taps, read_sems):
+    """Kick off every older-tap ring read up front — none of those rows is
+    written this frame (tap lag > 0), so they are all safe to fetch at kernel
+    entry.  Returns (off, tap_dma): the per-block scalar-prefetch offsets
+    (idx layout per block: [write_slot, tap_slots...]) and the DMA factory
+    (reconstructable for the waits)."""
     off = [0]
-    for i in range(n_blocks):
-        off.append(off[-1] + widths[i])
+    for w in widths:
+        off.append(off[-1] + w)
 
     def tap_dma(i, j):
         t = idx_ref[off[i] + 1 + j]
@@ -97,13 +95,28 @@ def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, halves):
             rings_in[i].at[pl.ds(t, 1)], taps[i].at[pl.ds(j, 1)],
             read_sems.at[i, j])
 
-    # 1. Kick off every older-tap read: none of these rows is written this
-    # frame (tap lag > 0), so they are all safe to fetch up front.
-    for i in range(n_blocks):
+    for i in range(len(widths)):
         for j in range(widths[i] - 1):
             tap_dma(i, j).start()
+    return off, tap_dma
 
-    # 2. Push the expand stream (block 0's newest tap) straight from the
+
+def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, halves):
+    """int8 fused streaming kernel; ref layout in :func:`_unpack_refs`.
+
+    ``halves`` > 1 splits the batch into independent row chunks and emits
+    each block's work chunk-interleaved, so one chunk's VPU epilogue
+    (requantize / rowmax) has another chunk's MXU dots available to overlap
+    with — the single-chunk form is one strict MXU->VPU->MXU dependency
+    chain that leaves the MXU idle through every epilogue.  Per-row math is
+    unchanged (row chunks are independent), so outputs stay bit-identical.
+    """
+    (blk, shrink_w, shrink_b, rings_in, poses, rings_out, taps, stage,
+     read_sems, write_sems) = _unpack_refs(refs, n_blocks, "wq_a", "wq_b")
+    off, tap_dma = _start_tap_reads(idx_ref, widths, rings_in, taps,
+                                    read_sems)
+
+    # Push the expand stream (block 0's newest tap) straight from the
     # operand ref while block 0's dots run on it.
     w0 = idx_ref[off[0]]
     eq_push = pltpu.make_async_copy(eq, rings_out[0].at[pl.ds(w0, 1)],
@@ -218,9 +231,24 @@ def fused_blocks_step(q, rings, eq, idx, *, widths, halves=2,
                        ((0, 7), (0, 0)))]
     inputs += list(rings)
 
+    kernel = functools.partial(
+        _fused_blocks_kernel, n_blocks=n_blocks, widths=tuple(widths),
+        halves=halves)
+    return _fused_call(kernel, inputs, rings, b, c, j3, widths,
+                       scratch_dtype=jnp.int8, stage_rows=n_blocks - 1,
+                       interpret=interpret)
+
+
+def _fused_call(kernel, inputs, rings, b, c, j3, widths, *, scratch_dtype,
+                stage_rows, interpret):
+    """Shared pallas_call scaffolding for both fused streaming kernels:
+    VMEM specs for the activation + weights, ANY (HBM) rings aliased
+    input->output for in-place updates, per-block tap scratch, the staging
+    scratch, and the DMA semaphores (ref layout: _unpack_refs)."""
+    n_blocks = len(widths)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = ([vm()]                       # eq
+    in_specs = ([vm()]                       # activation operand
                 + [vm()] * (3 * n_blocks)    # block weights
                 + [vm(), vm()]               # shrink
                 + [any_()] * n_blocks)       # rings
@@ -237,14 +265,11 @@ def fused_blocks_step(q, rings, eq, idx, *, widths, halves=2,
         num_scalar_prefetch=1, grid=(1,),
         in_specs=in_specs, out_specs=out_specs,
         scratch_shapes=(
-            [pltpu.VMEM((w - 1, b, c), jnp.int8) for w in widths]
-            + [pltpu.VMEM((n_blocks - 1, b, c), jnp.int8),
+            [pltpu.VMEM((w - 1, b, c), scratch_dtype) for w in widths]
+            + [pltpu.VMEM((stage_rows, b, c), scratch_dtype),
                pltpu.SemaphoreType.DMA((n_blocks, max_taps)),
                pltpu.SemaphoreType.DMA((n_blocks,))]))
 
-    kernel = functools.partial(
-        _fused_blocks_kernel, n_blocks=n_blocks, widths=tuple(widths),
-        halves=halves)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -267,33 +292,10 @@ def _fused_blocks_bf16_kernel(idx_ref, a0, *refs, n_blocks, widths, halves):
     newest tap ``a0`` arrives as f32).  vecs rows are [s1, t1, s2, t2] from
     ``fold_batchnorm``.
     """
-    pos = 0
-    blk = []
-    for i in range(n_blocks):
-        blk.append({"w1": refs[pos], "w2": refs[pos + 1],
-                    "vecs": refs[pos + 2]})
-        pos += 3
-    shrink_w = refs[pos]; shrink_b = refs[pos + 1]; pos += 2
-    rings_in = refs[pos:pos + n_blocks]; pos += n_blocks
-    poses = refs[pos]; pos += 1
-    rings_out = refs[pos:pos + n_blocks]; pos += n_blocks
-    taps = refs[pos:pos + n_blocks]; pos += n_blocks
-    stage = refs[pos]; pos += 1
-    read_sems = refs[pos]; write_sems = refs[pos + 1]
-
-    off = [0]
-    for i in range(n_blocks):
-        off.append(off[-1] + widths[i])
-
-    def tap_dma(i, j):
-        t = idx_ref[off[i] + 1 + j]
-        return pltpu.make_async_copy(
-            rings_in[i].at[pl.ds(t, 1)], taps[i].at[pl.ds(j, 1)],
-            read_sems.at[i, j])
-
-    for i in range(n_blocks):
-        for j in range(widths[i] - 1):
-            tap_dma(i, j).start()
+    (blk, shrink_w, shrink_b, rings_in, poses, rings_out, taps, stage,
+     read_sems, write_sems) = _unpack_refs(refs, n_blocks, "w1", "w2")
+    off, tap_dma = _start_tap_reads(idx_ref, widths, rings_in, taps,
+                                    read_sems)
 
     b_total = a0.shape[-2]
     bh = b_total // halves
@@ -367,7 +369,10 @@ def fused_blocks_step_bf16(weights, rings, a0, idx, *, widths, halves=2,
       weights: dict with per-block lists ``w1`` ((k, C, C) arrays), ``w2``
         ((C, C)), ``vecs`` ((8, C) f32 rows [s1, t1, s2, t2] from
         ``fold_batchnorm``), plus ``shrink_w`` (C, J3) and ``shrink_b``
-        (J3,) — built by ``streaming.stream_step_bf16_fused``.
+        (J3,) — built ONCE per weight set by
+        ``streaming.prepare_bf16_fused`` (casting per step would copy
+        ~25 MB of weights per frame: pallas operands are materialized
+        buffers, the convert cannot fuse into the dot's operand read).
       rings: per-block bf16 ring buffers, time-major (cap_i, B, C); DONATED.
       a0: (B, C) f32 expand activation for this frame.
       idx: as in :func:`fused_blocks_step`.
@@ -393,36 +398,9 @@ def fused_blocks_step_bf16(weights, rings, a0, idx, *, widths, halves=2,
                        ((0, 7), (0, 0)))]
     inputs += list(rings)
 
-    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
-    in_specs = ([vm()] + [vm()] * (3 * n_blocks) + [vm(), vm()]
-                + [any_()] * n_blocks)
-    out_specs = [vm()] + [any_()] * n_blocks
-    out_shape = ([jax.ShapeDtypeStruct((b, j3), jnp.float32)]
-                 + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rings])
-    ring_in0 = 2 + 3 * n_blocks + 2
-    aliases = {ring_in0 + i: 1 + i for i in range(n_blocks)}
-
-    max_taps = max(w - 1 for w in widths)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(1,),
-        in_specs=in_specs, out_specs=out_specs,
-        scratch_shapes=(
-            [pltpu.VMEM((w - 1, b, c), jnp.bfloat16) for w in widths]
-            + [pltpu.VMEM((n_blocks, b, c), jnp.bfloat16),
-               pltpu.SemaphoreType.DMA((n_blocks, max_taps)),
-               pltpu.SemaphoreType.DMA((n_blocks,))]))
-
     kernel = functools.partial(
         _fused_blocks_bf16_kernel, n_blocks=n_blocks, widths=tuple(widths),
         halves=halves)
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        grid_spec=grid_spec,
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1024 * 1024 * 120)),
-        interpret=interpret,
-    )(*inputs)
-    return outs[0], list(outs[1:])
+    return _fused_call(kernel, inputs, rings, b, c, j3, widths,
+                       scratch_dtype=jnp.bfloat16, stage_rows=n_blocks,
+                       interpret=interpret)

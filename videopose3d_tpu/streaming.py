@@ -86,6 +86,20 @@ def _ring_tap_rows(buf, ptr, cap, width, dilation):
     return rows
 
 
+def _check_per_frame_caps(bufs, caps):
+    """Per-frame steps index rings mod the per-frame capacities; a
+    micro-batched state (doubled, k-aligned buffers from init_*_multi) would
+    be silently corrupted — pushes land in wrong slots with no shape error
+    (the symmetric guard to _check_multi_alignment)."""
+    got = tuple(b.shape[0] for b in bufs)
+    if got != tuple(caps):
+        raise ValueError(
+            f"stream state has ring capacities {got}, expected {tuple(caps)}:"
+            " this state was built for a different engine (micro-batched"
+            " init_*_multi states are not interchangeable with per-frame"
+            " steps)")
+
+
 def _advance_ptrs(ptrs, caps):
     """Increment each layer's ring position modulo its own capacity.
 
@@ -151,6 +165,7 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     compute_dtype = jnp.dtype(config.compute_dtype)
     caps = _buffer_capacities(config)
     bufs = list(stream_state["bufs"])
+    _check_per_frame_caps(bufs, caps)
     ptr = stream_state["ptr"]
 
     x = jnp.asarray(frame)
@@ -205,24 +220,66 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
     return out, new_state
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
-def stream_step_bf16_fused(config: TemporalModelConfig, params: Params,
-                           state: State, stream_state, frame):
+@functools.partial(jax.jit, static_argnums=0)
+def prepare_bf16_fused(config: TemporalModelConfig, params: Params,
+                       state: State):
+    """One-time weight preparation for :func:`stream_step_bf16_fused`.
+
+    Pallas operands must be materialized buffers (no fusing the f32->bf16
+    convert into the dot's operand read like XLA does), so casting inside the
+    step would copy ~25 MB of weights per frame at the flagship config.
+    Build this pytree once per weight set and pass it to every step.
+    """
+    if jnp.dtype(config.compute_dtype) != jnp.bfloat16:
+        raise ValueError("the fused bf16 engine requires "
+                         "compute_dtype='bfloat16'")
+    n_blocks = len(config.filter_widths) - 1
+    w0 = params["expand_conv"]["weight"]
+    k0 = w0.shape[0]
+    s0, t0 = _bn_affine(params["expand_bn"], state["expand_bn"])
+
+    def vecs(i):
+        s1, t1 = _bn_affine(params["layers_bn"][2 * i],
+                            state["layers_bn"][2 * i])
+        s2, t2 = _bn_affine(params["layers_bn"][2 * i + 1],
+                            state["layers_bn"][2 * i + 1])
+        v = jnp.stack([jnp.asarray(r, jnp.float32).reshape(-1)
+                       for r in (s1, t1, s2, t2)])
+        return jnp.pad(v, ((0, 8 - v.shape[0]), (0, 0)))
+
+    return {
+        "expand_w": w0.reshape(k0 * w0.shape[1], -1).astype(jnp.bfloat16),
+        "expand_s": s0, "expand_t": t0,
+        "w1": [params["layers_conv"][2 * i]["weight"].astype(jnp.bfloat16)
+               for i in range(n_blocks)],
+        "w2": [params["layers_conv"][2 * i + 1]["weight"][0]
+               .astype(jnp.bfloat16) for i in range(n_blocks)],
+        "vecs": [vecs(i) for i in range(n_blocks)],
+        "shrink_w": params["shrink"]["weight"][0].astype(jnp.bfloat16),
+        "shrink_b": params["shrink"]["bias"],
+    }
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+def stream_step_bf16_fused(config: TemporalModelConfig, prepared,
+                           stream_state, frame):
     """Advance all streams one frame with the single-kernel bf16 pipeline.
 
     Same state pytree and same bit-exact outputs as :func:`stream_step` with
     ``compute_dtype="bfloat16"`` (regression-tested); every residual block,
     ring update, and the shrink projection run inside ONE ``pallas_call``
     (``ops/pallas/streaming_fused.fused_blocks_step_bf16``).
+
+    Args:
+      prepared: weights pytree from :func:`prepare_bf16_fused` (built once
+        per weight set; the casts are too expensive to repeat per frame).
     """
     from videopose3d_tpu.ops.pallas.streaming_fused import (
         fused_blocks_step_bf16)
 
-    if jnp.dtype(config.compute_dtype) != jnp.bfloat16:
-        raise ValueError("the fused bf16 engine requires "
-                         "compute_dtype='bfloat16'")
     caps = _buffer_capacities(config)
     bufs = list(stream_state["bufs"])
+    _check_per_frame_caps(bufs, caps)
     ptr = stream_state["ptr"]
 
     x = jnp.asarray(frame)
@@ -231,14 +288,12 @@ def stream_step_bf16_fused(config: TemporalModelConfig, params: Params,
 
     # Raw ring + expand stay in XLA (tiny matmul, odd lane counts).
     bufs[0] = _ring_push(bufs[0], ptr[0], caps[0], x)
-    w0 = params["expand_conv"]["weight"]
-    k0 = w0.shape[0]
+    k0 = config.filter_widths[0]
     t0 = jnp.concatenate(
         _ring_tap_rows(bufs[0], ptr[0], caps[0], k0, 1) + [x], axis=-1)
-    a0 = jnp.dot(t0, w0.reshape(k0 * w0.shape[1], -1).astype(jnp.bfloat16),
+    a0 = jnp.dot(t0, prepared["expand_w"],
                  preferred_element_type=jnp.float32)
-    s, t_ = _bn_affine(params["expand_bn"], state["expand_bn"])
-    a0 = jax.nn.relu(a0 * s + t_)
+    a0 = jax.nn.relu(a0 * prepared["expand_s"] + prepared["expand_t"])
 
     widths = tuple(config.filter_widths[1:])
     idx = []
@@ -250,25 +305,7 @@ def stream_step_bf16_fused(config: TemporalModelConfig, params: Params,
                 for j in range(kw - 1)]
     idx = jnp.stack(idx).astype(jnp.int32)
 
-    def vecs(i):
-        s1, t1 = _bn_affine(params["layers_bn"][2 * i],
-                            state["layers_bn"][2 * i])
-        s2, t2 = _bn_affine(params["layers_bn"][2 * i + 1],
-                            state["layers_bn"][2 * i + 1])
-        v = jnp.stack([jnp.asarray(r, jnp.float32).reshape(-1)
-                       for r in (s1, t1, s2, t2)])
-        return jnp.pad(v, ((0, 8 - v.shape[0]), (0, 0)))
-
-    weights = {
-        "w1": [params["layers_conv"][2 * i]["weight"]
-               for i in range(len(widths))],
-        "w2": [params["layers_conv"][2 * i + 1]["weight"][0]
-               for i in range(len(widths))],
-        "vecs": [vecs(i) for i in range(len(widths))],
-        "shrink_w": params["shrink"]["weight"][0],
-        "shrink_b": params["shrink"]["bias"],
-    }
-    poses_flat, new_rings = fused_blocks_step_bf16(weights, bufs[1:], a0,
+    poses_flat, new_rings = fused_blocks_step_bf16(prepared, bufs[1:], a0,
                                                    idx, widths=widths)
     poses = poses_flat.reshape(b, config.num_joints_out, 3)
     new_state = {"bufs": [bufs[0]] + new_rings,
@@ -391,6 +428,7 @@ def stream_step_int8(config: TemporalModelConfig, q, stream_state, frame):
     """
     caps = _buffer_capacities(config)
     bufs = list(stream_state["bufs"])
+    _check_per_frame_caps(bufs, caps)
     ptr = stream_state["ptr"]
 
     x = jnp.asarray(frame)
@@ -444,6 +482,7 @@ def stream_step_int8_fused(config: TemporalModelConfig, q, stream_state,
 
     caps = _buffer_capacities(config)
     bufs = list(stream_state["bufs"])
+    _check_per_frame_caps(bufs, caps)
     ptr = stream_state["ptr"]
 
     x = jnp.asarray(frame)
@@ -801,6 +840,17 @@ class StreamingCausalLifter:
             raise ValueError("frames_per_step must be >= 1")
         if engine.endswith("_fused") and frames_per_step != 1:
             raise ValueError(f"engine={engine!r} is per-frame (k == 1)")
+        if (engine == "bf16_fused"
+                and jnp.dtype(config.compute_dtype) != jnp.bfloat16):
+            raise ValueError("engine='bf16_fused' requires "
+                             "compute_dtype='bfloat16'")
+        if engine.endswith("_fused") and mesh is not None:
+            # The fused pallas_call has no GSPMD partitioning rule; sharded
+            # operands would be gathered and run replicated, silently doing
+            # N x the work per chip instead of the documented scale-out.
+            raise ValueError(f"engine={engine!r} does not support mesh=; "
+                             "use the per-layer XLA engine for multi-chip "
+                             "serving")
         self.config = config
         self.params = params
         self.state = state
@@ -811,6 +861,7 @@ class StreamingCausalLifter:
         # reads and k-fold wider matmuls (see the multi-engine section).
         self.frames_per_step = frames_per_step
         self._stream_state = None
+        self._bf16_prepared = None   # lazy prepare_bf16_fused cache
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import (
                 batch_sharding, replicated_sharding)
@@ -855,9 +906,11 @@ class StreamingCausalLifter:
             out, self._stream_state = stream_step_int8_fused(
                 self.config, self.quantized, self._stream_state, frame)
         elif self.engine == "bf16_fused":
+            if self._bf16_prepared is None:
+                self._bf16_prepared = prepare_bf16_fused(
+                    self.config, self.params, self.state)
             out, self._stream_state = stream_step_bf16_fused(
-                self.config, self.params, self.state, self._stream_state,
-                frame)
+                self.config, self._bf16_prepared, self._stream_state, frame)
         elif self.engine == "int8":
             if k > 1:
                 out, self._stream_state = stream_step_int8_multi(
@@ -1001,15 +1054,26 @@ def main(argv=None):
     if args.engine in ("int8", "int8_fused"):
         from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
             quantize_temporal_model)
-        # Calibrate across every clip (trained ReLU channels can be silent on
-        # one clip and active on another — see quantize_temporal_model).
-        calib = np.concatenate(streams, axis=0)[None]
-        if calib.shape[1] < rf:  # short clips: edge-replicate to one window
-            pad_n = rf - calib.shape[1]
-            calib = np.concatenate(
-                [calib, np.repeat(calib[:, -1:], pad_n, axis=1)], axis=1)
+        # Calibrate across clips (trained ReLU channels can be silent on one
+        # clip and active on another — see quantize_temporal_model), but
+        # BOUNDED: activation ranges need a few hundred representative
+        # frames, not a full f32 forward over a million-frame archive, and
+        # separate clips (not one concat) avoid receptive-field windows that
+        # straddle unrelated videos.
+        max_clips, max_len = 8, rf + 256
+        picked = streams if len(streams) <= max_clips else [
+            streams[i * (len(streams) - 1) // (max_clips - 1)]
+            for i in range(max_clips)]
+        t_cal = max(rf, min(max_len, max(s.shape[0] for s in picked)))
+        clips = []
+        for s in picked:
+            s = s[:t_cal]
+            if s.shape[0] < t_cal:  # short clip: edge-replicate the tail
+                s = np.concatenate(
+                    [s, np.repeat(s[-1:], t_cal - s.shape[0], axis=0)])
+            clips.append(s)
         q = quantize_temporal_model(config, params, state,
-                                    jnp.asarray(calib))
+                                    jnp.asarray(np.stack(clips)))
         lifter = StreamingCausalLifter(config, engine=args.engine,
                                        quantized=q,
                                        frames_per_step=args.frames_per_step)
