@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--t-tile", type=int, default=512)
     ap.add_argument("--skip-bf16", action="store_true",
                     help="skip the secondary metric-grade bf16 measurement")
+    ap.add_argument("--halves", type=int, default=1,
+                    help="int8 kernel chunk-interleave factor (bit-identical;"
+                         " see forward_dilated_int8)")
     args = ap.parse_args()
     from videopose3d_tpu.models.temporal import (
         TemporalModelConfig, init_temporal_model, receptive_field,
@@ -105,7 +108,7 @@ def main():
     # Headline: w8a8 int8 serving path (int8 MXU, int8 inter-block stream).
     frames_per_sec = throughput(
         make_infer_n(lambda q, xd: forward_dilated_int8(
-            cfg, q, xd, t_tile=t_tile)), q)
+            cfg, q, xd, t_tile=t_tile, halves=args.halves)), q)
 
     # Secondary: metric-grade bf16 fused-Pallas path — same methodology, so
     # the JSON self-describes what the headline engine trades for speed
