@@ -190,8 +190,9 @@ def _fused_blocks_kernel(idx_ref, eq, *refs, n_blocks, widths, halves):
         write_sems_wait.wait()
 
 
-def _pack_vecs(blk):
-    rows = [blk["A1"], blk["B1"], blk["A2"], blk["B2"], blk["R"]]
+def pack_vec_rows(rows):
+    """Stack per-channel epilogue vectors into one sublane-padded (8, C)
+    f32 operand (fewer tiny VMEM operands than one ref per vector)."""
     v = jnp.stack([jnp.asarray(r, jnp.float32).reshape(-1) for r in rows])
     return jnp.pad(v, ((0, 8 - v.shape[0]), (0, 0)))
 
@@ -225,7 +226,9 @@ def fused_blocks_step(q, rings, eq, idx, *, widths, halves=2,
     inputs = [idx, eq[None]]     # (1, B, C): rank-matched to ring-row DMAs
     for i in range(n_blocks):
         blk = q["blocks"][i]
-        inputs += [blk["wq_a"], blk["wq_b"], _pack_vecs(blk)]
+        inputs += [blk["wq_a"], blk["wq_b"],
+                   pack_vec_rows([blk["A1"], blk["B1"], blk["A2"],
+                                  blk["B2"], blk["R"]])]
     inputs += [q["shrink_w"].astype(jnp.bfloat16),
                jnp.pad(jnp.asarray(q["shrink_b"], jnp.float32)[None],
                        ((0, 7), (0, 0)))]

@@ -238,14 +238,14 @@ def prepare_bf16_fused(config: TemporalModelConfig, params: Params,
     k0 = w0.shape[0]
     s0, t0 = _bn_affine(params["expand_bn"], state["expand_bn"])
 
+    from videopose3d_tpu.ops.pallas.streaming_fused import pack_vec_rows
+
     def vecs(i):
         s1, t1 = _bn_affine(params["layers_bn"][2 * i],
                             state["layers_bn"][2 * i])
         s2, t2 = _bn_affine(params["layers_bn"][2 * i + 1],
                             state["layers_bn"][2 * i + 1])
-        v = jnp.stack([jnp.asarray(r, jnp.float32).reshape(-1)
-                       for r in (s1, t1, s2, t2)])
-        return jnp.pad(v, ((0, 8 - v.shape[0]), (0, 0)))
+        return pack_vec_rows([s1, t1, s2, t2])
 
     return {
         "expand_w": w0.reshape(k0 * w0.shape[1], -1).astype(jnp.bfloat16),
