@@ -33,7 +33,38 @@ import jax
 import jax.numpy as jnp
 
 
+def _wait_for_backend(budget_s: float = 600.0, probe_interval_s: float = 30.0):
+    """The tunneled TPU backend can be transiently unavailable (observed
+    multi-hour outages with recovery); wait for it in SUBPROCESS probes for a
+    bounded window before initializing in this process (a failed in-process
+    init can be cached by the backend registry, so probing must not touch
+    this process's jax state).  No-op once a probe succeeds."""
+    import os
+    import subprocess
+    import sys
+    budget_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", budget_s))
+    deadline = time.time() + budget_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8,8)) @ jnp.ones((8,8)))))")
+    while True:
+        try:
+            rc = subprocess.run([sys.executable, "-c", probe], timeout=240,
+                                capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        if time.time() >= deadline:
+            print("# backend probe never succeeded; proceeding anyway",
+                  flush=True)
+            return
+        print(f"# backend unavailable; retrying "
+              f"({deadline - time.time():.0f}s left)", flush=True)
+        time.sleep(probe_interval_s)
+
+
 def main():
+    _wait_for_backend()
     # Defaults from the measured shape sweeps (PARITY.md): longer windows
     # amortize the receptive-field overlap (242/33010 = 0.7% waste) and B=4
     # keeps the per-tile working set resident.  Post inter-block-fusion
