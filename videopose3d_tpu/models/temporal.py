@@ -38,6 +38,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -272,6 +273,11 @@ def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
     return y, new_state
 
 
+# A/B escape hatch for the transposed mask draw in _dropout ("tcb" = draw
+# (T, C, B) and bitcast-transpose; "btc" = draw the activation shape as-is).
+_DROPOUT_DRAW_ORDER = os.environ.get("VP3D_DROPOUT_DRAW_ORDER", "tcb")
+
+
 def _dropout_mask(rate: float, rng, shape, dtype):
     """Pre-scaled inverted-dropout mask (values 0 or 1/keep) from narrow
     random draws.
@@ -304,8 +310,26 @@ def _dropout_mask(rate: float, rng, shape, dtype):
     return mask.astype(dtype) * (1.0 / keep)
 
 
+def _dropout_mask_btc(rate: float, rng, shape, dtype):
+    """Rank-3 ``(B, T, C)`` dropout mask, drawn in ``(T, C, B)`` order and
+    transposed back.  XLA lays the activations out batch-minor (physical
+    ``[T][C][B]``, lanes = batch), while ``rng-bit-generator`` emits its
+    default major-to-minor layout — drawing ``(B, T, C)`` directly forces a
+    full relayout copy of the mask per layer (measured 232 us/step for the
+    expand layer alone at B=1024/C=1024).  Drawing the transposed shape makes
+    the transpose a pure bitcast.  Mask bits are IID so any axis order is an
+    equally valid dropout mask (this only permutes which PRNG draw lands on
+    which element).  Shared by the XLA block path and the fused Pallas train
+    block so both consume the identical mask stream."""
+    if len(shape) == 3 and _DROPOUT_DRAW_ORDER == "tcb":
+        b, t, c = shape
+        mask = _dropout_mask(rate, rng, (t, c, b), dtype)
+        return None if mask is None else mask.transpose(2, 0, 1)
+    return _dropout_mask(rate, rng, shape, dtype)
+
+
 def _dropout(x, rate: float, rng):
-    mask = _dropout_mask(rate, rng, x.shape, x.dtype)
+    mask = _dropout_mask_btc(rate, rng, x.shape, x.dtype)
     return x if mask is None else x * mask
 
 
@@ -508,8 +532,8 @@ def forward_strided(
         center = config.causal_shifts_strided[i + 1] + fw // 2
         shape = (b, t // fw, c)
         rate = config.dropout if train else 0.0
-        ma = _dropout_mask(rate, rng_a, shape, compute_dtype)
-        mb = _dropout_mask(rate, rng_b, shape, compute_dtype)
+        ma = _dropout_mask_btc(rate, rng_a, shape, compute_dtype)
+        mb = _dropout_mask_btc(rate, rng_b, shape, compute_dtype)
         ones = None
         if ma is None or mb is None:
             ones = jnp.ones(shape, compute_dtype)
