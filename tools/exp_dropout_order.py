@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
+    if args.iters < 2:
+        ap.error("--iters must be >= 2 (per-step time is the slope between "
+                 "an n-iteration and a 1-iteration run)")
 
     cfg = TemporalModelConfig(
         num_joints_in=17, in_features=2, num_joints_out=17,

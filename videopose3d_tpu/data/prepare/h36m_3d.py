@@ -29,71 +29,76 @@ def _canonical(action: str) -> str:
     return action.replace("TakingPhoto", "Photo").replace("WalkingDog", "WalkDog")
 
 
+def _harvest(root: str, take_glob: str, read_take, ext_depth: int,
+             rename: bool) -> dict:
+    """Shared ingest driver over the three on-disk formats.
+
+    Walks every subject directory under ``root``, sanity-checks the take
+    count (30 per subject), strips ``ext_depth`` filename extensions to get
+    the action name, drops the corrupted ``S11/Directions`` take, optionally
+    canonicalizes action names, and converts millimeters to meters.
+
+    ``read_take(path)`` returns the raw ``(T, 32, 3)`` mocap array for one
+    file; everything else is format-independent.
+    """
+    dataset = {}
+    for subject in SUBJECTS:
+        takes = glob(os.path.join(root, subject, take_glob))
+        assert len(takes) == 30, (
+            f"Expected 30 files for subject {subject}, got {len(takes)}")
+        clips = dataset.setdefault(subject, {})
+        for path in takes:
+            name = os.path.basename(path)
+            for _ in range(ext_depth):
+                name = os.path.splitext(name)[0]
+            if (subject, name) == ("S11", "Directions"):
+                continue  # corrupted video, dropped by every ingest path
+            mm = read_take(path)
+            clips[_canonical(name) if rename else name] = \
+                (mm / 1000.0).astype(np.float32)
+    return dataset
+
+
 def convert_from_archive(archive_path: str, workdir: str) -> dict:
     """Martinez et al. preprocessed zip of per-action .h5 files."""
     import h5py
+
+    def read_take(path):
+        with h5py.File(path, "r") as hf:
+            flat = hf["3D_positions"][()]          # (96, T) joint-major
+        return flat.reshape(32, 3, -1).transpose(2, 0, 1)
+
     print("Extracting Human3.6M dataset from", archive_path)
     with zipfile.ZipFile(archive_path, "r") as archive:
         archive.extractall(workdir)
-
     print("Converting...")
-    output = {}
-    for subject in SUBJECTS:
-        output[subject] = {}
-        file_list = glob(os.path.join(workdir, "h36m", subject,
-                                      "MyPoses/3D_positions/*.h5"))
-        assert len(file_list) == 30, (
-            f"Expected 30 files for subject {subject}, got {len(file_list)}")
-        for f in file_list:
-            action = os.path.splitext(os.path.basename(f))[0]
-            if subject == "S11" and action == "Directions":
-                continue  # corrupted video
-            with h5py.File(f, "r") as hf:
-                positions = hf["3D_positions"][()].reshape(32, 3, -1)
-                positions = positions.transpose(2, 0, 1) / 1000.0
-                output[subject][action] = positions.astype("float32")
+    dataset = _harvest(os.path.join(workdir, "h36m"),
+                       "MyPoses/3D_positions/*.h5", read_take,
+                       ext_depth=1, rename=False)
     rmtree(os.path.join(workdir, "h36m"))
-    return output
+    return dataset
 
 
 def convert_from_source_mat(source_path: str) -> dict:
     """Original dataset pre-converted to .cdf.mat by data/convert_cdf_to_mat.m."""
     from scipy.io import loadmat
-    output = {}
-    for subject in SUBJECTS:
-        output[subject] = {}
-        file_list = glob(os.path.join(
-            source_path, subject, "MyPoseFeatures/D3_Positions/*.cdf.mat"))
-        assert len(file_list) == 30, (
-            f"Expected 30 files for subject {subject}, got {len(file_list)}")
-        for f in file_list:
-            action = os.path.splitext(os.path.splitext(os.path.basename(f))[0])[0]
-            if subject == "S11" and action == "Directions":
-                continue
-            hf = loadmat(f)
-            positions = hf["data"][0, 0].reshape(-1, 32, 3) / 1000.0
-            output[subject][_canonical(action)] = positions.astype("float32")
-    return output
+
+    def read_take(path):
+        return loadmat(path)["data"][0, 0].reshape(-1, 32, 3)
+
+    return _harvest(source_path, "MyPoseFeatures/D3_Positions/*.cdf.mat",
+                    read_take, ext_depth=2, rename=True)
 
 
 def convert_from_source_cdf(source_path: str) -> dict:
     """Original dataset via raw .cdf files (requires cdflib)."""
     import cdflib
-    output = {}
-    for subject in SUBJECTS:
-        output[subject] = {}
-        file_list = glob(os.path.join(
-            source_path, subject, "MyPoseFeatures/D3_Positions/*.cdf"))
-        assert len(file_list) == 30, (
-            f"Expected 30 files for subject {subject}, got {len(file_list)}")
-        for f in file_list:
-            action = os.path.splitext(os.path.basename(f))[0]
-            if subject == "S11" and action == "Directions":
-                continue
-            hf = cdflib.CDF(f)
-            positions = hf["Pose"].reshape(-1, 32, 3) / 1000.0
-            output[subject][_canonical(action)] = positions.astype("float32")
-    return output
+
+    def read_take(path):
+        return cdflib.CDF(path)["Pose"].reshape(-1, 32, 3)
+
+    return _harvest(source_path, "MyPoseFeatures/D3_Positions/*.cdf",
+                    read_take, ext_depth=1, rename=True)
 
 
 def generate_gt_2d(dataset_path: str, output_path_2d: str):

@@ -21,7 +21,6 @@ import argparse
 import os
 import re
 from glob import glob
-from itertools import groupby
 
 import numpy as np
 
@@ -69,113 +68,141 @@ SYNC_DATA = {
 }
 
 
+def _finite_spans(stream):
+    """Partition a frame stream into maximal contiguous runs of all-finite
+    vs corrupted frames.
+
+    Returns ``[(start, stop, finite), ...]`` half-open spans covering
+    ``[0, len(stream))``, computed with one vectorized finiteness reduction
+    (no per-frame Python loop).
+    """
+    per_frame_ok = np.isfinite(stream).all(
+        axis=tuple(range(1, stream.ndim)))
+    flips = np.flatnonzero(per_frame_ok[1:] != per_frame_ok[:-1]) + 1
+    bounds = [0, *flips.tolist(), len(per_frame_ok)]
+    return [(a, b, bool(per_frame_ok[a]))
+            for a, b in zip(bounds[:-1], bounds[1:])]
+
+
 def convert_3d(path):
-    """Parse MATLAB-exported .mat streams; returns (3d archive dict,
-    2d-GT archive dict, frame_mapping, num_joints)."""
+    """Ingest the MATLAB-exported HumanEva streams.
+
+    Behavior parity target: the 3D branch of
+    ``/root/reference/data/prepare_data_humaneva.py`` (output archives are
+    golden-tested bit-equal).  Mocap dropouts (NaN frames) split each action
+    into separately-named ``<action> chunkN`` clips; a chunk is kept only if
+    its 3D stream is fully finite, and the 2D ground truth is cut at its own
+    finiteness boundaries (span k of the 2D stream pairs with span k of the
+    3D stream).
+
+    Returns ``(poses_world, poses_image, span_table, joint_count)`` where
+    ``span_table[subject][action]`` lists
+    ``(start, stop, usable, split, chunk_name)`` in dataset frame numbers
+    (used later to cut external detections at the same boundaries).
+    """
     from scipy.io import loadmat
 
-    output = {}
-    output_2d = {}
-    frame_mapping = {}
-    num_joints = None
+    poses_world = {s: {} for s in SUBJECTS}   # 3D mocap, meters
+    poses_image = {s: {} for s in SUBJECTS}   # GT 2D, per camera
+    span_table = {}
+    joint_count = None
 
     for subject in SUBJECTS:
-        output[subject] = {}
-        output_2d[subject] = {}
-        split, subject_name = subject.split("/")
-        frame_mapping.setdefault(subject_name, {})
+        split, short_name = subject.split("/")
+        per_action = span_table.setdefault(short_name, {})
 
-        for f in glob(os.path.join(path, subject, "*.mat")):
-            action = os.path.splitext(os.path.basename(f))[0]
-            canonical_name = action.replace("_", " ")
+        for mat_file in glob(os.path.join(path, subject, "*.mat")):
+            stem = os.path.splitext(os.path.basename(mat_file))[0]
+            action = stem.replace("_", " ")
+            first, last = INDEX[subject][action]
 
-            hf = loadmat(f)
-            positions = hf["poses_3d"]
-            positions_2d = hf["poses_2d"].transpose(1, 0, 2, 3)  # GT 2D
-            assert (positions.shape[0] == positions_2d.shape[0]
-                    and positions.shape[1] == positions_2d.shape[2])
-            assert num_joints is None or num_joints == positions.shape[1], \
+            payload = loadmat(mat_file)
+            world = payload["poses_3d"]                        # (T, J, 3) mm
+            image = payload["poses_2d"].transpose(1, 0, 2, 3)  # (T, cam, J, 2)
+            assert world.shape[0] == image.shape[0]
+            assert world.shape[1] == image.shape[2]
+            assert joint_count in (None, world.shape[1]), \
                 "Joint number inconsistency among files"
-            num_joints = positions.shape[1]
-            assert positions.shape[0] == (INDEX[subject][canonical_name][1]
-                                          - INDEX[subject][canonical_name][0])
+            joint_count = world.shape[1]
+            assert world.shape[0] == last - first  # sequence-length check
 
-            # Split corrupted motion capture streams into contiguous chunks,
-            # e.g. 012XX567X9 -> "012", "567", "9".
-            all_chunks = [list(v) for _, v in groupby(
-                positions, lambda x: np.isfinite(x).all())]
-            all_chunks_2d = [list(v) for _, v in groupby(
-                positions_2d, lambda x: np.isfinite(x).all())]
-            assert len(all_chunks) == len(all_chunks_2d)
+            spans_world = _finite_spans(world)
+            spans_image = _finite_spans(image)
+            assert len(spans_world) == len(spans_image)
 
-            current_index = INDEX[subject][canonical_name][0]
-            chunk_indices = []
-            for i, chunk in enumerate(all_chunks):
-                next_index = current_index + len(chunk)
-                name = canonical_name + " chunk" + str(i)
-                valid = bool(np.isfinite(chunk).all())
-                if valid:
-                    output[subject][name] = np.array(chunk, dtype="float32") / 1000
-                    output_2d[subject][name] = list(np.array(
-                        all_chunks_2d[i], dtype="float32").transpose(1, 0, 2, 3))
-                chunk_indices.append(
-                    (current_index, next_index, valid, split, name))
-                current_index = next_index
-            assert current_index == INDEX[subject][canonical_name][1]
-            frame_mapping[subject_name].setdefault(canonical_name, [])
-            frame_mapping[subject_name][canonical_name] += chunk_indices
+            rows = per_action.setdefault(action, [])
+            for k, (a, b, usable) in enumerate(spans_world):
+                chunk = f"{action} chunk{k}"
+                if usable:
+                    poses_world[subject][chunk] = \
+                        world[a:b].astype(np.float32) / 1000
+                    a2, b2, _ = spans_image[k]
+                    per_camera = image[a2:b2].astype(np.float32)
+                    poses_image[subject][chunk] = \
+                        list(per_camera.transpose(1, 0, 2, 3))
+                rows.append((first + a, first + b, usable, split, chunk))
+            assert first + world.shape[0] == last
 
-    return output, output_2d, frame_mapping, num_joints
+    return poses_world, poses_image, span_table, joint_count
 
 
-def convert_2d(detections_path, output_suffix, frame_mapping, data_dir,
+def convert_2d(detections_path, output_suffix, span_table, data_dir,
                layout_prefix):
-    import_func = suggest_pose_importer(output_suffix)
+    """Align external 2D detections with the mocap chunking.
+
+    Behavior parity target: the 2D branch of
+    ``/root/reference/data/prepare_data_humaneva.py`` (golden-tested
+    bit-equal).  Each per-camera detection file is shifted by the published
+    camera sync offset, then cut at the span boundaries recorded by
+    :func:`convert_3d`; subjects/actions without mocap land under
+    ``Unlabeled/``.
+    """
+    importer = suggest_pose_importer(output_suffix)
     metadata = suggest_metadata(output_suffix)
 
     print("Parsing 2D detections from", detections_path)
-    output = {}
-    for f in glob(detections_path + "/S*/*.avi.npz"):
-        path, fname = os.path.split(f)
-        subject = os.path.basename(path)
+    archive = {}
+
+    def slot(subject_key, clip_key):
+        """Per-camera 3-slot list for one (subject, clip), created lazily."""
+        return archive.setdefault(subject_key, {}).setdefault(
+            clip_key, [None, None, None])
+
+    for det_file in glob(detections_path + "/S*/*.avi.npz"):
+        folder, det_name = os.path.split(det_file)
+        subject = os.path.basename(folder)
         assert subject.startswith("S"), (
             subject + " does not look like a subject directory")
 
-        m = re.search(r"(.*) \((.*)\)", fname.replace("_", " "))
-        action, camera = m.group(1), m.group(2)
-        camera_idx = CAM_MAP[camera]
+        parsed = re.match(r"(.*) \((.*)\)", det_name.replace("_", " "))
+        action, cam = parsed.group(1), CAM_MAP[parsed.group(2)]
 
-        keypoints = import_func(f)
-        assert keypoints.shape[1] == metadata["num_joints"]
+        detections = importer(det_file)
+        assert detections.shape[1] == metadata["num_joints"]
 
-        if action in SYNC_DATA.get(subject, {}):
-            sync_offset = SYNC_DATA[subject][action][camera_idx] - 1
-        else:
-            sync_offset = 0
+        skip = SYNC_DATA.get(subject, {}).get(action)
+        shift = 0 if skip is None else skip[cam] - 1
 
-        if subject in frame_mapping and action in frame_mapping[subject]:
-            for (start_idx, end_idx, labeled, split, name) in \
-                    frame_mapping[subject][action]:
-                canonical_subject = split + "/" + subject
-                if not labeled:
-                    canonical_subject = "Unlabeled/" + canonical_subject
-                output.setdefault(canonical_subject, {})
-                kps = keypoints[start_idx + sync_offset:end_idx + sync_offset]
-                assert len(kps) == end_idx - start_idx, (
-                    f"Got len {len(kps)}, expected {end_idx - start_idx}")
-                output[canonical_subject].setdefault(name, [None, None, None])
-                output[canonical_subject][name][camera_idx] = kps.astype("float32")
-        else:
-            canonical_subject = "Unlabeled/" + subject
-            output.setdefault(canonical_subject, {})
-            output[canonical_subject].setdefault(action, [None, None, None])
-            output[canonical_subject][action][camera_idx] = \
-                keypoints.astype("float32")
+        spans = span_table.get(subject, {}).get(action)
+        if spans is None:
+            # No mocap for this take at all: keep the whole video unlabeled.
+            slot("Unlabeled/" + subject, action)[cam] = \
+                detections.astype(np.float32)
+            continue
+
+        for start, stop, usable, split, chunk in spans:
+            key = f"{split}/{subject}"
+            if not usable:
+                key = "Unlabeled/" + key
+            window = detections[start + shift:stop + shift]
+            assert len(window) == stop - start, (
+                f"Got len {len(window)}, expected {stop - start}")
+            slot(key, chunk)[cam] = window.astype(np.float32)
 
     print("Saving...")
     np.savez_compressed(
         os.path.join(data_dir, layout_prefix + output_suffix + ".npz"),
-        positions_2d=output, metadata=metadata)
+        positions_2d=archive, metadata=metadata)
     print("Done.")
 
 

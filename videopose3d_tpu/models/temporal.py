@@ -275,7 +275,14 @@ def _batchnorm(x, bn_params, bn_state, *, train: bool, momentum):
 
 # A/B escape hatch for the transposed mask draw in _dropout ("tcb" = draw
 # (T, C, B) and bitcast-transpose; "btc" = draw the activation shape as-is).
+# Read at TRACE time and not part of any jit cache key: it must be set in the
+# environment before the first trace of a model function (tools that flip it
+# in-process must do so before compiling anything, as tools/exp_dropout_order
+# does).  Mutating it later silently leaves cached traces on the old order.
 _DROPOUT_DRAW_ORDER = os.environ.get("VP3D_DROPOUT_DRAW_ORDER", "tcb")
+if _DROPOUT_DRAW_ORDER not in ("tcb", "btc"):
+    raise ValueError(
+        f"VP3D_DROPOUT_DRAW_ORDER={_DROPOUT_DRAW_ORDER!r}: must be 'tcb' or 'btc'")
 
 
 def _dropout_mask(rate: float, rng, shape, dtype):

@@ -1022,9 +1022,14 @@ def main(argv=None):
     ap.add_argument("--frames-per-step", type=int, default=1,
                     help="micro-batch k frames per dispatch (higher "
                          "throughput, k frames of added latency)")
+    ap.add_argument("--calibration-clips", type=int, default=8,
+                    help="int8 engines: max clips sampled for activation "
+                         "calibration (evenly spaced across the archive)")
     ap.add_argument("--output", required=True,
                     help="output .npz: one (T, J, 3) pose array per video")
     args = ap.parse_args(argv)
+    if args.calibration_clips < 1:
+        ap.error("--calibration-clips must be >= 1")
 
     if args.engine == "bf16_fused" and args.compute_dtype != "bfloat16":
         ap.error("--engine bf16_fused requires --compute-dtype bfloat16")
@@ -1060,10 +1065,17 @@ def main(argv=None):
         # frames, not a full f32 forward over a million-frame archive, and
         # separate clips (not one concat) avoid receptive-field windows that
         # straddle unrelated videos.
-        max_clips, max_len = 8, rf + 256
-        picked = streams if len(streams) <= max_clips else [
-            streams[i * (len(streams) - 1) // (max_clips - 1)]
-            for i in range(max_clips)]
+        max_clips, max_len = args.calibration_clips, rf + 256
+        if len(streams) <= max_clips:
+            picked = streams
+        elif max_clips == 1:
+            picked = [streams[0]]
+        else:
+            picked = [streams[i * (len(streams) - 1) // (max_clips - 1)]
+                      for i in range(max_clips)]
+        print(f"INFO: int8 calibration on {len(picked)} of {len(streams)} "
+              f"clip(s) (--calibration-clips {max_clips}), up to "
+              f"{max_len} frames each")
         t_cal = max(rf, min(max_len, max(s.shape[0] for s in picked)))
         clips = []
         for s in picked:
