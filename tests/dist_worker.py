@@ -40,7 +40,7 @@ def main():
     assert jax.device_count() == 4 * nproc, jax.device_count()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from dist_scenario import run_scenario
+    from dist_scenario import run_scenario, run_scenario_scan, run_scenario_semi
 
     from jax.experimental import multihost_utils
 
@@ -54,9 +54,12 @@ def main():
     multihost_utils.sync_global_devices("checkpoint-written")
 
     resumed = run_scenario(mesh, epochs=2, resume_from=ckpt)
+    scan = run_scenario_scan(mesh, epochs=2)
+    semi = run_scenario_semi(mesh, epochs=2, warmup=1)
 
     with open(os.path.join(outdir, f"result_{proc_id}.pkl"), "wb") as f:
-        pickle.dump({"continuous": continuous, "resumed": resumed}, f)
+        pickle.dump({"continuous": continuous, "resumed": resumed,
+                     "scan": scan, "semi": semi}, f)
     print(f"worker {proc_id}: done", flush=True)
 
 

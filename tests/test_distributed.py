@@ -62,10 +62,19 @@ def _assert_trees_close(a, b, atol):
 
 def test_two_process_matches_single_process(tmp_path):
     from videopose3d_tpu.parallel import make_mesh
-    from dist_scenario import run_scenario
+    from dist_scenario import (run_scenario, run_scenario_scan,
+                               run_scenario_semi)
 
-    # Control: the same scenario over this process's 8 virtual devices.
-    control = run_scenario(make_mesh(), epochs=2)
+    # Controls: the same scenarios over this process's 8 virtual devices.
+    mesh = make_mesh()
+    control = run_scenario(mesh, epochs=2)
+    control_scan = run_scenario_scan(mesh, epochs=2)
+    control_semi = run_scenario_semi(mesh, epochs=2, warmup=1)
+
+    # The epoch-scan path must be numerically interchangeable with the
+    # stepwise path (same descriptors, same rng stream).
+    np.testing.assert_allclose(control_scan["losses"], control["losses"],
+                               rtol=1e-5)
 
     _launch_workers(tmp_path)
 
@@ -94,3 +103,20 @@ def test_two_process_matches_single_process(tmp_path):
     # Both processes computed identical replicated results.
     _assert_trees_close(results[0]["continuous"]["params"],
                         results[1]["continuous"]["params"], 0.0)
+
+    # Epoch-as-one-scan under the 2-process cluster == single-process scan.
+    for pid in range(2):
+        scan = results[pid]["scan"]
+        np.testing.assert_allclose(scan["losses"], control_scan["losses"],
+                                   rtol=1e-5)
+        _assert_trees_close(scan["params"], control_scan["params"], 2e-6)
+        _assert_trees_close(scan["state"], control_scan["state"], 2e-6)
+
+    # Semi-supervised (warmup epoch -> full pos+traj+reprojection epoch,
+    # endless unlabeled stream) under the cluster == single-process mesh.
+    for pid in range(2):
+        semi = results[pid]["semi"]
+        np.testing.assert_allclose(semi["losses"], control_semi["losses"],
+                                   rtol=3e-5, atol=1e-6)
+        _assert_trees_close(semi["params"], control_semi["params"], 3e-6)
+        _assert_trees_close(semi["states"], control_semi["states"], 3e-6)

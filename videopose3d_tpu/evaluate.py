@@ -128,6 +128,13 @@ class Evaluator:
 
     def predict(self, params, state, batch_2d, augment: bool) -> np.ndarray:
         """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
+        # On a multi-host pod the trained weights arrive as pod-global
+        # replicated arrays; evaluation is a per-process local computation
+        # (every process evaluates the full set redundantly, mirroring the
+        # reference's single-device eval, run.py:424-549), so take this
+        # process's local replica (zero-copy; no-op single-process).
+        from videopose3d_tpu.parallel import local_replica
+        params, state = local_replica((params, state))
         batch_2d = jnp.asarray(batch_2d)
         if self.engine == "int8":
             key = self._weights_key(params, state)

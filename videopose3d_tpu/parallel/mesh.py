@@ -133,3 +133,30 @@ def replicated_array(host_array: np.ndarray, mesh: Mesh) -> jax.Array:
     """Replicate a host array (identical on every process) across the mesh —
     multi-host-safe counterpart of ``device_put(x, replicated_sharding(mesh))``."""
     return host_array_to_global(host_array, mesh, P())
+
+
+def local_replica(tree):
+    """Per-process local view of a pod-replicated pytree.
+
+    On a multi-host pod the trained parameters are global ``jax.Array``s
+    spanning every process's devices; code that runs *per process* — the
+    shardings-free evaluation jit, checkpoint snapshotting on process 0,
+    rendering — cannot consume them (a computation touching non-addressable
+    devices must be entered by every process, and process-local helpers are
+    not collectives).  Because the state is fully replicated, each process
+    already holds a complete copy: this returns that copy as ordinary
+    single-device local arrays (zero-copy — a view of the first addressable
+    shard's buffer).
+
+    Fully-addressable leaves (single-process runs, host arrays) pass through
+    untouched, so callers can apply this unconditionally.
+    """
+    def to_local(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if not x.is_fully_replicated:
+                raise ValueError(
+                    "local_replica needs fully-replicated arrays; got "
+                    f"sharding {x.sharding} for shape {x.shape}")
+            return x.addressable_data(0)
+        return x
+    return jax.tree_util.tree_map(to_local, tree)

@@ -764,9 +764,13 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             # from the restored RNG (the reference's behavior, run.py:607).
             stream_semi = (sampler_semi.stream_state()
                            if semi_supervised else None)
+            # On a multi-host pod only process 0 reaches this branch, so the
+            # copy must not be a pod-wide computation: snapshot this
+            # process's local replica of the pod-replicated state instead.
+            from videopose3d_tpu.parallel import local_replica
             snap = jax.tree_util.tree_map(
-                jnp.copy, (params, state, opt_state, params_traj, state_traj,
-                           step_rng))
+                jnp.copy, local_replica((params, state, opt_state,
+                                         params_traj, state_traj, step_rng)))
 
             def payload(epoch=epoch, lr=lr, snap=snap,
                         rng_state=rng_state, rng_state_semi=rng_state_semi,
