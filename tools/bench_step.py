@@ -47,7 +47,17 @@ def main():
     ap.add_argument("--train-engine", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--n-seqs", type=int, default=4)
     ap.add_argument("--seq-len", type=int, default=3000)
+    ap.add_argument("--sort-meta", action="store_true",
+                    help="sort the batch's descriptors by flat-array offset "
+                         "(flip, seq, start) — the locality A/B for at-scale "
+                         "flat arrays; within-batch row order is numerically "
+                         "invisible to the loss/BN/optimizer")
     args = ap.parse_args()
+
+    t_wall = time.perf_counter()
+
+    def mark(msg):
+        print(f"[{time.perf_counter() - t_wall:7.1f}s] {msg}", flush=True)
 
     cfg = TemporalModelConfig(
         num_joints_in=17, in_features=2, num_joints_out=17,
@@ -69,7 +79,12 @@ def main():
         poses_2d, poses_3d,
         margins=FlatSequenceDataset.training_margins(pad, 0, 1),
         flip_perms=None if args.no_baked_flip else (perm17, perm17))
+    mark(f"host data built: flat_2d_padded {ds.flat_2d_padded.shape} "
+         f"({ds.flat_2d_padded.nbytes / 1e6:.0f} MB), flat_3d_padded "
+         f"{ds.flat_3d_padded.nbytes / 1e6:.0f} MB")
     dev = ds.to_device()
+    jax.block_until_ready((dev.flat_2d_padded, dev.flat_3d_padded))
+    mark("device upload done")
 
     meta = np.stack([
         rng.integers(0, args.n_seqs, B),
@@ -77,6 +92,9 @@ def main():
         np.zeros(B, np.int64),
         rng.integers(0, 2, B)], axis=1).astype(np.int32)
     meta[:, 2] = meta[:, 1] + 1
+    if args.sort_meta:
+        order = np.lexsort((meta[:, 1], meta[:, 0], meta[:, 3]))
+        meta = meta[order]
     meta = jnp.asarray(meta)
 
     params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
@@ -91,9 +109,15 @@ def main():
         kps_flip_perm=tuple(range(17)), joints_flip_perm=tuple(range(17)),
         with_3d=True, with_cameras=False)
 
-    def do_assemble(meta_i):
-        _, b3, b2 = assemble(dev.flat_2d_padded, dev.flat_3d_padded, None,
-                             dev.base_2d, dev.base_3d, meta_i,
+    # The flat arrays MUST be jit arguments (as the trainers pass them), not
+    # closure captures: a closed-over device array is baked into the lowered
+    # HLO as a constant, which at H36M scale ships ~1.1 GB through the
+    # remote-compile hop (observed: broken pipe at 600x2600 frames).
+    data = (dev.flat_2d_padded, dev.flat_3d_padded, dev.base_2d, dev.base_3d)
+
+    def do_assemble(data, meta_i):
+        flat_2d, flat_3d, base_2d, base_3d = data
+        _, b3, b2 = assemble(flat_2d, flat_3d, None, base_2d, base_3d, meta_i,
                              aug_offset_2d=dev.aug_offset_2d,
                              aug_offset_3d=dev.aug_offset_3d)
         return b2, b3
@@ -104,12 +128,12 @@ def main():
         return jnp.mean(jnp.linalg.norm(pred - b3, axis=-1)), new_state
 
     def stage_graph(stage):
-        @functools.partial(jax.jit, static_argnums=(4,))
-        def run(params, opt_state, meta, key, n):
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def run(params, opt_state, data, meta, key, n):
             def body(i, carry):
                 params, opt_state, acc = carry
                 meta_i = meta + (acc * 0).astype(jnp.int32)
-                b2, b3 = do_assemble(meta_i)
+                b2, b3 = do_assemble(data, meta_i)
                 if stage == "assemble":
                     # Consume every element so XLA cannot narrow the gathers.
                     acc = (jnp.sum(b2) + jnp.sum(b3)) * 1e-30
@@ -144,11 +168,12 @@ def main():
         g = stage_graph(stage)
 
         def timed(k, reps=3):
-            float(g(params, opt_state, meta, key, k))
+            float(g(params, opt_state, data, meta, key, k))
+            mark(f"{stage} n={k}: compiled + warm")
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                float(g(params, opt_state, meta, key, k))
+                float(g(params, opt_state, data, meta, key, k))
                 best = min(best, time.perf_counter() - t0)
             return best
 
