@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""One real H36M-scale training epoch through the production path (real TPU).
+
+Unlike tools/bench_step.py (a fori_loop over one reused descriptor batch),
+this drives exactly what the runner's epoch-scan path runs: the
+ChunkedPairSampler enumerates + shuffles the full flip-augmented descriptor
+set (~3047 batches of 1024 at H36M scale), and ``SupervisedTrainer.run_epoch``
+executes the whole epoch as ONE ``lax.scan`` program over the stacked
+descriptors.  Prints host (sampler) time and device epoch time separately.
+
+Usage: python tools/bench_epoch.py [--n-seqs 600] [--seq-len 2600]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--n-seqs", type=int, default=600)
+    ap.add_argument("--seq-len", type=int, default=2600)
+    ap.add_argument("--epochs", type=int, default=2,
+                    help="first epoch compiles; report the rest")
+    args = ap.parse_args()
+
+    from videopose3d_tpu.data.generators import (ChunkedPairSampler,
+                                                 FlatSequenceDataset)
+    from videopose3d_tpu.models.temporal import (TemporalModelConfig,
+                                                 init_temporal_model,
+                                                 receptive_field)
+    from videopose3d_tpu.train import (SupervisedTrainer, TrainLoopConfig,
+                                       bn_momentum_for_epoch)
+
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=(3, 3, 3, 3, 3), causal=False, dropout=0.25,
+        channels=1024)
+    pad = (receptive_field(cfg) - 1) // 2
+    B = args.batch
+    loop = TrainLoopConfig(batch_size=B, chunk_length=1, pad=pad,
+                           causal_shift=0, epochs=args.epochs)
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
+    lengths = [args.seq_len] * args.n_seqs
+    poses_2d = [rng.standard_normal((n, 17, 2)).astype(np.float32)
+                for n in lengths]
+    poses_3d = [rng.standard_normal((n, 17, 3)).astype(np.float32)
+                for n in lengths]
+    perm = np.arange(17)
+    ds = FlatSequenceDataset(
+        poses_2d, poses_3d,
+        margins=FlatSequenceDataset.training_margins(pad, 0, 1),
+        flip_perms=(perm, perm))
+    dev = ds.to_device()
+    jax.block_until_ready((dev.flat_2d_padded, dev.flat_3d_padded))
+    print(f"[{time.perf_counter() - t0:6.1f}s] data built + uploaded "
+          f"({ds.num_frames} frames x2 flip)", flush=True)
+
+    sampler = ChunkedPairSampler(lengths, B, 1, augment=True)
+    trainer = SupervisedTrainer(cfg, loop, perm, perm)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    opt_state = trainer.init_optimizer(params)
+    step_rng = jax.random.PRNGKey(1)
+
+    for epoch in range(args.epochs):
+        momentum = bn_momentum_for_epoch(loop, epoch - 1)
+        th0 = time.perf_counter()
+        metas, n_valids = [], []
+        for meta, n_valid in sampler.next_epoch():
+            metas.append(meta)
+            n_valids.append(n_valid)
+        metas = np.stack(metas)
+        n_valids = np.array(n_valids)
+        host_s = time.perf_counter() - th0
+
+        td0 = time.perf_counter()
+        params, state, opt_state, step_rng, losses = trainer.run_epoch(
+            params, state, opt_state, step_rng, dev, metas, n_valids,
+            momentum)
+        final = float(jnp.asarray(losses)[-1])  # forces execution
+        dev_s = time.perf_counter() - td0
+        steps = len(n_valids)
+        print(f"epoch {epoch}: sampler {host_s:.2f} s + scan {dev_s:.2f} s "
+              f"({steps} steps, {dev_s / steps * 1e3:.2f} ms/step, "
+              f"{int(n_valids.sum()) / dev_s / 1e3:.0f}k frames/s) "
+              f"loss {final:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
