@@ -163,3 +163,60 @@ def test_fused_matches_offline_causal():
     scale = np.sqrt((want ** 2).mean())
     err = np.abs(got - want).max()
     assert err < 0.01 * scale, (err, scale)
+
+
+@pytest.mark.parametrize("filter_widths,channels,b,k", [
+    # k=4 > d=3: block-1 taps overlap the dispatch (VMEM-fill path).
+    ((3, 3, 3), 64, 8, 4),
+    # k=2 <= all lags: pure ring-slab taps.
+    ((3, 3, 3, 3), 32, 4, 2),
+    # k*b = 256 rows with halves=2 -> 128-row chunks (chunked kernel form).
+    ((3, 3, 3), 32, 64, 4),
+    # k=8: two of block 1's taps (lags 3, 6) overlap the dispatch.
+    ((3, 3, 3), 32, 16, 8),
+])
+def test_fused_multi_step_parity(filter_widths, channels, b, k):
+    """The k-frame single-kernel engine must match the XLA micro-batched
+    engine frame-for-frame — poses and ring state — through several ring
+    wraps, including taps whose lag is shorter than the dispatch (served
+    from the in-flight VMEM activations)."""
+    cfg, q, first, rng = _setup(filter_widths, channels, b)
+    ss_ref = streaming.init_stream_state_int8_multi(cfg, q, first, k)
+    ss_fused = jax.tree_util.tree_map(jnp.copy, ss_ref)
+
+    caps = [buf.shape[0] // 2 for buf in ss_ref["bufs"]]
+    n_steps = (max(caps) + 3 * k) // k + 2
+    for t in range(n_steps):
+        frames = jnp.asarray(
+            rng.standard_normal((b, k, 17, 2)), jnp.float32)
+        p_ref, ss_ref = streaming.stream_step_int8_multi(
+            cfg, q, ss_ref, frames)
+        p_fused, ss_fused = streaming.stream_step_int8_multi_fused(
+            cfg, q, ss_fused, frames)
+        np.testing.assert_allclose(
+            np.asarray(p_ref), np.asarray(p_fused), rtol=0, atol=1e-5,
+            err_msg=f"pose mismatch at step {t}")
+        for i, (br, bf) in enumerate(zip(ss_ref["bufs"], ss_fused["bufs"])):
+            np.testing.assert_array_equal(
+                np.asarray(br), np.asarray(bf),
+                err_msg=f"ring {i} mismatch at step {t}")
+        np.testing.assert_array_equal(
+            np.asarray(ss_ref["ptr"]), np.asarray(ss_fused["ptr"]))
+
+
+def test_fused_multi_lifter_wiring():
+    """engine='int8_fused' + frames_per_step>1 routes through the k-frame
+    kernel and matches the XLA multi engine through the lifter API."""
+    cfg, q, first, rng = _setup((3, 3, 3), 32, 4)
+    k = 2
+    lifter_a = streaming.StreamingCausalLifter(
+        cfg, quantized=q, engine="int8_fused", frames_per_step=k)
+    lifter_b = streaming.StreamingCausalLifter(
+        cfg, quantized=q, engine="int8", frames_per_step=k)
+    lifter_a.reset(first)
+    lifter_b.reset(first)
+    for _ in range(4):
+        frames = jnp.asarray(rng.standard_normal((4, k, 17, 2)), jnp.float32)
+        pa = np.asarray(lifter_a.step(frames))
+        pb = np.asarray(lifter_b.step(frames))
+        np.testing.assert_allclose(pa, pb, rtol=0, atol=1e-5)

@@ -33,6 +33,16 @@ def main():
     ap.add_argument("--seq-len", type=int, default=2600)
     ap.add_argument("--epochs", type=int, default=2,
                     help="first epoch compiles; report the rest")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="training compute dtype (the perf configuration; "
+                         "the CLI's metric-grade default is float32)")
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="truncate each epoch's descriptor stack (crash/"
+                         "scale isolation)")
+    ap.add_argument("--profile", action="store_true",
+                    help="trace the last epoch and print the per-op device "
+                         "time breakdown")
+    ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
     from videopose3d_tpu.data.generators import (ChunkedPairSampler,
@@ -46,7 +56,7 @@ def main():
     cfg = TemporalModelConfig(
         num_joints_in=17, in_features=2, num_joints_out=17,
         filter_widths=(3, 3, 3, 3, 3), causal=False, dropout=0.25,
-        channels=1024)
+        channels=1024, compute_dtype=args.dtype)
     pad = (receptive_field(cfg) - 1) // 2
     B = args.batch
     loop = TrainLoopConfig(batch_size=B, chunk_length=1, pad=pad,
@@ -76,6 +86,11 @@ def main():
     step_rng = jax.random.PRNGKey(1)
 
     for epoch in range(args.epochs):
+        tracing = args.profile and epoch == args.epochs - 1
+        if tracing:
+            import tempfile
+            logdir = tempfile.mkdtemp(prefix="epoch_prof_")
+            jax.profiler.start_trace(logdir)
         momentum = bn_momentum_for_epoch(loop, epoch - 1)
         th0 = time.perf_counter()
         metas, n_valids = [], []
@@ -84,6 +99,9 @@ def main():
             n_valids.append(n_valid)
         metas = np.stack(metas)
         n_valids = np.array(n_valids)
+        if args.max_steps is not None:
+            metas = metas[:args.max_steps]
+            n_valids = n_valids[:args.max_steps]
         host_s = time.perf_counter() - th0
 
         td0 = time.perf_counter()
@@ -97,6 +115,30 @@ def main():
               f"({steps} steps, {dev_s / steps * 1e3:.2f} ms/step, "
               f"{int(n_valids.sum()) / dev_s / 1e3:.0f}k frames/s) "
               f"loss {final:.4f}", flush=True)
+        if tracing:
+            import glob
+            import gzip
+            import json
+            from collections import defaultdict
+            jax.profiler.stop_trace()
+            files = sorted(glob.glob(logdir + "/**/*.trace.json.gz",
+                                     recursive=True))
+            ev = json.loads(gzip.open(files[-1]).read())["traceEvents"]
+            device_pids = {
+                e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))
+                and "pjrt" not in str(e["args"]["name"]).lower()}
+            tot = defaultdict(float)
+            for e in ev:
+                if (e.get("ph") == "X" and "dur" in e
+                        and e.get("pid") in device_pids):
+                    tot[e.get("name", "")] += e["dur"]
+            total_us = sum(tot.values())
+            print(f"device op total {total_us / steps / 1e3:.2f} ms/step")
+            for name, us in sorted(tot.items(), key=lambda kv: -kv[1]
+                                   )[:args.top]:
+                print(f"  {us / steps:9.1f} us/step  {name[:110]}")
 
 
 if __name__ == "__main__":

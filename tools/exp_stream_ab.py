@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--iters-lo", type=int, default=32)
     ap.add_argument("--iters-hi", type=int, default=256)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--frames-per-step", type=int, default=8,
+                    help="k for the *_multi engines")
     args = ap.parse_args()
 
     from videopose3d_tpu.models.temporal import (
@@ -65,17 +67,27 @@ def main():
                        lambda: streaming.init_stream_state_int8(cfg, q,
                                                                 first)),
     }
+    k = args.frames_per_step
+    first_k = jnp.asarray(rng.standard_normal((b, k, 17, 2)), jnp.float32)
+    engines["int8_multi"] = (
+        lambda ss, f: streaming.stream_step_int8_multi(cfg, q, ss, f),
+        lambda: streaming.init_stream_state_int8_multi(cfg, q, first, k))
+    engines["int8_multi_fused"] = (
+        lambda ss, f: streaming.stream_step_int8_multi_fused(cfg, q, ss, f),
+        lambda: streaming.init_stream_state_int8_multi(cfg, q, first, k))
     names = args.engines.split(",")
 
     runners = {}
     for name in names:
         step_fn, init_state = engines[name]
+        frame0 = first_k if name.startswith("int8_multi") else first
+        per_dispatch = k if name.startswith("int8_multi") else 1
 
         @functools.partial(jax.jit, static_argnums=1)
-        def run_n(ss, n, _step=step_fn):
+        def run_n(ss, n, _step=step_fn, _f=frame0):
             def body(i, carry):
                 ss, acc = carry
-                out, ss = _step(ss, first + acc)
+                out, ss = _step(ss, _f + acc)
                 return ss, jnp.sum(out[0, 0]) * jnp.float32(1e-30)
             return jax.lax.fori_loop(0, n, body, (ss, jnp.float32(0.0)))
 
@@ -86,7 +98,7 @@ def main():
             float(acc)
             return time.perf_counter() - t0
 
-        runners[name] = timed
+        runners[name] = (timed, per_dispatch)
         # Compile both shapes.
         timed(args.iters_lo); timed(args.iters_hi)
         print(f"compiled {name}", flush=True)
@@ -94,10 +106,12 @@ def main():
     # Interleave: per rep, time every engine's lo then every engine's hi.
     for rep in range(args.reps):
         for name in names:
-            lo = runners[name](args.iters_lo)
-            hi = runners[name](args.iters_hi)
-            ms = (hi - lo) / (args.iters_hi - args.iters_lo) * 1e3
-            print(f"rep {rep} {name:12s} {ms:.4f} ms/frame", flush=True)
+            timed, per_dispatch = runners[name]
+            lo = timed(args.iters_lo)
+            hi = timed(args.iters_hi)
+            ms = ((hi - lo) / (args.iters_hi - args.iters_lo)
+                  / per_dispatch * 1e3)
+            print(f"rep {rep} {name:16s} {ms:.4f} ms/frame", flush=True)
 
 
 if __name__ == "__main__":

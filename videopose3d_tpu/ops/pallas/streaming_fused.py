@@ -285,6 +285,208 @@ def _fused_call(kernel, inputs, rings, b, c, j3, widths, *, scratch_dtype,
     return outs[0], list(outs[1:])
 
 
+# ---------------------------------------------------------------------------
+# Micro-batched fused kernel: k frames per dispatch
+# ---------------------------------------------------------------------------
+#
+# The XLA micro-batched engine (``streaming.stream_step_int8_multi``) does the
+# right dots — (k*B, C) x (C, C) — but every layer boundary round-trips the
+# (k*B, C) f32 activation through HBM (~32 MB per boundary at k=8/B=1024) and
+# every ring push writes the doubled buffer as two separate dus fusions.
+# This kernel runs all residual blocks + shrink on the k-frame slab in ONE
+# pallas_call: activations never leave VMEM, taps arrive as contiguous
+# time-major slabs DMA'd from the doubled rings, pushes are in-place DMAs
+# issued as soon as each block's input exists.
+#
+# Within-dispatch taps: for a tap lag < k (block 1 at d=3 when k >= 4), the
+# first ``lag`` rows of the slab are history (DMA) and the remaining
+# ``k - lag`` rows are this dispatch's own input frames, copied from VMEM —
+# exactly the semantics of the XLA engine's push-then-slice on the ring.
+
+
+def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
+                               caps, k, halves):
+    """int8 k-frame fused streaming kernel.
+
+    Refs as in :func:`_unpack_refs` with multi-frame scratch shapes:
+    per-block taps ``(kw-1, k, B, C)``, stage ``(n_blocks-1, k, B, C)``,
+    write semaphores ``(n_blocks, 2)`` (doubled-ring pushes are two DMAs).
+    ``lags``/``caps`` are static per-block tap lags and ring capacities.
+    Math per (frame, stream) row is identical to ``_block_step_i8``.
+    """
+    (blk, shrink_w, shrink_b, rings_in, poses, rings_out, taps, stage,
+     read_sems, write_sems) = _unpack_refs(refs, n_blocks, "wq_a", "wq_b")
+
+    off = [0]
+    for w in widths:
+        off.append(off[-1] + w)
+
+    def tap_dma(i, j):
+        t = idx_ref[off[i] + 1 + j]
+        read_len = min(lags[i][j], k)   # static
+        return pltpu.make_async_copy(
+            rings_in[i].at[pl.ds(t, read_len)],
+            taps[i].at[j, pl.ds(0, read_len)],
+            read_sems.at[i, j])
+
+    for i in range(n_blocks):
+        for j in range(widths[i] - 1):
+            tap_dma(i, j).start()
+
+    def push(i, src_ref):
+        """Write the (k, B, C) block input into ring i's doubled buffer."""
+        w = idx_ref[off[i]]
+        pltpu.make_async_copy(src_ref, rings_out[i].at[pl.ds(w, k)],
+                              write_sems.at[i, 0]).start()
+        pltpu.make_async_copy(src_ref, rings_out[i].at[pl.ds(w + caps[i], k)],
+                              write_sems.at[i, 1]).start()
+
+    push(0, eq)
+
+    b, c = eq.shape[-2], eq.shape[-1]
+    rh = (k * b) // halves
+    fr = k // halves                     # frames per row chunk
+    row = lambda h: pl.ds(h * rh, rh)
+    newest = [eq[pl.ds(h * fr, fr)].reshape(rh, c) for h in range(halves)]
+    out_f32 = [None] * halves
+    for i in range(n_blocks):
+        kw = widths[i]
+        vecs = blk[i]["vecs"]
+        for j in range(kw - 1):
+            tap_dma(i, j).wait()
+        for j in range(kw - 1):
+            lag = lags[i][j]
+            if lag < k:
+                # Within-dispatch frames of this tap come from the block's
+                # own input (frames 0..k-lag-1), already in VMEM.
+                cur = jnp.concatenate(
+                    [n.reshape(fr, b, c) for n in newest], axis=0)
+                taps[i][j, pl.ds(lag, k - lag)] = cur[:k - lag]
+
+        # Phase-major over row chunks, math per row as _block_step_i8.
+        acc = []
+        for h in range(halves):
+            a = _i8dot(taps[i][0, pl.ds(h * fr, fr)].reshape(rh, c),
+                       blk[i]["wq_a"][0])
+            for j in range(1, kw - 1):
+                a += _i8dot(taps[i][j, pl.ds(h * fr, fr)].reshape(rh, c),
+                            blk[i]["wq_a"][j])
+            acc.append(a + _i8dot(newest[h], blk[i]["wq_a"][kw - 1]))
+
+        hq, rowmax = [], []
+        for h in range(halves):
+            real = jnp.maximum(
+                acc[h].astype(jnp.float32) * vecs[0:1, :] + vecs[1:2, :], 0.0)
+            rm = jnp.maximum(jnp.max(real, axis=1, keepdims=True), 1.0)
+            rowmax.append(rm)
+            hq.append(jnp.round(real * (QMAX / rm)).astype(jnp.int8))
+
+        acc2 = [_i8dot(hq[h], blk[i]["wq_b"][...]) for h in range(halves)]
+        for h in range(halves):
+            y = jnp.maximum(
+                acc2[h].astype(jnp.float32) * (rowmax[h] * (1.0 / QMAX))
+                * vecs[2:3, :] + vecs[3:4, :], 0.0)
+            res = newest[h].astype(jnp.float32) * vecs[4:5, :]
+            out = res + y
+            if i < n_blocks - 1:
+                newest[h] = jnp.clip(jnp.round(out), 0.0, QMAX
+                                     ).astype(jnp.int8)
+                stage[i, pl.ds(h * fr, fr)] = newest[h].reshape(fr, b, c)
+            else:
+                out_f32[h] = out
+        if i < n_blocks - 1:
+            push(i + 1, stage.at[i])
+
+    proj = [jnp.dot(out_f32[h].astype(jnp.bfloat16), shrink_w[...],
+                    preferred_element_type=jnp.float32)
+            for h in range(halves)]
+    for h in range(halves):
+        poses[row(h)] = proj[h] + shrink_b[0:1, :]
+
+    for i in range(n_blocks):
+        w = idx_ref[off[i]]
+        src = eq if i == 0 else stage.at[i - 1]
+        pltpu.make_async_copy(src, rings_out[i].at[pl.ds(w, k)],
+                              write_sems.at[i, 0]).wait()
+        pltpu.make_async_copy(src, rings_out[i].at[pl.ds(w + caps[i], k)],
+                              write_sems.at[i, 1]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("widths", "lags", "caps", "k",
+                                             "halves", "interpret"))
+def fused_blocks_step_multi(q, rings, eq, idx, *, widths, lags, caps, k,
+                            halves=2, interpret=False):
+    """Run every residual block + shrink on a k-frame slab in one kernel.
+
+    Args:
+      q: serving pytree from ``quantize_temporal_model``.
+      rings: per-block int8 DOUBLED time-major ring buffers (2*cap_i, B, C)
+        from ``init_stream_state_int8_multi``; DONATED (aliased in place).
+      eq: (k, B, C) int8 expand stream for this dispatch's frames.
+      idx: (sum_i widths[i],) int32 per block ``[write_slot, tap_starts...]``.
+      widths / lags / caps: static per-block filter widths, tap lags
+        ((kw-1-j) * dilation), and single-copy ring capacities.
+      k: frames per dispatch (ring capacities are k-aligned so the k-row
+        write window never wraps).
+
+    Returns:
+      ((k*B, J3) f32 flat poses frame-major, [updated rings]).
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_blocks = len(widths)
+    kk, b, c = eq.shape
+    assert kk == k
+    if k % halves or ((k * b) // halves) % 32:
+        halves = 1
+    j3 = q["shrink_w"].shape[1]
+
+    inputs = [idx, eq]
+    for i in range(n_blocks):
+        blk = q["blocks"][i]
+        inputs += [blk["wq_a"], blk["wq_b"],
+                   pack_vec_rows([blk["A1"], blk["B1"], blk["A2"],
+                                  blk["B2"], blk["R"]])]
+    inputs += [q["shrink_w"].astype(jnp.bfloat16),
+               jnp.pad(jnp.asarray(q["shrink_b"], jnp.float32)[None],
+                       ((0, 7), (0, 0)))]
+    inputs += list(rings)
+
+    kernel = functools.partial(
+        _fused_blocks_multi_kernel, n_blocks=n_blocks, widths=tuple(widths),
+        lags=tuple(lags), caps=tuple(caps), k=k, halves=halves)
+
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = ([vm()] + [vm()] * (3 * n_blocks) + [vm(), vm()]
+                + [any_()] * n_blocks)
+    out_specs = [vm()] + [any_()] * n_blocks
+    out_shape = ([jax.ShapeDtypeStruct((k * b, j3), jnp.float32)]
+                 + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rings])
+    ring_in0 = 2 + 3 * n_blocks + 2
+    aliases = {ring_in0 + i: 1 + i for i in range(n_blocks)}
+    max_taps = max(w - 1 for w in widths)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=(
+            [pltpu.VMEM((w - 1, k, b, c), jnp.int8) for w in widths]
+            + [pltpu.VMEM((n_blocks - 1, k, b, c), jnp.int8),
+               pltpu.SemaphoreType.DMA((n_blocks, max_taps)),
+               pltpu.SemaphoreType.DMA((n_blocks, 2))]))
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 127)),
+        interpret=interpret,
+    )(*inputs)
+    return outs[0], list(outs[1:])
+
+
 def _fused_blocks_bf16_kernel(idx_ref, a0, *refs, n_blocks, widths, halves):
     """bf16 variant of :func:`_fused_blocks_kernel`.
 

@@ -805,6 +805,61 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
     return poses, new_state
 
 
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+def stream_step_int8_multi_fused(config: TemporalModelConfig, q, stream_state,
+                                 frames):
+    """Advance all streams by k frames with the single-kernel int8 pipeline.
+
+    Same state pytree (doubled time-major rings) and same math as
+    :func:`stream_step_int8_multi`; every residual block, ring slab push, and
+    the shrink run inside ONE ``pallas_call``
+    (``ops/pallas/streaming_fused.py:fused_blocks_step_multi``), so the
+    (k*B, C) activations never round-trip HBM between layers (~32 MB of f32
+    per layer boundary at k=8/B=1024 in the XLA engine).
+    """
+    from videopose3d_tpu.ops.pallas.streaming_fused import (
+        fused_blocks_step_multi)
+
+    bufs = list(stream_state["bufs"])
+    ptr = stream_state["ptr"]
+    caps = [buf.shape[0] // 2 for buf in bufs]
+
+    x = jnp.asarray(frames)
+    b, k = x.shape[0], x.shape[1]
+    _check_multi_alignment(config, caps, k)
+    x = jnp.swapaxes(x, 0, 1).reshape(k, b, -1).astype(jnp.bfloat16)
+
+    # Raw ring + expand stay in XLA (odd lane counts), as in the k=1 kernel.
+    bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
+    k0 = config.filter_widths[0]
+    taps0 = jnp.concatenate(
+        _ring_tap_rows_block(bufs[0], ptr[0], caps[0], k0, 1, k)
+        + [x.reshape(k * b, -1)], axis=-1)
+    eq = _expand_step_i8(q, taps0).reshape(k, b, -1)
+
+    widths = tuple(config.filter_widths[1:])
+    dils = tuple(config.dilations[1:])
+    lags = tuple(tuple((kw - 1 - j) * d for j in range(kw - 1))
+                 for kw, d in zip(widths, dils))
+    idx = []
+    for i, kw in enumerate(widths):
+        cap = caps[i + 1]
+        idx.append(ptr[i + 1])           # k-aligned, never wraps mid-write
+        idx += [jnp.mod(ptr[i + 1] - (kw - 1 - j) * dils[i], cap)
+                for j in range(kw - 1)]
+    idx = jnp.stack(idx).astype(jnp.int32)
+
+    poses_flat, new_rings = fused_blocks_step_multi(
+        q, bufs[1:], eq, idx, widths=widths, lags=lags,
+        caps=tuple(caps[1:]), k=k)
+    poses = jnp.swapaxes(
+        poses_flat.reshape(k, b, config.num_joints_out, 3), 0, 1
+    ).astype(jnp.float32)
+    new_state = {"bufs": [bufs[0]] + new_rings,
+                 "ptr": jnp.mod(ptr + k, jnp.asarray(caps, jnp.int32))}
+    return poses, new_state
+
+
 class StreamingCausalLifter:
     """Convenience wrapper: many concurrent video streams, one pose per frame.
 
@@ -838,7 +893,7 @@ class StreamingCausalLifter:
             raise ValueError(f"engine={engine!r} requires params and state")
         if frames_per_step < 1:
             raise ValueError("frames_per_step must be >= 1")
-        if engine.endswith("_fused") and frames_per_step != 1:
+        if engine == "bf16_fused" and frames_per_step != 1:
             raise ValueError(f"engine={engine!r} is per-frame (k == 1)")
         if (engine == "bf16_fused"
                 and jnp.dtype(config.compute_dtype) != jnp.bfloat16):
@@ -903,8 +958,12 @@ class StreamingCausalLifter:
         frame = self._shard_frames(frame)
         k = self.frames_per_step
         if self.engine == "int8_fused":
-            out, self._stream_state = stream_step_int8_fused(
-                self.config, self.quantized, self._stream_state, frame)
+            if k > 1:
+                out, self._stream_state = stream_step_int8_multi_fused(
+                    self.config, self.quantized, self._stream_state, frame)
+            else:
+                out, self._stream_state = stream_step_int8_fused(
+                    self.config, self.quantized, self._stream_state, frame)
         elif self.engine == "bf16_fused":
             if self._bf16_prepared is None:
                 self._bf16_prepared = prepare_bf16_fused(
