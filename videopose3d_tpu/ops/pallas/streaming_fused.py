@@ -308,14 +308,30 @@ def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
                                caps, k, halves):
     """int8 k-frame fused streaming kernel.
 
-    Refs as in :func:`_unpack_refs` with multi-frame scratch shapes:
-    per-block taps ``(kw-1, k, B, C)``, stage ``(n_blocks-1, k, B, C)``,
-    write semaphores ``(n_blocks, 2)`` (doubled-ring pushes are two DMAs).
-    ``lags``/``caps`` are static per-block tap lags and ring capacities.
-    Math per (frame, stream) row is identical to ``_block_step_i8``.
+    Refs as in :func:`_unpack_refs` with multi-frame scratch shapes: ONE
+    shared double-buffered tap scratch ``(2, max_taps, k, B, C)`` (per-block
+    scratches would cost 64 MB of VMEM at k=8/B=1024/C=1024 — over budget;
+    block i+1's slab DMAs are issued as block i's compute starts, so the
+    ~20 us fetch hides under ~200 us of dots), stage ``(n_blocks-1, k, B,
+    C)``, write semaphores ``(n_blocks, 2)`` (doubled-ring pushes are two
+    DMAs).  ``lags``/``caps`` are static per-block tap lags and ring
+    capacities.  Math per (frame, stream) row is identical to
+    ``_block_step_i8``.
     """
-    (blk, shrink_w, shrink_b, rings_in, poses, rings_out, taps, stage,
-     read_sems, write_sems) = _unpack_refs(refs, n_blocks, "wq_a", "wq_b")
+    pos = 0
+    blk = []
+    for _ in range(n_blocks):
+        blk.append({"wq_a": refs[pos], "wq_b": refs[pos + 1],
+                    "vecs": refs[pos + 2]})
+        pos += 3
+    shrink_w = refs[pos]; shrink_b = refs[pos + 1]; pos += 2
+    rings_in = refs[pos:pos + n_blocks]; pos += n_blocks
+    poses = refs[pos]; pos += 1
+    rings_out = refs[pos:pos + n_blocks]; pos += n_blocks
+    taps = refs[pos]          # shared scratch (2, max_taps, k, B, C)
+    stage = refs[pos + 1]     # (n_blocks - 1, k, B, C)
+    read_sems = refs[pos + 2]   # (2, max_taps)
+    write_sems = refs[pos + 3]  # (n_blocks, 2)
 
     off = [0]
     for w in widths:
@@ -324,14 +340,17 @@ def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
     def tap_dma(i, j):
         t = idx_ref[off[i] + 1 + j]
         read_len = min(lags[i][j], k)   # static
+        s = i % 2
         return pltpu.make_async_copy(
             rings_in[i].at[pl.ds(t, read_len)],
-            taps[i].at[j, pl.ds(0, read_len)],
-            read_sems.at[i, j])
+            taps.at[s, j, pl.ds(0, read_len)],
+            read_sems.at[s, j])
 
-    for i in range(n_blocks):
+    def start_block_reads(i):
         for j in range(widths[i] - 1):
             tap_dma(i, j).start()
+
+    start_block_reads(0)
 
     def push(i, src_ref):
         """Write the (k, B, C) block input into ring i's doubled buffer."""
@@ -351,9 +370,14 @@ def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
     out_f32 = [None] * halves
     for i in range(n_blocks):
         kw = widths[i]
+        s = i % 2
         vecs = blk[i]["vecs"]
         for j in range(kw - 1):
             tap_dma(i, j).wait()
+        if i + 1 < n_blocks:
+            # Next block's slabs land in the other scratch slot while this
+            # block computes.
+            start_block_reads(i + 1)
         for j in range(kw - 1):
             lag = lags[i][j]
             if lag < k:
@@ -361,15 +385,15 @@ def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
                 # own input (frames 0..k-lag-1), already in VMEM.
                 cur = jnp.concatenate(
                     [n.reshape(fr, b, c) for n in newest], axis=0)
-                taps[i][j, pl.ds(lag, k - lag)] = cur[:k - lag]
+                taps[s, j, pl.ds(lag, k - lag)] = cur[:k - lag]
 
         # Phase-major over row chunks, math per row as _block_step_i8.
         acc = []
         for h in range(halves):
-            a = _i8dot(taps[i][0, pl.ds(h * fr, fr)].reshape(rh, c),
+            a = _i8dot(taps[s, 0, pl.ds(h * fr, fr)].reshape(rh, c),
                        blk[i]["wq_a"][0])
             for j in range(1, kw - 1):
-                a += _i8dot(taps[i][j, pl.ds(h * fr, fr)].reshape(rh, c),
+                a += _i8dot(taps[s, j, pl.ds(h * fr, fr)].reshape(rh, c),
                             blk[i]["wq_a"][j])
             acc.append(a + _i8dot(newest[h], blk[i]["wq_a"][kw - 1]))
 
@@ -470,10 +494,10 @@ def fused_blocks_step_multi(q, rings, eq, idx, *, widths, lags, caps, k,
         num_scalar_prefetch=1, grid=(1,),
         in_specs=in_specs, out_specs=out_specs,
         scratch_shapes=(
-            [pltpu.VMEM((w - 1, k, b, c), jnp.int8) for w in widths]
-            + [pltpu.VMEM((n_blocks - 1, k, b, c), jnp.int8),
-               pltpu.SemaphoreType.DMA((n_blocks, max_taps)),
-               pltpu.SemaphoreType.DMA((n_blocks, 2))]))
+            [pltpu.VMEM((2, max_taps, k, b, c), jnp.int8),
+             pltpu.VMEM((n_blocks - 1, k, b, c), jnp.int8),
+             pltpu.SemaphoreType.DMA((2, max_taps)),
+             pltpu.SemaphoreType.DMA((n_blocks, 2))]))
 
     outs = pl.pallas_call(
         kernel,

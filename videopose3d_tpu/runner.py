@@ -256,15 +256,25 @@ def _eval_batcher(args, pad, causal_shift, kps_perm, joints_perm,
 
 
 def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None,
-                       traj_params=None, traj_state=None, pad=0):
+                       traj_params=None, traj_state=None, pad=0, shard=None):
     """Frame-weighted MPJPE (and, when trajectory evaluation is requested, the
     trajectory MPJPE and 2D reconstruction loss) over whole sequences, eval mode,
-    no TTA."""
+    no TTA.
+
+    ``shard=(process_index, process_count)`` splits the videos round-robin
+    across pod processes and all-gathers the partial frame-weighted sums —
+    the per-epoch eval is per-process work that does NOT scale with DP
+    (measured: ~5.2 s device/epoch at H36M scale vs a train epoch that
+    divides by the pod size), so on a pod it must shard or it becomes the
+    sweep bottleneck.  Every process returns identical totals."""
     loss_3d = 0.0
     loss_traj = 0.0
     loss_2d = 0.0
     n_total = 0
-    for cam, batch_3d, batch_2d, n_frames in batcher.next_epoch():
+    for seq_i, (cam, batch_3d, batch_2d, n_frames) in enumerate(
+            batcher.next_epoch()):
+        if shard is not None and seq_i % shard[1] != shard[0]:
+            continue
         pred = evaluator.predict(params, state, batch_2d, augment=False)[:, :n_frames]
         n = 1 * n_frames
         if batch_3d is not None:
@@ -285,6 +295,15 @@ def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None
                     np.asarray(pred + pred_traj), np.asarray(cam[:1]))
                 loss_2d += n * mpjpe_np(recon, target_2d)
         n_total += n
+    if shard is not None and shard[1] > 1:
+        # Pod-wide totals: every process contributes its round-robin share
+        # and the frame-weighted sums combine exactly (f64 partial sums).
+        from jax.experimental import multihost_utils
+        parts = multihost_utils.process_allgather(
+            np.asarray([loss_3d, loss_traj, loss_2d, float(n_total)],
+                       np.float64))
+        loss_3d, loss_traj, loss_2d, nt = np.asarray(parts).sum(axis=0)
+        n_total = int(round(nt))
     if n_total == 0:
         return 0.0, 0.0, 0.0, 0
     return loss_3d / n_total, loss_traj / n_total, loss_2d / n_total, n_total
@@ -684,10 +703,17 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         # End-of-epoch evaluation (parity: run.py:424-549); weights are shared
         # between the strided train form and dilated eval form, no copy needed.
         if not args.no_eval:
+            # On a pod the per-epoch eval shards round-robin across processes
+            # (it is per-process work that does not scale with DP, unlike the
+            # train step); totals are all-gathered so every process logs the
+            # same numbers.
+            shard = ((jax.process_index(), jax.process_count())
+                     if jax.process_count() > 1 else None)
             te = _epoch_eval_losses(
                 evaluator, params, state, test_batcher,
                 traj_evaluator=traj_evaluator if semi_supervised else None,
-                traj_params=params_traj, traj_state=state_traj, pad=pad)
+                traj_params=params_traj, traj_state=state_traj, pad=pad,
+                shard=shard)
             losses_3d_valid.append(te[0])
             if semi_supervised:
                 losses_traj_valid.append(te[1])
@@ -696,7 +722,8 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             tr = _epoch_eval_losses(
                 evaluator, params, state, train_eval_batcher,
                 traj_evaluator=traj_evaluator if semi_supervised else None,
-                traj_params=params_traj, traj_state=state_traj, pad=pad)
+                traj_params=params_traj, traj_state=state_traj, pad=pad,
+                shard=shard)
             losses_3d_train_eval.append(tr[0])
             if semi_supervised:
                 losses_traj_train_eval.append(tr[1])
@@ -704,7 +731,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                 se = _epoch_eval_losses(
                     evaluator, params, state, semi_eval_batcher,
                     traj_evaluator=traj_evaluator, traj_params=params_traj,
-                    traj_state=state_traj, pad=pad)
+                    traj_state=state_traj, pad=pad, shard=shard)
                 losses_2d_train_unlabeled_eval.append(se[2])
 
         elapsed = (time() - start_time) / 60
