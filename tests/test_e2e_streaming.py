@@ -177,3 +177,20 @@ def test_streaming_cli_frames_per_step(wild_setup, tmp_path):
     a, b = np.load(out1), np.load(out4)
     for video in a.files:
         np.testing.assert_allclose(a[video], b[video], atol=2e-5)
+
+
+def test_streaming_cli_int8_fused_multi(wild_setup, tmp_path):
+    """--engine int8_fused + --frames-per-step k>1 routes through the
+    single-kernel k-frame slab path (stream_step_int8_multi_fused, the
+    skew-pipelined kernel): bit-identical to the XLA k-frame int8 engine,
+    including the padded final chunk and per-video trimming."""
+    data_dir, ckpt, *_ = wild_setup
+    out_xla = str(tmp_path / "m_int8.npz")
+    out_fused = str(tmp_path / "m_fused.npz")
+    base = ["-k", "myvideos", "--data-dir", data_dir, "--checkpoint", ckpt,
+            "-arc", "3,3,3", "-ch", "16", "--frames-per-step", "4"]
+    streaming.main(base + ["--engine", "int8", "--output", out_xla])
+    streaming.main(base + ["--engine", "int8_fused", "--output", out_fused])
+    a, b = np.load(out_xla), np.load(out_fused)
+    for video in a.files:
+        np.testing.assert_array_equal(a[video], b[video])
