@@ -204,6 +204,65 @@ def test_fused_multi_step_parity(filter_widths, channels, b, k):
             np.asarray(ss_ref["ptr"]), np.asarray(ss_fused["ptr"]))
 
 
+@pytest.mark.parametrize("chunks", [1, 2, 4])
+def test_fused_multi_chunks_bit_identical(chunks):
+    """The software-pipeline ``chunks`` knob must not change any bit: row
+    chunks are independent and the skew only reorders instruction emission.
+    Compares every chunking against the XLA multi engine through a wrap."""
+    from videopose3d_tpu.ops.pallas.streaming_fused import (
+        fused_blocks_step_multi)
+
+    cfg, q, first, rng = _setup((3, 3, 3), 32, 16)
+    k = 4
+    ss_ref = streaming.init_stream_state_int8_multi(cfg, q, first, k)
+    ss_fused = jax.tree_util.tree_map(jnp.copy, ss_ref)
+
+    widths = tuple(cfg.filter_widths[1:])
+    dils = tuple(cfg.dilations[1:])
+    lags = tuple(tuple((kw - 1 - j) * d for j in range(kw - 1))
+                 for kw, d in zip(widths, dils))
+
+    def step_chunked(ss, frames):
+        # stream_step_int8_multi_fused with an explicit chunks value.
+        bufs = list(ss["bufs"])
+        ptr = ss["ptr"]
+        caps = [buf.shape[0] // 2 for buf in bufs]
+        x = jnp.swapaxes(jnp.asarray(frames), 0, 1).reshape(
+            k, 16, -1).astype(jnp.bfloat16)
+        bufs[0] = streaming._ring_push_block(bufs[0], ptr[0], caps[0], x)
+        taps0 = jnp.concatenate(
+            streaming._ring_tap_rows_block(
+                bufs[0], ptr[0], caps[0], cfg.filter_widths[0], 1, k)
+            + [x.reshape(k * 16, -1)], axis=-1)
+        eq = streaming._expand_step_i8(q, taps0).reshape(k, 16, -1)
+        idx = []
+        for i, kw in enumerate(widths):
+            idx.append(ptr[i + 1])
+            idx += [jnp.mod(ptr[i + 1] - (kw - 1 - j) * dils[i], caps[i + 1])
+                    for j in range(kw - 1)]
+        poses_flat, new_rings = fused_blocks_step_multi(
+            q, bufs[1:], eq, jnp.stack(idx).astype(jnp.int32),
+            widths=widths, lags=lags, caps=tuple(caps[1:]), k=k,
+            chunks=chunks)
+        poses = jnp.swapaxes(
+            poses_flat.reshape(k, 16, cfg.num_joints_out, 3), 0, 1
+        ).astype(jnp.float32)
+        return poses, {"bufs": [bufs[0]] + new_rings,
+                       "ptr": jnp.mod(ptr + k, jnp.asarray(caps, jnp.int32))}
+
+    caps = [buf.shape[0] // 2 for buf in ss_ref["bufs"]]
+    for t in range((max(caps) + 2 * k) // k + 1):
+        frames = jnp.asarray(
+            rng.standard_normal((16, k, 17, 2)), jnp.float32)
+        p_ref, ss_ref = streaming.stream_step_int8_multi(
+            cfg, q, ss_ref, frames)
+        p_fused, ss_fused = step_chunked(ss_fused, frames)
+        np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_fused),
+                                      err_msg=f"chunks={chunks} step {t}")
+        for br, bf in zip(ss_ref["bufs"], ss_fused["bufs"]):
+            np.testing.assert_array_equal(np.asarray(br), np.asarray(bf))
+
+
 def test_fused_multi_lifter_wiring():
     """engine='int8_fused' + frames_per_step>1 routes through the k-frame
     kernel and matches the XLA multi engine through the lifter API."""
