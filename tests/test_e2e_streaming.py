@@ -179,6 +179,23 @@ def test_streaming_cli_frames_per_step(wild_setup, tmp_path):
         np.testing.assert_allclose(a[video], b[video], atol=2e-5)
 
 
+def test_streaming_cli_bf16_fused_multi(wild_setup, tmp_path):
+    """--engine bf16_fused + --frames-per-step k>1 routes through the bf16
+    k-frame single-kernel path (stream_step_bf16_multi_fused): bit-identical
+    to the XLA k-frame bf16 engine at the same compute dtype."""
+    data_dir, ckpt, *_ = wild_setup
+    out_xla = str(tmp_path / "m_bf16.npz")
+    out_fused = str(tmp_path / "m_bf16_fused.npz")
+    base = ["-k", "myvideos", "--data-dir", data_dir, "--checkpoint", ckpt,
+            "-arc", "3,3,3", "-ch", "16", "--compute-dtype", "bfloat16",
+            "--frames-per-step", "4"]
+    streaming.main(base + ["--engine", "bf16", "--output", out_xla])
+    streaming.main(base + ["--engine", "bf16_fused", "--output", out_fused])
+    a, b = np.load(out_xla), np.load(out_fused)
+    for video in a.files:
+        np.testing.assert_array_equal(a[video], b[video])
+
+
 def test_streaming_cli_int8_fused_multi(wild_setup, tmp_path):
     """--engine int8_fused + --frames-per-step k>1 routes through the
     single-kernel k-frame slab path (stream_step_int8_multi_fused, the

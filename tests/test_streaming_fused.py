@@ -263,6 +263,69 @@ def test_fused_multi_chunks_bit_identical(chunks):
             np.testing.assert_array_equal(np.asarray(br), np.asarray(bf))
 
 
+@pytest.mark.parametrize("filter_widths,channels,b,k", [
+    ((3, 3, 3), 64, 8, 4),      # k=4 > d=3: within-dispatch tap fill
+    ((3, 3, 3, 3), 32, 4, 2),   # 3 blocks: stage-row reuse wait path
+    ((3, 3, 3), 32, 16, 8),
+])
+def test_fused_bf16_multi_step_parity(filter_widths, channels, b, k):
+    """The bf16 k-frame single-kernel engine must match the XLA
+    micro-batched bf16 engine frame-for-frame — poses and ring state —
+    through several ring wraps (interpret mode: bit-identical)."""
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=filter_widths, causal=True, dropout=0.0,
+        channels=channels, compute_dtype="bfloat16")
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    first = jnp.asarray(rng.standard_normal((b, 17, 2)), jnp.float32)
+    prepared = streaming.prepare_bf16_fused(cfg, params, state)
+
+    ss_ref = streaming.init_stream_state_multi(cfg, params, state, first, k)
+    ss_fused = jax.tree_util.tree_map(jnp.copy, ss_ref)
+
+    caps = [buf.shape[0] // 2 for buf in ss_ref["bufs"]]
+    n_steps = (max(caps) + 3 * k) // k + 2
+    for t in range(n_steps):
+        frames = jnp.asarray(
+            rng.standard_normal((b, k, 17, 2)), jnp.float32)
+        p_ref, ss_ref = streaming.stream_step_multi(
+            cfg, params, state, ss_ref, frames)
+        p_fused, ss_fused = streaming.stream_step_bf16_multi_fused(
+            cfg, prepared, ss_fused, frames)
+        np.testing.assert_array_equal(
+            np.asarray(p_ref), np.asarray(p_fused),
+            err_msg=f"pose mismatch at step {t}")
+        for i, (br, bf) in enumerate(zip(ss_ref["bufs"], ss_fused["bufs"])):
+            np.testing.assert_array_equal(
+                np.asarray(br), np.asarray(bf),
+                err_msg=f"ring {i} mismatch at step {t}")
+
+
+def test_fused_bf16_multi_lifter_wiring():
+    """engine='bf16_fused' + frames_per_step>1 routes through the bf16
+    k-frame kernel and matches the XLA multi engine through the lifter."""
+    cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=17,
+        filter_widths=(3, 3, 3), causal=True, dropout=0.0,
+        channels=32, compute_dtype="bfloat16")
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    first = jnp.asarray(rng.standard_normal((4, 17, 2)), jnp.float32)
+    k = 2
+    lifter_a = streaming.StreamingCausalLifter(
+        cfg, params, state, engine="bf16_fused", frames_per_step=k)
+    lifter_b = streaming.StreamingCausalLifter(
+        cfg, params, state, engine="bf16", frames_per_step=k)
+    lifter_a.reset(first)
+    lifter_b.reset(first)
+    for _ in range(4):
+        frames = jnp.asarray(rng.standard_normal((4, k, 17, 2)), jnp.float32)
+        pa = np.asarray(lifter_a.step(frames))
+        pb = np.asarray(lifter_b.step(frames))
+        np.testing.assert_allclose(pa, pb, rtol=0, atol=1e-5)
+
+
 def test_fused_multi_lifter_wiring():
     """engine='int8_fused' + frames_per_step>1 routes through the k-frame
     kernel and matches the XLA multi engine through the lifter API."""

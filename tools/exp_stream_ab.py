@@ -75,6 +75,15 @@ def main():
     engines["int8_multi_fused"] = (
         lambda ss, f: streaming.stream_step_int8_multi_fused(cfg, q, ss, f),
         lambda: streaming.init_stream_state_int8_multi(cfg, q, first, k))
+    engines["bf16_multi"] = (
+        lambda ss, f: streaming.stream_step_multi(cfg, params, state, ss, f),
+        lambda: streaming.init_stream_state_multi(cfg, params, state,
+                                                  first, k))
+    engines["bf16_multi_fused"] = (
+        lambda ss, f: streaming.stream_step_bf16_multi_fused(
+            cfg, prepared_bf16, ss, f),
+        lambda: streaming.init_stream_state_multi(cfg, params, state,
+                                                  first, k))
     names = args.engines.split(",")
 
     runners = {}

@@ -576,6 +576,235 @@ def fused_blocks_step_multi(q, rings, eq, idx, *, widths, lags, caps, k,
     return outs[0], list(outs[1:])
 
 
+def _fused_blocks_bf16_multi_kernel(idx_ref, a0, *refs, n_blocks, widths,
+                                    lags, caps, k, chunks):
+    """bf16 k-frame fused streaming kernel (skew-pipelined like the int8
+    multi kernel; math per (frame, stream) row identical to
+    ``streaming.stream_step_multi`` at compute_dtype=bfloat16).
+
+    Differences from the int8 multi kernel: the inter-block carry is the f32
+    residual stream ``act`` (all chunks stay live across blocks — at
+    k=4/B=1024 that is 16 MB of VMEM, which is why the flagship bf16 slab is
+    k=4 where int8 runs k=8); rings store the bf16 cast of each block's
+    input, so EVERY push (block 0 included) goes through the bf16 ``stage``
+    scratch (the f32 ``a0`` operand cannot be DMA'd into a bf16 ring).
+    vecs rows are [s1, t1, s2, t2] from ``prepare_bf16_fused``.
+    """
+    pos = 0
+    blk = []
+    for _ in range(n_blocks):
+        blk.append({"w1": refs[pos], "w2": refs[pos + 1],
+                    "vecs": refs[pos + 2]})
+        pos += 3
+    shrink_w = refs[pos]; shrink_b = refs[pos + 1]; pos += 2
+    rings_in = refs[pos:pos + n_blocks]; pos += n_blocks
+    poses = refs[pos]; pos += 1
+    rings_out = refs[pos:pos + n_blocks]; pos += n_blocks
+    taps = refs[pos]          # shared scratch (2, max_taps, k, B, C) bf16
+    stage = refs[pos + 1]     # (min(2, n_blocks), k, B, C) bf16
+    read_sems = refs[pos + 2]
+    write_sems = refs[pos + 3]
+    stage_rows = stage.shape[0]
+
+    off = [0]
+    for w in widths:
+        off.append(off[-1] + w)
+
+    def tap_dma(i, j):
+        t = idx_ref[off[i] + 1 + j]
+        read_len = min(lags[i][j], k)   # static
+        s = i % 2
+        return pltpu.make_async_copy(
+            rings_in[i].at[pl.ds(t, read_len)],
+            taps.at[s, j, pl.ds(0, read_len)],
+            read_sems.at[s, j])
+
+    def start_block_reads(i):
+        for j in range(widths[i] - 1):
+            tap_dma(i, j).start()
+
+    start_block_reads(0)
+
+    def push_copies(p):
+        w = idx_ref[off[p]]
+        src = stage.at[p % stage_rows]
+        return (pltpu.make_async_copy(src, rings_out[p].at[pl.ds(w, k)],
+                                      write_sems.at[p, 0]),
+                pltpu.make_async_copy(src,
+                                      rings_out[p].at[pl.ds(w + caps[p], k)],
+                                      write_sems.at[p, 1]))
+
+    def push(p):
+        for cp in push_copies(p):
+            cp.start()
+
+    b, c = a0.shape[-2], a0.shape[-1]
+    rh = (k * b) // chunks
+    fr = k // chunks                     # frames per row chunk
+    # Block 0's input: f32 residual carry + bf16 cast staged for the push.
+    act = [a0[pl.ds(h * fr, fr)].reshape(rh, c) for h in range(chunks)]
+    newest = [None] * chunks
+    for h in range(chunks):
+        newest[h] = act[h].astype(jnp.bfloat16)
+        stage[0, pl.ds(h * fr, fr)] = newest[h].reshape(fr, b, c)
+    push(0)
+    push_waited = set()
+
+    for i in range(n_blocks):
+        kw = widths[i]
+        s = i % 2
+        vecs = blk[i]["vecs"]
+        last = i == n_blocks - 1
+        if not last and (i + 1) >= stage_rows:
+            # Block i writes stage row (i+1) % stage_rows in its epilogues;
+            # the previous push out of that row must have landed first.
+            p = i + 1 - stage_rows
+            for cp in push_copies(p):
+                cp.wait()
+            push_waited.add(p)
+        for j in range(kw - 1):
+            tap_dma(i, j).wait()
+        if i + 1 < n_blocks:
+            start_block_reads(i + 1)
+        for j in range(kw - 1):
+            lag = lags[i][j]
+            if lag < k:
+                need = k - lag
+                pieces = [newest[h].reshape(fr, b, c)
+                          for h in range(-(-need // fr))]
+                cur = (jnp.concatenate(pieces, axis=0)
+                       if len(pieces) > 1 else pieces[0])
+                taps[s, j, pl.ds(lag, need)] = cur[:need]
+
+        # Skewed pipeline stages; per-row math as stream_step_multi.
+        acc = [None] * chunks
+        mid = [None] * chunks
+        acc2 = [None] * chunks
+
+        def s_conv(h):
+            a = jnp.dot(taps[s, 0, pl.ds(h * fr, fr)].reshape(rh, c),
+                        blk[i]["w1"][0], preferred_element_type=jnp.float32)
+            for j in range(1, kw - 1):
+                a += jnp.dot(taps[s, j, pl.ds(h * fr, fr)].reshape(rh, c),
+                             blk[i]["w1"][j],
+                             preferred_element_type=jnp.float32)
+            acc[h] = a + jnp.dot(newest[h], blk[i]["w1"][kw - 1],
+                                 preferred_element_type=jnp.float32)
+
+        def s_mid(h):
+            mid[h] = jnp.maximum(
+                acc[h] * vecs[0:1, :] + vecs[1:2, :], 0.0
+            ).astype(jnp.bfloat16)
+            acc[h] = None
+
+        def s_proj(h):
+            acc2[h] = jnp.dot(mid[h], blk[i]["w2"][...],
+                              preferred_element_type=jnp.float32)
+            mid[h] = None
+
+        def s_epi(h):
+            act[h] = act[h] + jnp.maximum(
+                acc2[h] * vecs[2:3, :] + vecs[3:4, :], 0.0)
+            acc2[h] = None
+            if not last:
+                newest[h] = act[h].astype(jnp.bfloat16)
+                stage[(i + 1) % stage_rows, pl.ds(h * fr, fr)] = (
+                    newest[h].reshape(fr, b, c))
+            else:
+                prj = jnp.dot(act[h].astype(jnp.bfloat16), shrink_w[...],
+                              preferred_element_type=jnp.float32)
+                poses[pl.ds(h * rh, rh)] = prj + shrink_b[0:1, :]
+
+        for t in range(chunks + 1):
+            if t < chunks:
+                s_conv(t)
+            if t >= 1:
+                s_mid(t - 1)
+                s_proj(t - 1)
+                s_epi(t - 1)
+        if i < n_blocks - 1:
+            push(i + 1)
+
+    for p in range(n_blocks):
+        if p not in push_waited:
+            for cp in push_copies(p):
+                cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("widths", "lags", "caps", "k",
+                                             "chunks", "interpret"))
+def fused_blocks_step_bf16_multi(prepared, rings, a0, idx, *, widths, lags,
+                                 caps, k, chunks=None, interpret=False):
+    """bf16 counterpart of :func:`fused_blocks_step_multi`.
+
+    Args:
+      prepared: weights pytree from ``streaming.prepare_bf16_fused``.
+      rings: per-block bf16 DOUBLED time-major ring buffers (2*cap_i, B, C);
+        DONATED (aliased in place).
+      a0: (k, B, C) f32 expand activations for this dispatch's frames.
+      idx / widths / lags / caps / k / chunks: as in
+        :func:`fused_blocks_step_multi`.
+
+    Returns:
+      ((k*B, J3) f32 flat poses frame-major, [updated rings]).
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_blocks = len(widths)
+    kk, b, c = a0.shape
+    assert kk == k
+    if chunks is None:
+        chunks = k
+    while chunks > 1 and (k % chunks or ((k * b) // chunks) % 16):
+        chunks -= 1
+    j3 = prepared["shrink_w"].shape[1]
+
+    inputs = [idx, a0.astype(jnp.float32)]
+    for i in range(n_blocks):
+        inputs += [jnp.asarray(prepared["w1"][i], jnp.bfloat16),
+                   jnp.asarray(prepared["w2"][i], jnp.bfloat16),
+                   prepared["vecs"][i]]
+    inputs += [jnp.asarray(prepared["shrink_w"], jnp.bfloat16),
+               jnp.pad(jnp.asarray(prepared["shrink_b"], jnp.float32)[None],
+                       ((0, 7), (0, 0)))]
+    inputs += list(rings)
+
+    kernel = functools.partial(
+        _fused_blocks_bf16_multi_kernel, n_blocks=n_blocks,
+        widths=tuple(widths), lags=tuple(lags), caps=tuple(caps), k=k,
+        chunks=chunks)
+
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = ([vm()] + [vm()] * (3 * n_blocks) + [vm(), vm()]
+                + [any_()] * n_blocks)
+    out_specs = [vm()] + [any_()] * n_blocks
+    out_shape = ([jax.ShapeDtypeStruct((k * b, j3), jnp.float32)]
+                 + [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in rings])
+    ring_in0 = 2 + 3 * n_blocks + 2
+    aliases = {ring_in0 + i: 1 + i for i in range(n_blocks)}
+    max_taps = max(w - 1 for w in widths)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=(
+            [pltpu.VMEM((2, max_taps, k, b, c), jnp.bfloat16),
+             pltpu.VMEM((max(1, min(2, n_blocks)), k, b, c), jnp.bfloat16),
+             pltpu.SemaphoreType.DMA((2, max_taps)),
+             pltpu.SemaphoreType.DMA((n_blocks, 2))]))
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 127)),
+        interpret=interpret,
+    )(*inputs)
+    return outs[0], list(outs[1:])
+
+
 def _fused_blocks_bf16_kernel(idx_ref, a0, *refs, n_blocks, widths, halves):
     """bf16 variant of :func:`_fused_blocks_kernel`.
 

@@ -806,6 +806,66 @@ def stream_step_int8_multi(config: TemporalModelConfig, q, stream_state,
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+def stream_step_bf16_multi_fused(config: TemporalModelConfig, prepared,
+                                 stream_state, frames):
+    """Advance all streams by k frames with the single-kernel bf16 pipeline.
+
+    Same state pytree (doubled bf16 rings from
+    :func:`init_stream_state_multi` at compute_dtype=bfloat16) and same math
+    as :func:`stream_step_multi`; every residual block, ring slab push, and
+    the shrink run inside ONE ``pallas_call``
+    (``ops/pallas/streaming_fused.fused_blocks_step_bf16_multi``), so the
+    (k*B, C) f32 activations never round-trip HBM between layers.
+
+    Args:
+      prepared: weights pytree from :func:`prepare_bf16_fused`.
+    """
+    from videopose3d_tpu.ops.pallas.streaming_fused import (
+        fused_blocks_step_bf16_multi)
+
+    bufs = list(stream_state["bufs"])
+    ptr = stream_state["ptr"]
+    caps = [buf.shape[0] // 2 for buf in bufs]
+
+    x = jnp.asarray(frames)
+    b, k = x.shape[0], x.shape[1]
+    _check_multi_alignment(config, caps, k)
+    x = jnp.swapaxes(x, 0, 1).reshape(k, b, -1).astype(jnp.bfloat16)
+
+    # Raw ring + expand stay in XLA (odd lane counts), as in the int8 path.
+    bufs[0] = _ring_push_block(bufs[0], ptr[0], caps[0], x)
+    k0 = config.filter_widths[0]
+    t0 = jnp.concatenate(
+        _ring_tap_rows_block(bufs[0], ptr[0], caps[0], k0, 1, k)
+        + [x.reshape(k * b, -1)], axis=-1)
+    a0 = jnp.dot(t0, prepared["expand_w"], preferred_element_type=jnp.float32)
+    a0 = jax.nn.relu(a0 * prepared["expand_s"] + prepared["expand_t"])
+    a0 = a0.reshape(k, b, -1)
+
+    widths = tuple(config.filter_widths[1:])
+    dils = tuple(config.dilations[1:])
+    lags = tuple(tuple((kw - 1 - j) * d for j in range(kw - 1))
+                 for kw, d in zip(widths, dils))
+    idx = []
+    for i, kw in enumerate(widths):
+        cap = caps[i + 1]
+        idx.append(ptr[i + 1])           # k-aligned, never wraps mid-write
+        idx += [jnp.mod(ptr[i + 1] - (kw - 1 - j) * dils[i], cap)
+                for j in range(kw - 1)]
+    idx = jnp.stack(idx).astype(jnp.int32)
+
+    poses_flat, new_rings = fused_blocks_step_bf16_multi(
+        prepared, bufs[1:], a0, idx, widths=widths, lags=lags,
+        caps=tuple(caps[1:]), k=k)
+    poses = jnp.swapaxes(
+        poses_flat.reshape(k, b, config.num_joints_out, 3), 0, 1
+    ).astype(jnp.float32)
+    new_state = {"bufs": [bufs[0]] + new_rings,
+                 "ptr": jnp.mod(ptr + k, jnp.asarray(caps, jnp.int32))}
+    return poses, new_state
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
 def stream_step_int8_multi_fused(config: TemporalModelConfig, q, stream_state,
                                  frames):
     """Advance all streams by k frames with the single-kernel int8 pipeline.
@@ -893,8 +953,6 @@ class StreamingCausalLifter:
             raise ValueError(f"engine={engine!r} requires params and state")
         if frames_per_step < 1:
             raise ValueError("frames_per_step must be >= 1")
-        if engine == "bf16_fused" and frames_per_step != 1:
-            raise ValueError(f"engine={engine!r} is per-frame (k == 1)")
         if (engine == "bf16_fused"
                 and jnp.dtype(config.compute_dtype) != jnp.bfloat16):
             raise ValueError("engine='bf16_fused' requires "
@@ -968,8 +1026,14 @@ class StreamingCausalLifter:
             if self._bf16_prepared is None:
                 self._bf16_prepared = prepare_bf16_fused(
                     self.config, self.params, self.state)
-            out, self._stream_state = stream_step_bf16_fused(
-                self.config, self._bf16_prepared, self._stream_state, frame)
+            if k > 1:
+                out, self._stream_state = stream_step_bf16_multi_fused(
+                    self.config, self._bf16_prepared, self._stream_state,
+                    frame)
+            else:
+                out, self._stream_state = stream_step_bf16_fused(
+                    self.config, self._bf16_prepared, self._stream_state,
+                    frame)
         elif self.engine == "int8":
             if k > 1:
                 out, self._stream_state = stream_step_int8_multi(
