@@ -204,6 +204,60 @@ class TestEpochScan:
                         jax.tree_util.tree_leaves(s_b)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_scan_segments_cover_exactly(self):
+        from videopose3d_tpu.train import _scan_segments
+        assert list(_scan_segments(7, 0)) == [(0, 7)]
+        assert list(_scan_segments(7, 7)) == [(0, 7)]
+        assert list(_scan_segments(7, 10)) == [(0, 7)]
+        assert list(_scan_segments(7, 3)) == [(0, 3), (3, 6), (6, 7)]
+        assert list(_scan_segments(6, 3)) == [(0, 3), (3, 6)]
+
+    def test_scan_chunking_is_bit_identical(self):
+        """scan_chunk splits the epoch into several bounded device programs;
+        the scan is sequential and params/rng thread through segment
+        boundaries, so the result must be BITWISE equal to one long scan."""
+        rng = np.random.default_rng(11)
+        poses_2d, poses_3d, _ = _toy_data(rng)
+        cfg = _model_cfg(dropout=0.25)
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                               causal_shift=0)
+        dev = FlatSequenceDataset(poses_2d, poses_3d).to_device()
+        perm = _perm()
+        trainer = SupervisedTrainer(cfg, loop, perm, perm)
+
+        metas, n_valids = [], []
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1,
+                                     augment=True)
+        for meta, n_valid in sampler.next_epoch():
+            metas.append(meta)
+            n_valids.append(n_valid)
+        metas = np.stack(metas)
+        n_valids = np.array(n_valids)
+        # A chunk size that does NOT divide the step count exercises the
+        # remainder-length program too.
+        assert metas.shape[0] % 3 != 0 or metas.shape[0] > 3
+
+        params0, state0 = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt0 = trainer.init_optimizer(params0)
+
+        def run(chunk):
+            p, s, o = jax.tree_util.tree_map(
+                jnp.copy, (params0, state0, opt0))
+            p, s, o, r, losses = trainer.run_epoch(
+                p, s, o, jax.random.PRNGKey(1), dev, metas, n_valids, 0.1,
+                scan_chunk=chunk)
+            return (jax.tree_util.tree_map(np.asarray, (p, s, o, r)),
+                    np.asarray(losses))
+
+        (ref_tree, ref_losses) = run(0)
+        for chunk in (3, metas.shape[0] - 1):
+            (tree, losses) = run(chunk)
+            np.testing.assert_array_equal(losses, ref_losses)
+            for a, b in zip(jax.tree_util.tree_leaves(ref_tree),
+                            jax.tree_util.tree_leaves(tree)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestSemiSupervised:
     def test_warmup_and_full_step(self):
@@ -256,6 +310,71 @@ class TestSemiSupervised:
             if not skip:
                 assert np.isfinite(float(loss_recon))
                 assert float(loss_recon) > 0.0
+
+    def test_semi_scan_chunking_is_bit_identical(self):
+        """Chunked semi-supervised epoch scan == one long scan, bitwise
+        (params of both models, BN states, all four per-step loss vectors)."""
+        rng = np.random.default_rng(9)
+        poses_2d, poses_3d, cams = _toy_data(rng)
+        poses_2d_semi = [p + 0.01 for p in poses_2d[:2]]
+        cams_semi = cams[:2]
+        poses_3d = [p + np.array([0, 0, 4], np.float32) for p in poses_3d]
+
+        cfg = _model_cfg()
+        traj_cfg = TemporalModelConfig(
+            num_joints_in=J, in_features=2, num_joints_out=1,
+            filter_widths=cfg.filter_widths, dropout=cfg.dropout,
+            channels=cfg.channels)
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=8, chunk_length=1, pad=pad,
+                               causal_shift=0, warmup=0)
+
+        dev = FlatSequenceDataset(poses_2d, poses_3d, cams).to_device()
+        dev_semi = FlatSequenceDataset(poses_2d_semi, None,
+                                       cams_semi).to_device()
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 8, 1)
+        sampler_semi = ChunkedPairSampler(
+            [p.shape[0] for p in poses_2d_semi], 8, 1, random_seed=4321,
+            endless=True)
+        semi_iter = sampler_semi.next_epoch()
+        metas, n_valids, metas_semi, n_valids_semi = [], [], [], []
+        for meta, n_valid in sampler.next_epoch():
+            meta_semi, n_valid_semi = next(semi_iter)
+            metas.append(meta)
+            n_valids.append(n_valid)
+            metas_semi.append(meta_semi)
+            n_valids_semi.append(n_valid_semi)
+        metas, metas_semi = np.stack(metas), np.stack(metas_semi)
+        n_valids, n_valids_semi = np.array(n_valids), np.array(n_valids_semi)
+
+        parents = np.array([-1] + list(range(J - 1)))
+        trainer = SemiSupervisedTrainer(cfg, traj_cfg, loop, _perm(), _perm(),
+                                        parents)
+        params0 = {}
+        params0["pos"], state_pos = init_temporal_model(cfg,
+                                                        jax.random.PRNGKey(0))
+        params0["traj"], state_traj = init_temporal_model(
+            traj_cfg, jax.random.PRNGKey(1))
+        states0 = {"pos": state_pos, "traj": state_traj}
+        opt0 = trainer.init_optimizer(params0)
+
+        def run(chunk):
+            p, s, o = jax.tree_util.tree_map(
+                jnp.copy, (params0, states0, opt0))
+            p, s, o, r, losses = trainer.run_epoch(
+                p, s, o, jax.random.PRNGKey(2), dev, dev_semi,
+                metas, n_valids, metas_semi, n_valids_semi, 0.1,
+                skip=False, scan_chunk=chunk)
+            return (jax.tree_util.tree_map(np.asarray, (p, s, o, r)),
+                    tuple(np.asarray(l) for l in losses))
+
+        ref_tree, ref_losses = run(0)
+        tree, losses = run(2)
+        for a, b in zip(ref_losses, losses):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(ref_tree),
+                        jax.tree_util.tree_leaves(tree)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_semi_multichip_mesh(self):
         """Semi-supervised DP step (pose + trajectory models, in-graph

@@ -167,6 +167,11 @@ def parse_args(argv=None):
                         action="store_false",
                         help="dispatch train steps one-by-one instead of "
                              "running each epoch as a single fused XLA scan")
+    parser.add_argument("--scan-chunk", default=0, type=int, metavar="STEPS",
+                        help="split the fused epoch scan into device programs "
+                             "of at most this many steps (0 = whole epoch as "
+                             "one program).  Bit-identical; bounds compile "
+                             "time/memory for very long epochs")
     parser.add_argument("--profile-dir", default=None, type=str, metavar="PATH",
                         help="capture a jax.profiler device trace of the first "
                              "training epoch into this directory")

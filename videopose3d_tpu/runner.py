@@ -632,7 +632,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                         all_params, all_states, opt_state, step_rng, dev,
                         dev_semi, np.stack(metas), np.array(n_valids),
                         np.stack(metas_semi), np.array(n_valids_semi),
-                        momentum, skip)
+                        momentum, skip, scan_chunk=args.scan_chunk)
                     epoch_losses = list(np.asarray(l_pos))
                     epoch_losses_traj = list(np.asarray(l_traj))
                     epoch_losses_2d = list(np.asarray(l_recon))
@@ -673,7 +673,8 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                     n_valids.append(n_valid)
                 params, state, opt_state, step_rng, losses = trainer.run_epoch(
                     params, state, opt_state, step_rng, dev,
-                    np.stack(metas), np.array(n_valids), momentum)
+                    np.stack(metas), np.array(n_valids), momentum,
+                    scan_chunk=args.scan_chunk)
                 losses = np.asarray(losses)
                 weights = np.asarray(n_valids, np.float64)
                 losses_3d_train.append(

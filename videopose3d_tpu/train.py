@@ -243,6 +243,18 @@ def _mpjpe_per_sample(pred, target):
     return jnp.mean(jnp.linalg.norm(pred - target, axis=-1), axis=(1, 2))
 
 
+def _scan_segments(steps: int, scan_chunk: int):
+    """Yield (lo, hi) step ranges splitting an epoch scan into programs of at
+    most ``scan_chunk`` steps (0/None = the whole epoch as one program).  All
+    segments but the last have exactly ``scan_chunk`` steps, so at most two
+    distinct graph shapes ever compile."""
+    if not scan_chunk or scan_chunk <= 0 or scan_chunk >= steps:
+        yield 0, steps
+        return
+    for lo in range(0, steps, scan_chunk):
+        yield lo, min(lo + scan_chunk, steps)
+
+
 def _check_margins(dev, loop):
     """Fail fast when the dataset's baked margins don't cover this loop's
     windows: ``dynamic_slice`` clamps out-of-range starts, so a too-small
@@ -390,22 +402,36 @@ class SupervisedTrainer:
         return params, state, opt_state, rng, losses
 
     def run_epoch(self, params, state, opt_state, rng, dev, metas, n_valids,
-                  momentum):
+                  momentum, scan_chunk: int = 0):
         """Run one epoch in a single device program.
 
         Args:
           metas: (steps, B, 4) int32 chunk descriptors for every step.
           n_valids: (steps,) int32 valid-row counts.
+          scan_chunk: if > 0, split the epoch scan into device programs of at
+            most this many steps (plus one remainder-length program).  The
+            scan is sequential so chunking is bit-identical to one long scan;
+            it bounds compile time/memory at very long epochs (and works
+            around a tunneled-TPU worker fault observed at ~3000-step f32
+            scans).  At most two distinct graph shapes compile.
 
         Returns:
           (params, state, opt_state, rng, (steps,) per-step losses).
         """
         _check_margins(dev, self.loop_cfg)
-        return self._epoch(params, state, opt_state, rng, _device_data_dict(dev),
-                           _feed(self.mesh, metas, batch_axis=1),
-                           _feed(self.mesh, np.asarray(n_valids, np.int32)),
-                           _feed(self.mesh, np.float32(momentum)),
-                           (dev.aug_offset_2d, dev.aug_offset_3d))
+        data = _device_data_dict(dev)
+        aug = (dev.aug_offset_2d, dev.aug_offset_3d)
+        n_valids = np.asarray(n_valids, np.int32)
+        losses = []
+        for lo, hi in _scan_segments(metas.shape[0], scan_chunk):
+            params, state, opt_state, rng, seg_losses = self._epoch(
+                params, state, opt_state, rng, data,
+                _feed(self.mesh, metas[lo:hi], batch_axis=1),
+                _feed(self.mesh, n_valids[lo:hi]),
+                _feed(self.mesh, np.float32(momentum)), aug)
+            losses.append(seg_losses)
+        return (params, state, opt_state, rng,
+                losses[0] if len(losses) == 1 else jnp.concatenate(losses))
 
     def step(self, params, state, opt_state, rng, dev, meta, n_valid, momentum):
         """One training step.  ``dev``: DeviceArrays for the labeled set."""
@@ -593,20 +619,34 @@ class SemiSupervisedTrainer:
 
     def run_epoch(self, params, states, opt_state, rng, dev, dev_semi,
                   metas, n_valids, metas_semi, n_valids_semi, momentum,
-                  skip: bool):
+                  skip: bool, scan_chunk: int = 0):
         """One semi-supervised epoch in a single device program.
+
+        ``scan_chunk`` splits the scan into bounded-length device programs
+        exactly like :meth:`SupervisedTrainer.run_epoch` (bit-identical).
 
         Returns (params, states, opt_state, rng, (loss_pos, loss_traj,
         loss_recon, loss_total) per-step vectors)."""
         _check_margins(dev, self.loop_cfg)
         _check_margins(dev_semi, self.loop_cfg)
-        return self._epoch(
-            params, states, opt_state, rng,
-            _device_data_dict(dev), _device_data_dict(dev_semi, with_cameras=True),
-            _feed(self.mesh, metas, batch_axis=1),
-            _feed(self.mesh, np.asarray(n_valids, np.int32)),
-            _feed(self.mesh, metas_semi, batch_axis=1),
-            _feed(self.mesh, np.asarray(n_valids_semi, np.int32)),
-            _feed(self.mesh, np.float32(momentum)), bool(skip),
-            ((dev.aug_offset_2d, dev.aug_offset_3d),
-             (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d)))
+        data = _device_data_dict(dev)
+        data_semi = _device_data_dict(dev_semi, with_cameras=True)
+        aug = ((dev.aug_offset_2d, dev.aug_offset_3d),
+               (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d))
+        n_valids = np.asarray(n_valids, np.int32)
+        n_valids_semi = np.asarray(n_valids_semi, np.int32)
+        seg_losses = []
+        for lo, hi in _scan_segments(metas.shape[0], scan_chunk):
+            params, states, opt_state, rng, losses = self._epoch(
+                params, states, opt_state, rng, data, data_semi,
+                _feed(self.mesh, metas[lo:hi], batch_axis=1),
+                _feed(self.mesh, n_valids[lo:hi]),
+                _feed(self.mesh, metas_semi[lo:hi], batch_axis=1),
+                _feed(self.mesh, n_valids_semi[lo:hi]),
+                _feed(self.mesh, np.float32(momentum)), bool(skip), aug)
+            seg_losses.append(losses)
+        if len(seg_losses) == 1:
+            return params, states, opt_state, rng, seg_losses[0]
+        joined = tuple(jnp.concatenate([s[i] for s in seg_losses])
+                       for i in range(len(seg_losses[0])))
+        return params, states, opt_state, rng, joined
