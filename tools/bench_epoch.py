@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--max-steps", type=int, default=None,
                     help="truncate each epoch's descriptor stack (crash/"
                          "scale isolation)")
+    ap.add_argument("--scan-chunk", type=int, default=0,
+                    help="split the epoch scan into device programs of at "
+                         "most this many steps (bit-identical; the f32 "
+                         "workaround for the ~3000-step tunnel fault)")
     ap.add_argument("--profile", action="store_true",
                     help="trace the last epoch and print the per-op device "
                          "time breakdown")
@@ -107,7 +111,7 @@ def main():
         td0 = time.perf_counter()
         params, state, opt_state, step_rng, losses = trainer.run_epoch(
             params, state, opt_state, step_rng, dev, metas, n_valids,
-            momentum)
+            momentum, scan_chunk=args.scan_chunk)
         final = float(jnp.asarray(losses)[-1])  # forces execution
         dev_s = time.perf_counter() - td0
         steps = len(n_valids)

@@ -167,6 +167,10 @@ def parse_args(argv=None):
                         action="store_false",
                         help="dispatch train steps one-by-one instead of "
                              "running each epoch as a single fused XLA scan")
+    parser.add_argument("--eval-devices", default=0, type=int, metavar="N",
+                        help="round-robin evaluation videos over the first N "
+                             "local devices (numerically invisible; 0 = auto: "
+                             "all local devices on TPU, 1 on CPU)")
     parser.add_argument("--scan-chunk", default=0, type=int, metavar="STEPS",
                         help="split the fused epoch scan into device programs "
                              "of at most this many steps (0 = whole epoch as "

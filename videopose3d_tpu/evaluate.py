@@ -63,6 +63,9 @@ class Evaluator:
         self._q_key = None
         self._q_ref = None
         self._calibration_batch = None
+        # Per-device copies of the weights (or quantized-weights) pytree for
+        # round-robin dispatch over local devices: {device: (weights_key, tree)}.
+        self._dev_cache = {}
 
     def _tta_merge(self, pred, augment: bool):
         if not augment:
@@ -97,6 +100,7 @@ class Evaluator:
         self._q = None
         self._q_key = None
         self._q_ref = None
+        self._dev_cache = {}
 
     def set_calibration(self, batch_2d) -> None:
         """Designate fixed calibration data for int8 activation scales.
@@ -126,8 +130,27 @@ class Evaluator:
         undetectable, which callers must signal via reset_quantization()."""
         return tuple(map(id, jax.tree_util.tree_leaves((params, state))))
 
-    def predict(self, params, state, batch_2d, augment: bool) -> np.ndarray:
-        """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
+    def _on_device(self, tree, key, device):
+        """Cached per-device copy of a weights pytree (keyed by the weight
+        buffers' identities, so a weight swap invalidates every device)."""
+        hit = self._dev_cache.get(device)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        placed = jax.device_put(tree, device)
+        self._dev_cache[device] = (key, placed)
+        return placed
+
+    def predict_async(self, params, state, batch_2d, augment: bool,
+                      device=None):
+        """Dispatch inference WITHOUT fetching: returns the prediction as an
+        un-fetched device array (same shape contract as :meth:`predict`).
+
+        Callers that queue several videos before touching any result overlap
+        device compute with host-side metric work (JAX async dispatch) and —
+        with ``device`` cycling over ``jax.local_devices()`` — spread the
+        eval epoch across every chip the process owns instead of just one
+        (the train step scales with DP; per-video eval otherwise does not).
+        """
         # On a multi-host pod the trained weights arrive as pod-global
         # replicated arrays; evaluation is a per-process local computation
         # (every process evaluates the full set redundantly, mirroring the
@@ -135,7 +158,6 @@ class Evaluator:
         # process's local replica (zero-copy; no-op single-process).
         from videopose3d_tpu.parallel import local_replica
         params, state = local_replica((params, state))
-        batch_2d = jnp.asarray(batch_2d)
         if self.engine == "int8":
             key = self._weights_key(params, state)
             if self._q is None or self._q_key != key:
@@ -143,7 +165,8 @@ class Evaluator:
                 # cached scales would otherwise silently serve stale weights.
                 from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
                     quantize_temporal_model)
-                calib = (batch_2d if self._calibration_batch is None
+                calib = (jnp.asarray(batch_2d)
+                         if self._calibration_batch is None
                          else self._calibration_batch)
                 self._q = quantize_temporal_model(
                     self.model_cfg, params, state, calib)
@@ -151,34 +174,56 @@ class Evaluator:
                 # Strong reference: keeps the keyed leaf buffers alive so a
                 # gc'd tree can't recycle ids into a false cache hit.
                 self._q_ref = (params, state)
-            return np.asarray(self._infer_q(self._q, batch_2d,
-                                            augment=augment))
-        return np.asarray(self._infer(params, state, batch_2d,
-                                      augment=augment))
+                self._dev_cache = {}
+            q = (self._q if device is None
+                 else self._on_device(self._q, self._q_key, device))
+            batch_2d = (jnp.asarray(batch_2d) if device is None
+                        else jax.device_put(np.asarray(batch_2d), device))
+            return self._infer_q(q, batch_2d, augment=augment)
+        if device is None:
+            batch_2d = jnp.asarray(batch_2d)
+        else:
+            key = self._weights_key(params, state)
+            params, state = self._on_device((params, state), key, device)
+            batch_2d = jax.device_put(np.asarray(batch_2d), device)
+        return self._infer(params, state, batch_2d, augment=augment)
+
+    def predict(self, params, state, batch_2d, augment: bool) -> np.ndarray:
+        """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
+        return np.asarray(self.predict_async(params, state, batch_2d,
+                                             augment))
 
 
 def evaluate(evaluator: Evaluator, params, state, batcher, *,
              action: Optional[str] = None, return_predictions: bool = False,
-             verbose: bool = True) -> Tuple[float, float, float, float]:
+             verbose: bool = True,
+             devices=None) -> Tuple[float, float, float, float]:
     """Run the four protocols over a batcher of whole videos.
 
     Parity: ``run.py:652-721``.  Errors are frame-weighted means, reported in mm.
     With ``return_predictions`` the first video's prediction array (camera space)
     is returned instead, as the reference does for rendering.
+
+    ``devices``: optional list of local devices to round-robin the videos
+    over (numerically invisible — every video runs the same program).
+    Dispatch is two-phase either way: a bounded queue of videos is in flight
+    before the first fetch, overlapping device compute (and any dispatch
+    relay latency) with the host-side Procrustes/velocity work.
     """
     epoch_loss_3d_pos = 0.0
     epoch_loss_3d_pos_procrustes = 0.0
     epoch_loss_3d_pos_scale = 0.0
     epoch_loss_3d_vel = 0.0
     n_total = 0
+    devs = list(devices) if devices else [None]
+    in_flight = max(16, 8 * len(devs))
+    pending = []
 
-    for _, batch_3d, batch_2d, n_frames in batcher.next_epoch():
-        pred = evaluator.predict(params, state, batch_2d,
-                                 augment=batcher.augment_enabled())
-        pred = pred[:, :n_frames]
-        if return_predictions:
-            return pred[0]
-
+    def consume(item):
+        nonlocal epoch_loss_3d_pos, epoch_loss_3d_pos_procrustes, \
+            epoch_loss_3d_pos_scale, epoch_loss_3d_vel, n_total
+        batch_3d, n_frames, pred = item
+        pred = np.asarray(pred)[:, :n_frames]
         target = np.asarray(batch_3d[:1], np.float32).copy()
         target[:, :, 0] = 0.0
 
@@ -202,6 +247,19 @@ def evaluate(evaluator: Evaluator, params, state, batcher, *,
         epoch_loss_3d_vel += n * ev
         n_total += n
 
+    for seq_i, (_, batch_3d, batch_2d, n_frames) in enumerate(
+            batcher.next_epoch()):
+        pred = evaluator.predict_async(params, state, batch_2d,
+                                       augment=batcher.augment_enabled(),
+                                       device=devs[seq_i % len(devs)])
+        if return_predictions:
+            return np.asarray(pred)[:, :n_frames][0]
+        pending.append((batch_3d, n_frames, pred))
+        if len(pending) >= in_flight:
+            consume(pending.pop(0))
+    while pending:
+        consume(pending.pop(0))
+
     if n_total == 0:
         raise ValueError(
             "no frames to evaluate (every sequence was empty after "
@@ -223,13 +281,16 @@ def evaluate(evaluator: Evaluator, params, state, batcher, *,
 
 
 def evaluate_actionwise(evaluator: Evaluator, params, state, all_actions: Dict,
-                        make_batcher, *, action_filter=None, verbose=True):
+                        make_batcher, *, action_filter=None, verbose=True,
+                        devices=None):
     """Action-wise evaluation + averages (parity: ``run.py:825-854``).
 
     Args:
       all_actions: {action_name: [(subject, action), ...]}.
       make_batcher: callable mapping a list of (subject, action) pairs to an
         UnchunkedBatcher (the CLI layer supplies dataset access).
+      devices: optional local devices to round-robin videos over (see
+        :func:`evaluate`).
     """
     errors_p1, errors_p2, errors_p3, errors_vel = [], [], [], []
     for action_key in all_actions.keys():
@@ -238,7 +299,8 @@ def evaluate_actionwise(evaluator: Evaluator, params, state, all_actions: Dict,
                 continue
         batcher = make_batcher(all_actions[action_key])
         e1, e2, e3, ev = evaluate(evaluator, params, state, batcher,
-                                  action=action_key, verbose=verbose)
+                                  action=action_key, verbose=verbose,
+                                  devices=devices)
         errors_p1.append(e1)
         errors_p2.append(e2)
         errors_p3.append(e3)

@@ -255,8 +255,24 @@ def _eval_batcher(args, pad, causal_shift, kps_perm, joints_perm,
         bucket=args.eval_bucket, bucket_pow2=args.eval_bucket_pow2)
 
 
+def _eval_device_list(args):
+    """Local devices to round-robin evaluation videos over.
+
+    ``--eval-devices 0`` (auto, default): all local devices on accelerator
+    platforms, one on CPU (virtual CPU devices share the same cores, so
+    fanning out only multiplies compiles).  Returns None when a single device
+    is selected (plain default-device dispatch, no device_put copies)."""
+    local = jax.local_devices()
+    n = int(getattr(args, "eval_devices", 0) or 0)
+    if n <= 0:
+        n = len(local) if local[0].platform != "cpu" else 1
+    n = min(n, len(local))
+    return local[:n] if n > 1 else None
+
+
 def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None,
-                       traj_params=None, traj_state=None, pad=0, shard=None):
+                       traj_params=None, traj_state=None, pad=0, shard=None,
+                       devices=None):
     """Frame-weighted MPJPE (and, when trajectory evaluation is requested, the
     trajectory MPJPE and 2D reconstruction loss) over whole sequences, eval mode,
     no TTA.
@@ -266,25 +282,32 @@ def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None
     the per-epoch eval is per-process work that does NOT scale with DP
     (measured: ~5.2 s device/epoch at H36M scale vs a train epoch that
     divides by the pod size), so on a pod it must shard or it becomes the
-    sweep bottleneck.  Every process returns identical totals."""
+    sweep bottleneck.  Every process returns identical totals.
+
+    ``devices``: optional local devices to round-robin this process's videos
+    over (numerically invisible).  Dispatch is two-phase regardless: a
+    bounded number of videos stays in flight before the first fetch, so
+    device compute and dispatch latency overlap the host metric work."""
     loss_3d = 0.0
     loss_traj = 0.0
     loss_2d = 0.0
     n_total = 0
-    for seq_i, (cam, batch_3d, batch_2d, n_frames) in enumerate(
-            batcher.next_epoch()):
-        if shard is not None and seq_i % shard[1] != shard[0]:
-            continue
-        pred = evaluator.predict(params, state, batch_2d, augment=False)[:, :n_frames]
+    devs = list(devices) if devices else [None]
+    in_flight = max(16, 8 * len(devs))
+    pending = []
+
+    def consume(item):
+        nonlocal loss_3d, loss_traj, loss_2d, n_total
+        cam, batch_3d, batch_2d, n_frames, pred, pred_traj = item
+        pred = np.asarray(pred)[:, :n_frames]
         n = 1 * n_frames
         if batch_3d is not None:
             target = np.asarray(batch_3d, np.float32).copy()
             traj_target = target[:, :, :1].copy()
             target[:, :, 0] = 0.0
             loss_3d += n * mpjpe_np(pred, target)
-        if traj_evaluator is not None:
-            pred_traj = traj_evaluator.predict(
-                traj_params, traj_state, batch_2d, augment=False)[:, :n_frames]
+        if pred_traj is not None:
+            pred_traj = np.asarray(pred_traj)[:, :n_frames]
             if batch_3d is not None:
                 loss_traj += n * mpjpe_np(pred_traj, traj_target)
             if cam is not None:
@@ -295,6 +318,25 @@ def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None
                     np.asarray(pred + pred_traj), np.asarray(cam[:1]))
                 loss_2d += n * mpjpe_np(recon, target_2d)
         n_total += n
+
+    k = 0
+    for seq_i, (cam, batch_3d, batch_2d, n_frames) in enumerate(
+            batcher.next_epoch()):
+        if shard is not None and seq_i % shard[1] != shard[0]:
+            continue
+        d = devs[k % len(devs)]
+        k += 1
+        pred = evaluator.predict_async(params, state, batch_2d,
+                                       augment=False, device=d)
+        pred_traj = (traj_evaluator.predict_async(
+                         traj_params, traj_state, batch_2d, augment=False,
+                         device=d)
+                     if traj_evaluator is not None else None)
+        pending.append((cam, batch_3d, batch_2d, n_frames, pred, pred_traj))
+        if len(pending) >= in_flight:
+            consume(pending.pop(0))
+    while pending:
+        consume(pending.pop(0))
     if shard is not None and shard[1] > 1:
         # Pod-wide totals: every process contributes its round-robin share
         # and the frame-weighted sums combine exactly (f64 partial sums).
@@ -710,11 +752,12 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             # same numbers.
             shard = ((jax.process_index(), jax.process_count())
                      if jax.process_count() > 1 else None)
+            eval_devs = _eval_device_list(args)
             te = _epoch_eval_losses(
                 evaluator, params, state, test_batcher,
                 traj_evaluator=traj_evaluator if semi_supervised else None,
                 traj_params=params_traj, traj_state=state_traj, pad=pad,
-                shard=shard)
+                shard=shard, devices=eval_devs)
             losses_3d_valid.append(te[0])
             if semi_supervised:
                 losses_traj_valid.append(te[1])
@@ -724,7 +767,7 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                 evaluator, params, state, train_eval_batcher,
                 traj_evaluator=traj_evaluator if semi_supervised else None,
                 traj_params=params_traj, traj_state=state_traj, pad=pad,
-                shard=shard)
+                shard=shard, devices=eval_devs)
             losses_3d_train_eval.append(tr[0])
             if semi_supervised:
                 losses_traj_train_eval.append(tr[1])
@@ -732,7 +775,8 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
                 se = _epoch_eval_losses(
                     evaluator, params, state, semi_eval_batcher,
                     traj_evaluator=traj_evaluator, traj_params=params_traj,
-                    traj_state=state_traj, pad=pad, shard=shard)
+                    traj_state=state_traj, pad=pad, shard=shard,
+                    devices=eval_devs)
                 losses_2d_train_unlabeled_eval.append(se[2])
 
         elapsed = (time() - start_time) / 60
@@ -931,15 +975,16 @@ def _final_evaluation(args, dataset, keypoints, subjects_test, action_filter,
                              None, poses_act, poses_2d_act,
                              augment=args.test_time_augmentation)
 
+    eval_devs = _eval_device_list(args)
     if not args.by_subject:
         evaluate_actionwise(evaluator, params, state, all_actions, make_batcher,
-                            action_filter=action_filter)
+                            action_filter=action_filter, devices=eval_devs)
     else:
         for subject in all_actions_by_subject.keys():
             print("Evaluating on subject", subject)
             evaluate_actionwise(evaluator, params, state,
                                 all_actions_by_subject[subject], make_batcher,
-                                action_filter=action_filter)
+                                action_filter=action_filter, devices=eval_devs)
             print("")
 
 
