@@ -102,6 +102,105 @@ def test_epoch_eval_losses_multi_device_bitwise_equal():
     assert ref[3] == sum(p.shape[0] for p in poses_2d)
 
 
+def test_device_eval_set_matches_host_path():
+    """DeviceEvalSet (on-device masked losses, per-device f32 accumulators,
+    round-robin over all 8 virtual devices) must reproduce the host-numpy
+    per-epoch eval helper, including the trajectory + 2D-reconstruction
+    branch, to f32 accumulation noise."""
+    from videopose3d_tpu.evaluate import DeviceEvalSet
+    from videopose3d_tpu.runner import _epoch_eval_losses
+
+    cfg, pad, params, state, poses_2d, poses_3d, cams, perm = _fixture()
+    poses_3d = [p + np.array([0, 0, 4], np.float32) for p in poses_3d]
+    traj_cfg = TemporalModelConfig(num_joints_in=J, in_features=2,
+                                   num_joints_out=1,
+                                   filter_widths=cfg.filter_widths,
+                                   dropout=cfg.dropout, channels=cfg.channels)
+    traj_params, traj_state = init_temporal_model(traj_cfg,
+                                                  jax.random.PRNGKey(4))
+    ev = Evaluator(cfg, joints_flip_perm=perm)
+    traj_ev = Evaluator(traj_cfg)
+
+    ref = _epoch_eval_losses(
+        ev, params, state,
+        _batcher(pad, cams, poses_3d, poses_2d, perm, augment=False),
+        traj_evaluator=traj_ev, traj_params=traj_params,
+        traj_state=traj_state, pad=pad)
+
+    for devices in (None, jax.local_devices()):
+        ds = DeviceEvalSet(
+            _batcher(pad, cams, poses_3d, poses_2d, perm, augment=False),
+            pad=pad, with_traj=True, devices=devices)
+        got = ds.losses(ev, params, state, traj_evaluator=traj_ev,
+                        traj_params=traj_params, traj_state=traj_state)
+        assert got[3] == ref[3]
+        np.testing.assert_allclose(got[:3], ref[:3], rtol=2e-6, atol=1e-7)
+        # Second epoch with the same weights: cached device arrays, same
+        # numbers exactly.
+        again = ds.losses(ev, params, state, traj_evaluator=traj_ev,
+                          traj_params=traj_params, traj_state=traj_state)
+        assert again == got
+
+
+def test_device_eval_set_unlabeled_pattern():
+    """Unlabeled semi-eval videos (no 3D target, camera present) produce only
+    the 2D reconstruction loss, matching the host helper."""
+    from videopose3d_tpu.evaluate import DeviceEvalSet
+    from videopose3d_tpu.runner import _epoch_eval_losses
+
+    cfg, pad, params, state, poses_2d, _, cams, perm = _fixture(n_videos=4)
+    traj_cfg = TemporalModelConfig(num_joints_in=J, in_features=2,
+                                   num_joints_out=1,
+                                   filter_widths=cfg.filter_widths,
+                                   dropout=cfg.dropout, channels=cfg.channels)
+    traj_params, traj_state = init_temporal_model(traj_cfg,
+                                                  jax.random.PRNGKey(4))
+    ev = Evaluator(cfg, joints_flip_perm=perm)
+    traj_ev = Evaluator(traj_cfg)
+
+    ref = _epoch_eval_losses(
+        ev, params, state,
+        _batcher(pad, cams, None, poses_2d, perm, augment=False),
+        traj_evaluator=traj_ev, traj_params=traj_params,
+        traj_state=traj_state, pad=pad)
+    ds = DeviceEvalSet(
+        _batcher(pad, cams, None, poses_2d, perm, augment=False),
+        pad=pad, with_traj=True, devices=jax.local_devices())
+    got = ds.losses(ev, params, state, traj_evaluator=traj_ev,
+                    traj_params=traj_params, traj_state=traj_state)
+    assert got[3] == ref[3]
+    assert got[0] == ref[0] == 0.0
+    np.testing.assert_allclose(got[2], ref[2], rtol=2e-6, atol=1e-7)
+
+
+def test_device_eval_set_sharded_sums():
+    """shard=(i, 2) splits videos round-robin; manually combining both
+    shards' partial sums reproduces the full set (the pod allgather path
+    sums exactly these partials)."""
+    from videopose3d_tpu.evaluate import DeviceEvalSet
+
+    cfg, pad, params, state, poses_2d, poses_3d, cams, perm = _fixture()
+    ev = Evaluator(cfg, joints_flip_perm=perm)
+
+    full = DeviceEvalSet(
+        _batcher(pad, cams, poses_3d, poses_2d, perm, augment=False), pad=pad)
+    f = full.losses(ev, params, state)
+    parts = []
+    for i in range(2):
+        ds = DeviceEvalSet(
+            _batcher(pad, cams, poses_3d, poses_2d, perm, augment=False),
+            pad=pad, shard=None, devices=None)
+        # Simulate the process-i shard without a multi-process runtime.
+        ds._videos = [v for j, v in enumerate(ds._videos) if j % 2 == i]
+        ds.n_frames = sum(int(np.asarray(v[1]["n"]).item())
+                          for v in ds._videos)
+        parts.append((ds.losses(ev, params, state), ds.n_frames))
+    n = sum(p[1] for p in parts)
+    combined = sum(p[0][0] * p[1] for p in parts) / n
+    assert n == f[3]
+    np.testing.assert_allclose(combined, f[0], rtol=2e-6)
+
+
 def test_eval_device_list_auto_is_single_on_cpu():
     from types import SimpleNamespace
     from videopose3d_tpu.runner import _eval_device_list

@@ -100,8 +100,57 @@ def main():
               f"{fetched / 1e6:.0f} MB, {args.videos} dispatches)", flush=True)
         return wall
 
+    def epoch_async(tag, window=64):
+        """Two-phase dispatch (the runner's --eval-devices path): a bounded
+        window of videos in flight before the first fetch, so the ~30 ms
+        relay dispatch latency overlaps the host metric work + fetches."""
+        t0 = time.perf_counter()
+        loss, n_tot, fetched = 0.0, 0, 0
+        pending = []
+
+        def consume(item):
+            nonlocal loss, n_tot, fetched
+            b3, n, handle = item
+            pred = np.asarray(handle)[:, :n]
+            fetched += pred.nbytes
+            target = np.asarray(b3[:1], np.float32).copy()
+            target[:, :, 0] = 0.0
+            loss += n * mpjpe_np(pred, target)
+            n_tot += n
+
+        for _, b3, b2, n in batcher.next_epoch():
+            pending.append((b3, n, evaluator.predict_async(
+                params, state, b2, augment=args.augment)))
+            if len(pending) >= window:
+                consume(pending.pop(0))
+        while pending:
+            consume(pending.pop(0))
+        wall = time.perf_counter() - t0
+        print(f"{tag}: wall {wall:.2f} s  ({n_tot} frames, "
+              f"{n_tot / wall / 1e3:.0f}k frames/s incl. host; fetched "
+              f"{fetched / 1e6:.0f} MB, {args.videos} dispatches)", flush=True)
+        return wall
+
     epoch("epoch 1 (compiles)")
-    wall = epoch("epoch 2 (warm)")
+    wall = epoch("epoch 2 (warm, serial fetch)")
+    epoch_async("epoch 2b (warm, two-phase async dispatch)")
+
+    # Device-resident per-epoch eval (the runner's actual path since round
+    # 4): batches uploaded once, masked losses on device, one (3,) carry
+    # fetch — no 110 MB/epoch prediction traffic.
+    from videopose3d_tpu.evaluate import DeviceEvalSet
+    t0 = time.perf_counter()
+    ds = DeviceEvalSet(batcher, pad=pad)
+    print(f"DeviceEvalSet upload: {time.perf_counter() - t0:.2f} s "
+          "(once per run)", flush=True)
+    for tag in ("epoch 3 (device losses, compiles)",
+                "epoch 4 (device losses, warm)"):
+        t0 = time.perf_counter()
+        l3d, _, _, n_tot = ds.losses(evaluator, params, state)
+        wall_d = time.perf_counter() - t0
+        print(f"{tag}: wall {wall_d:.2f} s  ({n_tot} frames, "
+              f"{n_tot / wall_d / 1e3:.0f}k frames/s incl. host, "
+              f"loss {l3d:.4f})", flush=True)
 
     if args.profile:
         logdir = tempfile.mkdtemp(prefix="eval_prof_")

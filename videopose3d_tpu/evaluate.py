@@ -66,6 +66,13 @@ class Evaluator:
         # Per-device copies of the weights (or quantized-weights) pytree for
         # round-robin dispatch over local devices: {device: (weights_key, tree)}.
         self._dev_cache = {}
+        # Stable identities for fused inference+loss programs: these close
+        # over self only, so DeviceEvalSet's jit cache keys stay valid across
+        # epochs (fresh lambdas per call would retrace every epoch).
+        self._raw_infer = lambda w, b: self._infer_impl(w[0], w[1], b,
+                                                        augment=False)
+        self._raw_infer_q = lambda q, b: self._infer_int8_impl(q, b,
+                                                               augment=False)
 
     def _tta_merge(self, pred, augment: bool):
         if not augment:
@@ -192,6 +199,170 @@ class Evaluator:
         """(rows, T_in, J, C) padded keypoints -> (1, T_out, J_out, 3) poses."""
         return np.asarray(self.predict_async(params, state, batch_2d,
                                              augment))
+
+    def infer_fn_and_weights(self, params, state, calib_batch=None):
+        """(raw traceable ``fn(weights, batch_2d) -> pred``, weights tree,
+        cache key) for building fused inference+loss device programs
+        (:class:`DeviceEvalSet`).  Engine-aware: for int8 the weights tree is
+        the quantized pytree, calibrated from ``set_calibration`` data or
+        ``calib_batch`` (the caller's first batch — same fallback as
+        :meth:`predict`)."""
+        from videopose3d_tpu.parallel import local_replica
+        params, state = local_replica((params, state))
+        if self.engine == "int8":
+            key = self._weights_key(params, state)
+            if self._q is None or self._q_key != key:
+                calib = (self._calibration_batch
+                         if self._calibration_batch is not None
+                         else calib_batch)
+                if calib is None:
+                    raise ValueError(
+                        "int8 loss programs need set_calibration() or a "
+                        "calib_batch (no batch has established scales)")
+                from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+                    quantize_temporal_model)
+                self._q = quantize_temporal_model(
+                    self.model_cfg, params, state, calib)
+                self._q_key = key
+                self._q_ref = (params, state)
+                self._dev_cache = {}
+            return self._raw_infer_q, self._q, self._q_key
+        key = self._weights_key(params, state)
+        return self._raw_infer, (params, state), key
+
+    def weights_on_device(self, weights, key, device):
+        """Public alias of the per-device weights cache (see ``_on_device``)."""
+        if device is None:
+            return weights
+        return self._on_device(weights, key, device)
+
+
+class DeviceEvalSet:
+    """Device-resident per-epoch evaluation with on-device losses.
+
+    The reference's per-epoch eval keeps predictions AND targets on the GPU
+    and only brings scalar losses to host (``run.py:424-549``); the original
+    TPU port instead fetched every prediction (110 MB/epoch at H36M scale —
+    harmless on an attached chip, ~11 s through a 10 MB/s dispatch relay).
+    This class restores the reference's shape: every video's padded 2D input,
+    zero-padded root-zeroed 3D target (and trajectory target / camera for the
+    semi-supervised losses) is uploaded ONCE at construction; each epoch runs
+    one fused inference+masked-loss program per video (round-robin over
+    ``devices``), accumulates frame-weighted loss sums in a per-device (3,)
+    carry, and fetches only those carries.
+
+    Numerics: identical math to the host path except the frame-weighted sum
+    accumulates in device f32 instead of host f64 (sub-1e-6 relative at
+    dataset scale; the per-video losses were f32 either way).
+    """
+
+    def __init__(self, batcher, *, pad: int = 0, with_traj: bool = False,
+                 shard=None, devices=None):
+        self.pad = pad
+        self.with_traj = with_traj
+        self.shard = shard
+        self.devices = list(devices) if devices else [None]
+        self._videos = []
+        self.n_frames = 0
+        for seq_i, (cam, batch_3d, batch_2d, n) in enumerate(
+                batcher.next_epoch()):
+            if shard is not None and seq_i % shard[1] != shard[0]:
+                continue
+            di = len(self._videos) % len(self.devices)
+            dev = self.devices[di]
+
+            def put(a):
+                a = np.ascontiguousarray(a, np.float32)
+                return (jnp.asarray(a) if dev is None
+                        else jax.device_put(a, dev))
+
+            t_out = batch_2d.shape[1] - 2 * pad
+            arrays = {"batch_2d": put(batch_2d[:1]),
+                      "n": put(np.float32(n))}
+            if batch_3d is not None:
+                tgt = np.zeros((1, t_out) + batch_3d.shape[2:], np.float32)
+                tgt[0, :n] = batch_3d[0]
+                if with_traj:
+                    arrays["traj_target"] = put(tgt[:, :, :1])
+                tgt[:, :, 0] = 0.0
+                arrays["target"] = put(tgt)
+            if with_traj and cam is not None:
+                arrays["cam"] = put(np.asarray(cam)[:1])
+            self._videos.append((di, arrays))
+            self.n_frames += n
+        self._jit = jax.jit(self._losses_impl, static_argnums=(0, 1))
+
+    def _losses_impl(self, fns, pattern, acc, w, wt, arrays):
+        """acc (3,) += n * [mpjpe, traj mpjpe, 2D reconstruction mpjpe]."""
+        from videopose3d_tpu.ops.camera import project_to_2d
+        from videopose3d_tpu.ops.losses import mpjpe
+        ev_fn, traj_fn = fns
+        has_target, has_traj, has_cam = pattern
+        batch_2d = arrays["batch_2d"]
+        n = arrays["n"]
+        pred = ev_fn(w, batch_2d)
+        mask = (jnp.arange(pred.shape[1]) < n)[None]
+        zero = jnp.float32(0.0)
+        l3d = (mpjpe(pred, arrays["target"], mask=mask) if has_target
+               else zero)
+        ltraj = zero
+        lrecon = zero
+        if has_traj:
+            pred_traj = traj_fn(wt, batch_2d)
+            if has_target:
+                ltraj = mpjpe(pred_traj, arrays["traj_target"], mask=mask)
+            if has_cam:
+                t_out = pred.shape[1]
+                t2d = jax.lax.dynamic_slice_in_dim(
+                    batch_2d[:1, :, :, :2], self.pad, t_out, axis=1)
+                recon = project_to_2d(pred + pred_traj, arrays["cam"])
+                lrecon = mpjpe(recon, t2d, mask=mask)
+        return acc + n * jnp.stack([l3d, ltraj, lrecon])
+
+    def losses(self, evaluator, params, state, *, traj_evaluator=None,
+               traj_params=None, traj_state=None):
+        """One epoch of frame-weighted eval losses.
+
+        Returns (loss_3d, loss_traj, loss_2d, n_total) exactly like the host
+        helper; on a pod the partial sums are all-gathered so every process
+        returns identical totals."""
+        calib = self._videos[0][1]["batch_2d"] if self._videos else None
+        ev_fn, w, w_key = evaluator.infer_fn_and_weights(params, state,
+                                                         calib_batch=calib)
+        traj_fn, wt, wt_key = (traj_evaluator.infer_fn_and_weights(
+            traj_params, traj_state, calib_batch=calib)
+            if traj_evaluator is not None else (None, (), None))
+        accs = [None] * len(self.devices)
+        for di, arrays in self._videos:
+            dev = self.devices[di]
+            if accs[di] is None:
+                z = np.zeros((3,), np.float32)
+                accs[di] = (jnp.asarray(z) if dev is None
+                            else jax.device_put(z, dev))
+            w_d = evaluator.weights_on_device(w, w_key, dev)
+            wt_d = (traj_evaluator.weights_on_device(wt, wt_key, dev)
+                    if traj_evaluator is not None else ())
+            pattern = ("target" in arrays,
+                       traj_evaluator is not None,
+                       "cam" in arrays)
+            accs[di] = self._jit((ev_fn, traj_fn), pattern, accs[di],
+                                 w_d, wt_d, arrays)
+        total = np.zeros((3,), np.float64)
+        for acc in accs:
+            if acc is not None:
+                total += np.asarray(acc, np.float64)
+        n_total = self.n_frames
+        if self.shard is not None and self.shard[1] > 1:
+            from jax.experimental import multihost_utils
+            parts = multihost_utils.process_allgather(
+                np.concatenate([total, [np.float64(n_total)]]).astype(
+                    np.float64))
+            summed = np.asarray(parts).sum(axis=0)
+            total, n_total = summed[:3], int(round(summed[3]))
+        if n_total == 0:
+            return 0.0, 0.0, 0.0, 0
+        return (total[0] / n_total, total[1] / n_total, total[2] / n_total,
+                n_total)
 
 
 def evaluate(evaluator: Evaluator, params, state, batcher, *,

@@ -645,6 +645,30 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
     first_epoch = epoch
     checkpointer = AsyncCheckpointer()
 
+    # Device-resident per-epoch eval sets: batches upload once, the masked
+    # losses run on device (like the reference's GPU-side eval losses,
+    # run.py:424-549), and only per-device loss-sum carries come to host.
+    # On a pod the videos shard round-robin across processes; within a
+    # process they round-robin across local devices.
+    eval_sets = None
+    if not args.no_eval:
+        from videopose3d_tpu.evaluate import DeviceEvalSet
+        eval_shard = ((jax.process_index(), jax.process_count())
+                      if jax.process_count() > 1 else None)
+        eval_devs = _eval_device_list(args)
+        eval_sets = {
+            "test": DeviceEvalSet(test_batcher, pad=pad,
+                                  with_traj=semi_supervised,
+                                  shard=eval_shard, devices=eval_devs),
+            "train": DeviceEvalSet(train_eval_batcher, pad=pad,
+                                   with_traj=semi_supervised,
+                                   shard=eval_shard, devices=eval_devs),
+        }
+        if semi_supervised:
+            eval_sets["semi"] = DeviceEvalSet(
+                semi_eval_batcher, pad=pad, with_traj=True,
+                shard=eval_shard, devices=eval_devs)
+
     while epoch < args.epochs:
         start_time = time()
         momentum = bn_momentum_for_epoch(loop_cfg, epoch - 1)  # current epoch's BN momentum
@@ -750,33 +774,26 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             # (it is per-process work that does not scale with DP, unlike the
             # train step); totals are all-gathered so every process logs the
             # same numbers.
-            shard = ((jax.process_index(), jax.process_count())
-                     if jax.process_count() > 1 else None)
-            eval_devs = _eval_device_list(args)
-            te = _epoch_eval_losses(
-                evaluator, params, state, test_batcher,
+            te = eval_sets["test"].losses(
+                evaluator, params, state,
                 traj_evaluator=traj_evaluator if semi_supervised else None,
-                traj_params=params_traj, traj_state=state_traj, pad=pad,
-                shard=shard, devices=eval_devs)
+                traj_params=params_traj, traj_state=state_traj)
             losses_3d_valid.append(te[0])
             if semi_supervised:
                 losses_traj_valid.append(te[1])
                 losses_2d_valid.append(te[2])
 
-            tr = _epoch_eval_losses(
-                evaluator, params, state, train_eval_batcher,
+            tr = eval_sets["train"].losses(
+                evaluator, params, state,
                 traj_evaluator=traj_evaluator if semi_supervised else None,
-                traj_params=params_traj, traj_state=state_traj, pad=pad,
-                shard=shard, devices=eval_devs)
+                traj_params=params_traj, traj_state=state_traj)
             losses_3d_train_eval.append(tr[0])
             if semi_supervised:
                 losses_traj_train_eval.append(tr[1])
                 losses_2d_train_labeled_eval.append(tr[2])
-                se = _epoch_eval_losses(
-                    evaluator, params, state, semi_eval_batcher,
-                    traj_evaluator=traj_evaluator, traj_params=params_traj,
-                    traj_state=state_traj, pad=pad, shard=shard,
-                    devices=eval_devs)
+                se = eval_sets["semi"].losses(
+                    evaluator, params, state, traj_evaluator=traj_evaluator,
+                    traj_params=params_traj, traj_state=state_traj)
                 losses_2d_train_unlabeled_eval.append(se[2])
 
         elapsed = (time() - start_time) / 60
