@@ -60,8 +60,12 @@ def main():
         calib = jnp.asarray(rng.standard_normal((1, rf + 200, 17, 2)),
                             jnp.float32)
         q = quantize_temporal_model(cfg, params, state, calib)
-        if args.engine == "int8_fused":
-            assert k == 1, "int8_fused is a per-frame engine"
+        if args.engine == "int8_fused" and k > 1:
+            step = lambda ss, f: streaming.stream_step_int8_multi_fused(
+                cfg, q, ss, f)
+            init = lambda: streaming.init_stream_state_int8_multi(cfg, q,
+                                                                  first, k)
+        elif args.engine == "int8_fused":
             step = lambda ss, f: streaming.stream_step_int8_fused(cfg, q,
                                                                   ss, f)
             init = lambda: streaming.init_stream_state_int8(cfg, q, first)
@@ -73,8 +77,13 @@ def main():
             init = lambda: streaming.init_stream_state_int8_multi(cfg, q,
                                                                   first, k)
     else:
-        if args.engine == "bf16_fused":
-            assert k == 1, "bf16_fused is a per-frame engine"
+        if args.engine == "bf16_fused" and k > 1:
+            prepared = streaming.prepare_bf16_fused(cfg, params, state)
+            step = lambda ss, f: streaming.stream_step_bf16_multi_fused(
+                cfg, prepared, ss, f)
+            init = lambda: streaming.init_stream_state_multi(
+                cfg, params, state, first, k)
+        elif args.engine == "bf16_fused":
             prepared = streaming.prepare_bf16_fused(cfg, params, state)
             step = lambda ss, f: streaming.stream_step_bf16_fused(
                 cfg, prepared, ss, f)

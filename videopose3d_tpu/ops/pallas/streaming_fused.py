@@ -305,7 +305,7 @@ def _fused_call(kernel, inputs, rings, b, c, j3, widths, *, scratch_dtype,
 
 
 def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
-                               caps, k, chunks):
+                               caps, k, chunks, experiment=None):
     """int8 k-frame fused streaming kernel.
 
     Refs as in :func:`_unpack_refs` with multi-frame scratch shapes: ONE
@@ -447,11 +447,22 @@ def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
             acc[h] = a + _i8dot(newest[h], blk[i]["wq_a"][kw - 1])
 
         def s_quant(h):
+            # ``experiment`` (timing decomposition ONLY, wrong numerics —
+            # see fused_blocks_step_multi): "dots_only" strips the whole VPU
+            # epilogue to a cast; "static_requant" keeps relu+scale+round but
+            # drops the per-row max reduce.
+            if experiment == "dots_only":
+                hq[h] = acc[h].astype(jnp.int8)
+                acc[h] = None
+                return
             real = jnp.maximum(
                 acc[h].astype(jnp.float32) * vecs[0:1, :] + vecs[1:2, :], 0.0)
-            rm = jnp.maximum(jnp.max(real, axis=1, keepdims=True), 1.0)
-            rowmax[h] = rm
-            hq[h] = jnp.round(real * (QMAX / rm)).astype(jnp.int8)
+            if experiment == "static_requant":
+                hq[h] = jnp.round(real * (QMAX / 64.0)).astype(jnp.int8)
+            else:
+                rm = jnp.maximum(jnp.max(real, axis=1, keepdims=True), 1.0)
+                rowmax[h] = rm
+                hq[h] = jnp.round(real * (QMAX / rm)).astype(jnp.int8)
             acc[h] = None
 
         def s_proj(h):
@@ -459,16 +470,23 @@ def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
             hq[h] = None
 
         def s_epi(h):
-            y = jnp.maximum(
-                acc2[h].astype(jnp.float32) * (rowmax[h] * (1.0 / QMAX))
-                * vecs[2:3, :] + vecs[3:4, :], 0.0)
-            res = newest[h].astype(jnp.float32) * vecs[4:5, :]
-            out = res + y
+            if experiment == "dots_only":
+                out = acc2[h].astype(jnp.float32)
+            else:
+                scale = ((64.0 / QMAX) if experiment == "static_requant"
+                         else rowmax[h] * (1.0 / QMAX))
+                y = jnp.maximum(
+                    acc2[h].astype(jnp.float32) * scale
+                    * vecs[2:3, :] + vecs[3:4, :], 0.0)
+                res = newest[h].astype(jnp.float32) * vecs[4:5, :]
+                out = res + y
             acc2[h] = None
             rowmax[h] = None
             if not last:
-                newest[h] = jnp.clip(jnp.round(out), 0.0, QMAX
-                                     ).astype(jnp.int8)
+                newest[h] = (out.astype(jnp.int8)
+                             if experiment == "dots_only" else
+                             jnp.clip(jnp.round(out), 0.0, QMAX
+                                      ).astype(jnp.int8))
                 stage[i % stage_rows, pl.ds(h * fr, fr)] = (
                     newest[h].reshape(fr, b, c))
             else:
@@ -497,9 +515,10 @@ def _fused_blocks_multi_kernel(idx_ref, eq, *refs, n_blocks, widths, lags,
 
 
 @functools.partial(jax.jit, static_argnames=("widths", "lags", "caps", "k",
-                                             "chunks", "interpret"))
+                                             "chunks", "interpret",
+                                             "experiment"))
 def fused_blocks_step_multi(q, rings, eq, idx, *, widths, lags, caps, k,
-                            chunks=None, interpret=False):
+                            chunks=None, interpret=False, experiment=None):
     """Run every residual block + shrink on a k-frame slab in one kernel.
 
     Args:
@@ -515,6 +534,10 @@ def fused_blocks_step_multi(q, rings, eq, idx, *, widths, lags, caps, k,
       chunks: row chunks for the in-kernel software pipeline (whole frames
         per chunk; must divide k with 32-row-aligned chunks).  Default: one
         frame per chunk.  Bit-identical across values.
+      experiment: timing-decomposition variants with WRONG numerics, for
+        floor analysis only (tools/exp_stream_floor.py) — never reachable
+        from the engines: "static_requant" drops the per-row max reduce,
+        "dots_only" strips the VPU epilogues to casts (same dataflow/DMAs).
 
     Returns:
       ((k*B, J3) f32 flat poses frame-major, [updated rings]).
@@ -543,7 +566,8 @@ def fused_blocks_step_multi(q, rings, eq, idx, *, widths, lags, caps, k,
 
     kernel = functools.partial(
         _fused_blocks_multi_kernel, n_blocks=n_blocks, widths=tuple(widths),
-        lags=tuple(lags), caps=tuple(caps), k=k, chunks=chunks)
+        lags=tuple(lags), caps=tuple(caps), k=k, chunks=chunks,
+        experiment=experiment)
 
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)

@@ -865,9 +865,10 @@ def stream_step_bf16_multi_fused(config: TemporalModelConfig, prepared,
     return poses, new_state
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=2)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=2,
+                   static_argnames=("_experiment",))
 def stream_step_int8_multi_fused(config: TemporalModelConfig, q, stream_state,
-                                 frames):
+                                 frames, _experiment=None):
     """Advance all streams by k frames with the single-kernel int8 pipeline.
 
     Same state pytree (doubled time-major rings) and same math as
@@ -911,7 +912,7 @@ def stream_step_int8_multi_fused(config: TemporalModelConfig, q, stream_state,
 
     poses_flat, new_rings = fused_blocks_step_multi(
         q, bufs[1:], eq, idx, widths=widths, lags=lags,
-        caps=tuple(caps[1:]), k=k)
+        caps=tuple(caps[1:]), k=k, experiment=_experiment)
     poses = jnp.swapaxes(
         poses_flat.reshape(k, b, config.num_joints_out, 3), 0, 1
     ).astype(jnp.float32)
