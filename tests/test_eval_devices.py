@@ -19,10 +19,10 @@ from videopose3d_tpu.models import (TemporalModelConfig, init_temporal_model,
 J = 17
 
 
-def _fixture(n_videos=7, seed=0):
+def _fixture(n_videos=7, seed=0, fw=(3, 3)):
     rng = np.random.default_rng(seed)
     cfg = TemporalModelConfig(num_joints_in=J, in_features=2,
-                              num_joints_out=J, filter_widths=(3, 3),
+                              num_joints_out=J, filter_widths=fw,
                               dropout=0.25, channels=16)
     pad = (receptive_field(cfg) - 1) // 2
     poses_2d, poses_3d, cams = [], [], []
@@ -199,6 +199,29 @@ def test_device_eval_set_sharded_sums():
     combined = sum(p[0][0] * p[1] for p in parts) / n
     assert n == f[3]
     np.testing.assert_allclose(combined, f[0], rtol=2e-6)
+
+
+def test_device_eval_set_int8_engine():
+    """DeviceEvalSet drives the int8 serving engine too (quantized-weights
+    tree through the fused loss programs, auto-calibrated from the first
+    uploaded batch exactly like predict's first-batch fallback)."""
+    from videopose3d_tpu.evaluate import DeviceEvalSet
+    from videopose3d_tpu.runner import _epoch_eval_losses
+
+    cfg, pad, params, state, poses_2d, poses_3d, cams, perm = _fixture(
+        n_videos=3, fw=(3, 3, 3))
+    ev = Evaluator(cfg, joints_flip_perm=perm, engine="int8")
+
+    ref = _epoch_eval_losses(
+        ev, params, state,
+        _batcher(pad, cams, poses_3d, poses_2d, perm, augment=False),
+        pad=pad)
+    ds = DeviceEvalSet(
+        _batcher(pad, cams, poses_3d, poses_2d, perm, augment=False),
+        pad=pad)
+    got = ds.losses(ev, params, state)
+    assert got[3] == ref[3]
+    np.testing.assert_allclose(got[0], ref[0], rtol=2e-6, atol=1e-7)
 
 
 def test_eval_device_list_auto_is_single_on_cpu():
