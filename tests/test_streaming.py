@@ -155,3 +155,51 @@ def test_multi_frame_k_mismatch_that_divides_caps_raises():
         stream_step_multi(cfg, params, state, ss,
                           rng.standard_normal((2, 6, 17, 2)).astype(
                               np.float32))
+
+
+def test_multi_device_lifter_matches_single():
+    """MultiDeviceStreamingLifter: independent stream groups pinned to the 8
+    virtual devices must reproduce the single-device lifter exactly (streams
+    never interact), for both a plain and a fused engine."""
+    from videopose3d_tpu.streaming import MultiDeviceStreamingLifter
+    from videopose3d_tpu.ops.pallas.temporal_block_int8 import (
+        quantize_temporal_model)
+
+    cfg = _cfg((3, 3, 3), channels=32)
+    rf = receptive_field(cfg)
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    n, b = 6, 16   # 2 streams per virtual device
+    frames = rng.standard_normal((n, b, 17, 2)).astype(np.float32)
+    calib = rng.standard_normal((1, rf + 32, 17, 2)).astype(np.float32)
+    q = quantize_temporal_model(cfg, params, state, calib)
+
+    for engine, kwargs in (("bf16", dict(params=params, state=state)),
+                           ("int8_fused", dict(quantized=q))):
+        single = StreamingCausalLifter(cfg, engine=engine, **kwargs)
+        single.reset(frames[0])
+        multi = MultiDeviceStreamingLifter(
+            cfg, engine=engine, devices=jax.local_devices(), **kwargs)
+        multi.reset(frames[0])
+        assert len(multi.lifters) == 8
+        for t in range(n):
+            want = np.asarray(single.step(frames[t]))
+            parts = multi.step(frames[t])
+            assert len(parts) == 8
+            for i, part in enumerate(parts):
+                assert list(part.devices()) == [jax.local_devices()[i]]
+            got = np.concatenate([np.asarray(p) for p in parts], axis=0)
+            # Not bitwise: XLA's reduction tiling differs between the B and
+            # B/8 batch shapes (bf16 matmul accumulation order).
+            np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_multi_device_lifter_uneven_split_raises():
+    from videopose3d_tpu.streaming import MultiDeviceStreamingLifter
+    cfg = _cfg((3, 3))
+    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(8)
+    multi = MultiDeviceStreamingLifter(cfg, params, state,
+                                       devices=jax.local_devices()[:3])
+    with pytest.raises(ValueError, match="split evenly"):
+        multi.reset(rng.standard_normal((8, 17, 2)).astype(np.float32))

@@ -944,7 +944,7 @@ class StreamingCausalLifter:
 
     def __init__(self, config: TemporalModelConfig, params: Params = None,
                  state: State = None, *, engine: str = "bf16", quantized=None,
-                 mesh=None, frames_per_step: int = 1):
+                 mesh=None, frames_per_step: int = 1, device=None):
         if engine not in ("bf16", "bf16_fused", "int8", "int8_fused"):
             raise ValueError(f"unknown streaming engine {engine!r}")
         if engine in ("int8", "int8_fused") and quantized is None:
@@ -976,6 +976,8 @@ class StreamingCausalLifter:
         self.frames_per_step = frames_per_step
         self._stream_state = None
         self._bf16_prepared = None   # lazy prepare_bf16_fused cache
+        if mesh is not None and device is not None:
+            raise ValueError("mesh= and device= are mutually exclusive")
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import (
                 batch_sharding, replicated_sharding)
@@ -985,6 +987,17 @@ class StreamingCausalLifter:
                 if getattr(self, attr) is not None:
                     setattr(self, attr,
                             jax.device_put(getattr(self, attr), rep))
+        elif device is not None:
+            # Pin this lifter's streams to one local device: weights move
+            # once; every step's inputs are committed there, so the whole
+            # ring-buffer pipeline (including the fused Pallas kernels, which
+            # have no GSPMD rule) stays on that chip.  Composed by
+            # MultiDeviceStreamingLifter for independent-group scale-out.
+            self._stream_sharding = device
+            for attr in ("params", "state", "quantized"):
+                if getattr(self, attr) is not None:
+                    setattr(self, attr,
+                            jax.device_put(getattr(self, attr), device))
         else:
             self._stream_sharding = None
 
@@ -1050,6 +1063,57 @@ class StreamingCausalLifter:
             out, self._stream_state = stream_step(
                 self.config, self.params, self.state, self._stream_state, frame)
         return out
+
+
+class MultiDeviceStreamingLifter:
+    """Scale streaming out over local devices with independent stream groups.
+
+    The GSPMD ``mesh=`` path scales the per-layer XLA engines collective-free,
+    but the single-kernel fused engines have no GSPMD partitioning rule.
+    Streams are embarrassingly parallel, so this wrapper simply pins one
+    :class:`StreamingCausalLifter` replica per device — contiguous stream
+    groups ``[i*B/N, (i+1)*B/N)`` live on ``devices[i]`` — and dispatches
+    every device's step asynchronously.  Works with EVERY engine, including
+    ``int8_fused``/``bf16_fused``; N chips serve N× the streams at the
+    single-chip rate with no cross-chip traffic.
+
+    ``step`` returns the per-device outputs as a list (concatenate on host
+    only if a single array is required — that fetch is the only sync point).
+    """
+
+    def __init__(self, config: TemporalModelConfig, params: Params = None,
+                 state: State = None, *, engine: str = "bf16", quantized=None,
+                 frames_per_step: int = 1, devices=None):
+        self.devices = list(devices) if devices else list(jax.local_devices())
+        self.lifters = [
+            StreamingCausalLifter(config, params, state, engine=engine,
+                                  quantized=quantized,
+                                  frames_per_step=frames_per_step, device=d)
+            for d in self.devices
+        ]
+        self.frames_per_step = frames_per_step
+
+    def _bounds(self, n_streams: int):
+        n = len(self.devices)
+        if n_streams % n:
+            raise ValueError(
+                f"{n_streams} streams do not split evenly over "
+                f"{n} devices")
+        g = n_streams // n
+        return [(i * g, (i + 1) * g) for i in range(len(self.devices))]
+
+    def reset(self, first_frames) -> None:
+        first_frames = np.asarray(first_frames)
+        self._groups = self._bounds(first_frames.shape[0])
+        for (lo, hi), lifter in zip(self._groups, self.lifters):
+            lifter.reset(first_frames[lo:hi])
+
+    def step(self, frames):
+        """frames: (B, J, F) — or (B, k, J, F) with ``frames_per_step`` k>1.
+        Returns the list of per-device (B/N, [k,] J_out, 3) outputs."""
+        frames = np.asarray(frames)
+        return [lifter.step(frames[lo:hi])
+                for (lo, hi), lifter in zip(self._groups, self.lifters)]
 
 
 # ---------------------------------------------------------------------------
