@@ -211,3 +211,24 @@ def test_streaming_cli_int8_fused_multi(wild_setup, tmp_path):
     a, b = np.load(out_xla), np.load(out_fused)
     for video in a.files:
         np.testing.assert_array_equal(a[video], b[video])
+
+
+def test_streaming_cli_shard_devices(wild_setup, tmp_path):
+    """--shard-devices splits the stream batch over local devices (with
+    repeated-stream padding when the count does not divide): outputs must
+    match the single-device run to f32 noise for both a plain and a fused
+    engine."""
+    data_dir, ckpt, *_ = wild_setup
+    base = ["-k", "myvideos", "--data-dir", data_dir, "--checkpoint", ckpt,
+            "-arc", "3,3,3", "-ch", "16"]
+    for engine in ("bf16", "int8_fused"):
+        out_one = str(tmp_path / f"one_{engine}.npz")
+        out_sharded = str(tmp_path / f"sh_{engine}.npz")
+        streaming.main(base + ["--engine", engine, "--output", out_one])
+        # 3 devices over 2 videos exercises the padding path too.
+        streaming.main(base + ["--engine", engine, "--shard-devices", "3",
+                               "--output", out_sharded])
+        a, b = np.load(out_one), np.load(out_sharded)
+        assert sorted(a.files) == sorted(b.files)
+        for video in a.files:
+            np.testing.assert_allclose(a[video], b[video], atol=2e-5)

@@ -1170,7 +1170,11 @@ def stream_archive(config: TemporalModelConfig, lifter: "StreamingCausalLifter",
         block = np.stack([
             np.stack([s[min(t, n - 1)] for t in range(t0, t0 + k)])
             for s, n in zip(streams, lengths)])          # (B, k, J, F)
-        poses = np.asarray(lifter.step(block if k > 1 else block[:, 0]))
+        poses = lifter.step(block if k > 1 else block[:, 0])
+        if isinstance(poses, list):   # MultiDeviceStreamingLifter groups
+            poses = np.concatenate([np.asarray(p) for p in poses], axis=0)
+        else:
+            poses = np.asarray(poses)
         if k == 1:
             poses = poses[:, None]
         for i, n in enumerate(lengths):
@@ -1213,6 +1217,11 @@ def main(argv=None):
     ap.add_argument("--calibration-clips", type=int, default=8,
                     help="int8 engines: max clips sampled for activation "
                          "calibration (evenly spaced across the archive)")
+    ap.add_argument("--shard-devices", type=int, default=1,
+                    help="split the stream batch into independent groups "
+                         "over this many local devices (works with every "
+                         "engine incl. the fused kernels; short batches are "
+                         "padded with a repeated stream)")
     ap.add_argument("--output", required=True,
                     help="output .npz: one (T, J, 3) pose array per video")
     args = ap.parse_args(argv)
@@ -1274,18 +1283,35 @@ def main(argv=None):
             clips.append(s)
         q = quantize_temporal_model(config, params, state,
                                     jnp.asarray(np.stack(clips)))
-        lifter = StreamingCausalLifter(config, engine=args.engine,
-                                       quantized=q,
-                                       frames_per_step=args.frames_per_step)
+        lifter_kwargs = dict(engine=args.engine, quantized=q,
+                             frames_per_step=args.frames_per_step)
+        lifter_args = (config,)
     else:
-        lifter = StreamingCausalLifter(config, params, state,
-                                       engine=args.engine,
-                                       frames_per_step=args.frames_per_step)
+        lifter_kwargs = dict(engine=args.engine,
+                             frames_per_step=args.frames_per_step)
+        lifter_args = (config, params, state)
+
+    if args.shard_devices > 1:
+        devices = jax.local_devices()
+        if args.shard_devices > len(devices):
+            ap.error(f"--shard-devices {args.shard_devices} > "
+                     f"{len(devices)} local devices")
+        devices = devices[:args.shard_devices]
+        # Independent stream groups must split evenly: pad the batch by
+        # repeating the last stream (extra outputs are dropped below).
+        n_pad = (-len(streams)) % len(devices)
+        streams = streams + [streams[-1]] * n_pad
+        print(f"INFO: sharding {len(streams)} streams "
+              f"({n_pad} padding) over {len(devices)} local devices")
+        lifter = MultiDeviceStreamingLifter(*lifter_args, devices=devices,
+                                            **lifter_kwargs)
+    else:
+        lifter = StreamingCausalLifter(*lifter_args, **lifter_kwargs)
 
     t0 = time.perf_counter()
-    outputs = stream_archive(config, lifter, streams)
+    outputs = stream_archive(config, lifter, streams)[:len(videos)]
     elapsed = time.perf_counter() - t0
-    n_frames = sum(s.shape[0] for s in streams)
+    n_frames = sum(o.shape[0] for o in outputs)
     print(f"INFO: streamed {n_frames} frames in {elapsed:.2f} s "
           f"({n_frames / max(elapsed, 1e-9):.0f} poses/s end-to-end)")
 
