@@ -26,6 +26,101 @@ import jax.numpy as jnp
 jax.config.update("jax_default_prng_impl", "rbg")
 
 
+def _semi_epochs(args, cfg, loop, pad):
+    """Semi-supervised epoch at scale: LABELED set sized by --n-seqs/
+    --seq-len, UNLABELED endless stream over a full 600-seq corpus (the
+    reference's semi setting trains on a small labeled subject + everything
+    else unlabeled, run.py:319-398)."""
+    import dataclasses
+
+    from videopose3d_tpu.data.generators import (ChunkedPairSampler,
+                                                 FlatSequenceDataset)
+    from videopose3d_tpu.models.temporal import (TemporalModelConfig,
+                                                 init_temporal_model)
+    from videopose3d_tpu.train import (SemiSupervisedTrainer,
+                                       bn_momentum_for_epoch)
+
+    loop = dataclasses.replace(loop, warmup=0)
+    B = loop.batch_size
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
+    lengths = [args.seq_len] * args.n_seqs
+    lengths_semi = [2600] * 600
+    margins = FlatSequenceDataset.training_margins(pad, 0, 1)
+    perm = np.arange(17)
+    cam = np.array([2.29, 2.28, 0.04, 0.0, -0.21, 0.24, -0.003, 0.0, 0.0],
+                   np.float32)
+
+    def build(ls, with_3d):
+        p2 = [rng.standard_normal((n, 17, 2)).astype(np.float32) * 0.3
+              for n in ls]
+        p3 = ([(rng.standard_normal((n, 17, 3)) * 0.3 +
+                np.array([0, 0, 4])).astype(np.float32) for n in ls]
+              if with_3d else None)
+        return FlatSequenceDataset(p2, p3, [cam] * len(ls), margins=margins,
+                                   flip_perms=(perm, perm)).to_device()
+
+    dev = build(lengths, True)
+    dev_semi = build(lengths_semi, False)
+    jax.block_until_ready((dev.flat_2d_padded, dev_semi.flat_2d_padded))
+    print(f"[{time.perf_counter() - t0:6.1f}s] semi data built "
+          f"(labeled {sum(lengths)} + unlabeled {sum(lengths_semi)} frames, "
+          "x2 flip)", flush=True)
+
+    traj_cfg = TemporalModelConfig(
+        num_joints_in=17, in_features=2, num_joints_out=1,
+        filter_widths=cfg.filter_widths, dropout=cfg.dropout,
+        channels=cfg.channels, compute_dtype=cfg.compute_dtype)
+    parents = np.array([-1] + list(range(16)))
+    trainer = SemiSupervisedTrainer(cfg, traj_cfg, loop, perm, perm, parents)
+    params = {}
+    params["pos"], s_pos = init_temporal_model(cfg, jax.random.PRNGKey(0))
+    params["traj"], s_traj = init_temporal_model(traj_cfg,
+                                                 jax.random.PRNGKey(1))
+    states = {"pos": s_pos, "traj": s_traj}
+    opt_state = trainer.init_optimizer(params)
+    step_rng = jax.random.PRNGKey(2)
+
+    sampler = ChunkedPairSampler(lengths, B, 1, augment=True)
+    sampler_semi = ChunkedPairSampler(lengths_semi, B, 1, random_seed=4321,
+                                      augment=True, endless=True)
+    semi_iter = sampler_semi.next_epoch()
+
+    for epoch in range(args.epochs):
+        momentum = bn_momentum_for_epoch(loop, epoch - 1)
+        th0 = time.perf_counter()
+        metas, n_valids, metas_semi, n_valids_semi = [], [], [], []
+        for meta, n_valid in sampler.next_epoch():
+            ms, nvs = next(semi_iter)
+            metas.append(meta)
+            n_valids.append(n_valid)
+            metas_semi.append(ms)
+            n_valids_semi.append(nvs)
+        metas, metas_semi = np.stack(metas), np.stack(metas_semi)
+        n_valids, n_valids_semi = (np.array(n_valids),
+                                   np.array(n_valids_semi))
+        if args.max_steps is not None:
+            metas, n_valids = metas[:args.max_steps], n_valids[:args.max_steps]
+            metas_semi = metas_semi[:args.max_steps]
+            n_valids_semi = n_valids_semi[:args.max_steps]
+        host_s = time.perf_counter() - th0
+
+        td0 = time.perf_counter()
+        (params, states, opt_state, step_rng,
+         (l_pos, l_traj, l_recon, l_total)) = trainer.run_epoch(
+            params, states, opt_state, step_rng, dev, dev_semi,
+            metas, n_valids, metas_semi, n_valids_semi, momentum,
+            skip=False, scan_chunk=args.scan_chunk)
+        final = float(jnp.asarray(l_total)[-1])
+        dev_s = time.perf_counter() - td0
+        steps = len(n_valids)
+        frames = int(n_valids.sum()) + int(n_valids_semi.sum())
+        print(f"semi epoch {epoch}: sampler {host_s:.2f} s + scan "
+              f"{dev_s:.2f} s ({steps} steps, {dev_s / steps * 1e3:.2f} "
+              f"ms/step, {frames / dev_s / 1e3:.0f}k frames/s) "
+              f"loss {final:.4f}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
@@ -43,6 +138,11 @@ def main():
                     help="split the epoch scan into device programs of at "
                          "most this many steps (bit-identical; the f32 "
                          "workaround for the ~3000-step tunnel fault)")
+    ap.add_argument("--semi", action="store_true",
+                    help="semi-supervised epoch at scale: --n-seqs/--seq-len "
+                         "size the LABELED set (e.g. --n-seqs 60 for the "
+                         "reference's ~10%%-labeled setting); the unlabeled "
+                         "endless stream covers the full 600-seq corpus")
     ap.add_argument("--profile", action="store_true",
                     help="trace the last epoch and print the per-op device "
                          "time breakdown")
@@ -65,6 +165,9 @@ def main():
     B = args.batch
     loop = TrainLoopConfig(batch_size=B, chunk_length=1, pad=pad,
                            causal_shift=0, epochs=args.epochs)
+
+    if args.semi:
+        return _semi_epochs(args, cfg, loop, pad)
 
     t0 = time.perf_counter()
     rng = np.random.default_rng(0)
