@@ -224,6 +224,25 @@ def test_device_eval_set_int8_engine():
     np.testing.assert_allclose(got[0], ref[0], rtol=2e-6, atol=1e-7)
 
 
+def test_device_eval_set_empty_shard_int8_returns_zero():
+    """A process whose round-robin shard holds no videos (more pod processes
+    than eval videos) must still reach the pod collective instead of raising
+    — with the int8 engine the old path died in infer_fn_and_weights for
+    want of calibration data, hanging every OTHER process in the allgather."""
+    from videopose3d_tpu.evaluate import DeviceEvalSet
+
+    cfg, pad, params, state, poses_2d, poses_3d, cams, perm = _fixture(
+        n_videos=1, fw=(3, 3, 3))
+    ev = Evaluator(cfg, joints_flip_perm=perm, engine="int8")
+    ds = DeviceEvalSet(
+        _batcher(pad, cams, poses_3d, poses_2d, perm, augment=False),
+        pad=pad, shard=(1, 2))  # round-robin slot 1 of 2: no videos
+    assert ds._videos == [] and ds.n_frames == 0
+    got = ds.losses(ev, params, state)
+    # Single-process allgather: the empty shard contributes zeros.
+    assert got == (0.0, 0.0, 0.0, len(poses_3d[0]) * 0)
+
+
 def test_eval_device_list_auto_is_single_on_cpu():
     from types import SimpleNamespace
     from videopose3d_tpu.runner import _eval_device_list

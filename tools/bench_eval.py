@@ -139,6 +139,17 @@ def main():
     # 4): batches uploaded once, masked losses on device, one (3,) carry
     # fetch — no 110 MB/epoch prediction traffic.
     from videopose3d_tpu.evaluate import DeviceEvalSet
+    if args.augment:
+        # DeviceEvalSet computes the per-epoch losses, which the reference
+        # runs WITHOUT test-time augmentation (run.py:437-549) — feed it a
+        # no-TTA batcher so the device epochs measure the same computation
+        # as the TTA epochs above would without the flag (and skip
+        # uploading flipped rows DeviceEvalSet would drop anyway).
+        print("note: device-losses epochs run augment=False "
+              "(per-epoch losses are no-TTA, matching the reference)")
+        batcher = UnchunkedBatcher(
+            None, poses_3d, poses_2d, pad=pad, augment=False,
+            kps_flip_perm=perm, joints_flip_perm=perm, bucket=args.bucket)
     t0 = time.perf_counter()
     ds = DeviceEvalSet(batcher, pad=pad)
     print(f"DeviceEvalSet upload: {time.perf_counter() - t0:.2f} s "

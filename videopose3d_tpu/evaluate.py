@@ -13,6 +13,7 @@ Procrustes (P2) and velocity metrics run on host exactly like the reference
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -144,7 +145,11 @@ class Evaluator:
         if hit is not None and hit[0] == key:
             return hit[1]
         placed = jax.device_put(tree, device)
-        self._dev_cache[device] = (key, placed)
+        # Hold the keyed tree too: the id()-tuple key is only sound while
+        # the original leaves stay alive (a gc'd tree could recycle ids
+        # into a false hit — the same guard ``_q_ref`` gives the quantized
+        # path; for f32 the keyed tree IS the weights, so keep it here).
+        self._dev_cache[device] = (key, placed, tree)
         return placed
 
     def predict_async(self, params, state, batch_2d, augment: bool,
@@ -237,6 +242,42 @@ class Evaluator:
         return self._on_device(weights, key, device)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _device_losses_step(fns, pattern, pad, acc, w, wt, arrays):
+    """acc (3,) += n * [mpjpe, traj mpjpe, 2D reconstruction mpjpe].
+
+    Module-level (not a per-instance jit) so the fused inference+loss
+    program for a given (infer fns, pattern, pad, bucket shape) compiles
+    ONCE even when several :class:`DeviceEvalSet` instances share it — the
+    runner keeps three (test/train/semi) whose videos land in the same
+    buckets, and through the remote-compile tunnel each duplicate compile
+    costs minutes."""
+    from videopose3d_tpu.ops.camera import project_to_2d
+    from videopose3d_tpu.ops.losses import mpjpe
+    ev_fn, traj_fn = fns
+    has_target, has_traj, has_cam = pattern
+    batch_2d = arrays["batch_2d"]
+    n = arrays["n"]
+    pred = ev_fn(w, batch_2d)
+    mask = (jnp.arange(pred.shape[1]) < n)[None]
+    zero = jnp.float32(0.0)
+    l3d = (mpjpe(pred, arrays["target"], mask=mask) if has_target
+           else zero)
+    ltraj = zero
+    lrecon = zero
+    if has_traj:
+        pred_traj = traj_fn(wt, batch_2d)
+        if has_target:
+            ltraj = mpjpe(pred_traj, arrays["traj_target"], mask=mask)
+        if has_cam:
+            t_out = pred.shape[1]
+            t2d = jax.lax.dynamic_slice_in_dim(
+                batch_2d[:1, :, :, :2], pad, t_out, axis=1)
+            recon = project_to_2d(pred + pred_traj, arrays["cam"])
+            lrecon = mpjpe(recon, t2d, mask=mask)
+    return acc + n * jnp.stack([l3d, ltraj, lrecon])
+
+
 class DeviceEvalSet:
     """Device-resident per-epoch evaluation with on-device losses.
 
@@ -290,34 +331,6 @@ class DeviceEvalSet:
                 arrays["cam"] = put(np.asarray(cam)[:1])
             self._videos.append((di, arrays))
             self.n_frames += n
-        self._jit = jax.jit(self._losses_impl, static_argnums=(0, 1))
-
-    def _losses_impl(self, fns, pattern, acc, w, wt, arrays):
-        """acc (3,) += n * [mpjpe, traj mpjpe, 2D reconstruction mpjpe]."""
-        from videopose3d_tpu.ops.camera import project_to_2d
-        from videopose3d_tpu.ops.losses import mpjpe
-        ev_fn, traj_fn = fns
-        has_target, has_traj, has_cam = pattern
-        batch_2d = arrays["batch_2d"]
-        n = arrays["n"]
-        pred = ev_fn(w, batch_2d)
-        mask = (jnp.arange(pred.shape[1]) < n)[None]
-        zero = jnp.float32(0.0)
-        l3d = (mpjpe(pred, arrays["target"], mask=mask) if has_target
-               else zero)
-        ltraj = zero
-        lrecon = zero
-        if has_traj:
-            pred_traj = traj_fn(wt, batch_2d)
-            if has_target:
-                ltraj = mpjpe(pred_traj, arrays["traj_target"], mask=mask)
-            if has_cam:
-                t_out = pred.shape[1]
-                t2d = jax.lax.dynamic_slice_in_dim(
-                    batch_2d[:1, :, :, :2], self.pad, t_out, axis=1)
-                recon = project_to_2d(pred + pred_traj, arrays["cam"])
-                lrecon = mpjpe(recon, t2d, mask=mask)
-        return acc + n * jnp.stack([l3d, ltraj, lrecon])
 
     def losses(self, evaluator, params, state, *, traj_evaluator=None,
                traj_params=None, traj_state=None):
@@ -326,7 +339,14 @@ class DeviceEvalSet:
         Returns (loss_3d, loss_traj, loss_2d, n_total) exactly like the host
         helper; on a pod the partial sums are all-gathered so every process
         returns identical totals."""
-        calib = self._videos[0][1]["batch_2d"] if self._videos else None
+        if not self._videos:
+            # Empty shard (more pod processes than eval videos, or an action
+            # subset that left this round-robin slot empty): skip building
+            # the inference programs entirely — the int8 engine would raise
+            # for want of calibration data on THIS process only, leaving the
+            # others blocked in the pod all-gather below.
+            return self._reduce(np.zeros((3,), np.float64))
+        calib = self._videos[0][1]["batch_2d"]
         ev_fn, w, w_key = evaluator.infer_fn_and_weights(params, state,
                                                          calib_batch=calib)
         traj_fn, wt, wt_key = (traj_evaluator.infer_fn_and_weights(
@@ -345,12 +365,19 @@ class DeviceEvalSet:
             pattern = ("target" in arrays,
                        traj_evaluator is not None,
                        "cam" in arrays)
-            accs[di] = self._jit((ev_fn, traj_fn), pattern, accs[di],
-                                 w_d, wt_d, arrays)
+            accs[di] = _device_losses_step((ev_fn, traj_fn), pattern,
+                                           self.pad, accs[di],
+                                           w_d, wt_d, arrays)
         total = np.zeros((3,), np.float64)
         for acc in accs:
             if acc is not None:
                 total += np.asarray(acc, np.float64)
+        return self._reduce(total)
+
+    def _reduce(self, total):
+        """Pod all-gather of the partial (3,) loss sums + frame-weighted
+        normalization — shared by the populated and empty-shard paths so
+        every process always reaches the collective."""
         n_total = self.n_frames
         if self.shard is not None and self.shard[1] > 1:
             from jax.experimental import multihost_utils

@@ -277,6 +277,12 @@ def _epoch_eval_losses(evaluator, params, state, batcher, *, traj_evaluator=None
     trajectory MPJPE and 2D reconstruction loss) over whole sequences, eval mode,
     no TTA.
 
+    Since round 4 the runner's epoch loop computes these losses on device
+    (:class:`videopose3d_tpu.evaluate.DeviceEvalSet`); this host-side helper
+    is retained as the independent parity ORACLE the DeviceEvalSet equality
+    tests compare against (`tests/test_eval_devices.py`) — keep its
+    semantics in lockstep with the device path.
+
     ``shard=(process_index, process_count)`` splits the videos round-robin
     across pod processes and all-gathers the partial frame-weighted sums —
     the per-epoch eval is per-process work that does NOT scale with DP

@@ -1038,7 +1038,12 @@ class StreamingCausalLifter:
     def _shard_frames(self, frames):
         if self._stream_sharding is None:
             return frames
-        return jax.device_put(jnp.asarray(frames), self._stream_sharding)
+        # Single hop: device_put uploads host data straight to the pinned
+        # device (a jnp.asarray staging step would commit to the DEFAULT
+        # device first and pay a second device->device copy per step).
+        if not isinstance(frames, jax.Array):
+            frames = np.asarray(frames)
+        return jax.device_put(frames, self._stream_sharding)
 
     def reset(self, first_frames) -> None:
         first_frames = self._shard_frames(first_frames)
@@ -1126,6 +1131,7 @@ class MultiDeviceStreamingLifter:
             for d in self.devices
         ]
         self.frames_per_step = frames_per_step
+        self._groups = None
 
     def _bounds(self, n_streams: int):
         n = len(self.devices)
@@ -1145,6 +1151,7 @@ class MultiDeviceStreamingLifter:
     def step(self, frames):
         """frames: (B, J, F) — or (B, k, J, F) with ``frames_per_step`` k>1.
         Returns the list of per-device (B/N, [k,] J_out, 3) outputs."""
+        assert self._groups is not None, "call reset() first"
         frames = np.asarray(frames)
         return [lifter.step(frames[lo:hi])
                 for (lo, hi), lifter in zip(self._groups, self.lifters)]
