@@ -65,7 +65,12 @@ class Evaluator:
         self._q_ref = None
         self._calibration_batch = None
         # Per-device copies of the weights (or quantized-weights) pytree for
-        # round-robin dispatch over local devices: {device: (weights_key, tree)}.
+        # round-robin dispatch over local devices:
+        # {device: (weights_key, placed_tree, keyed_source_tree)}.  The third
+        # element deliberately holds a strong ref to the source tree so the
+        # id()-tuple key cannot be recycled by gc into a false hit (it also
+        # pins the previous weights until the device is next touched — an
+        # accepted cost, see _on_device).
         self._dev_cache = {}
         # Stable identities for fused inference+loss programs: these close
         # over self only, so DeviceEvalSet's jit cache keys stay valid across
@@ -265,7 +270,10 @@ def _device_losses_step(fns, pattern, pad, acc, w, wt, arrays):
            else zero)
     ltraj = zero
     lrecon = zero
-    if has_traj:
+    # Gate on (has_target or has_cam) too: a video with neither a 3D target
+    # nor a camera would leave both traj losses zero, so the trajectory
+    # forward would be a wasted full inference.
+    if has_traj and (has_target or has_cam):
         pred_traj = traj_fn(wt, batch_2d)
         if has_target:
             ltraj = mpjpe(pred_traj, arrays["traj_target"], mask=mask)

@@ -1350,11 +1350,17 @@ def main(argv=None):
         lifter = StreamingCausalLifter(*lifter_args, **lifter_kwargs)
 
     t0 = time.perf_counter()
-    outputs = stream_archive(config, lifter, streams)[:len(videos)]
+    all_outputs = stream_archive(config, lifter, streams)
     elapsed = time.perf_counter() - t0
+    outputs = all_outputs[:len(videos)]
     n_frames = sum(o.shape[0] for o in outputs)
+    n_computed = sum(o.shape[0] for o in all_outputs)
+    pad_note = ("" if n_computed == n_frames else
+                f"; wall time includes {n_computed - n_frames} "
+                f"computed padding frames from --shard-devices")
     print(f"INFO: streamed {n_frames} frames in {elapsed:.2f} s "
-          f"({n_frames / max(elapsed, 1e-9):.0f} poses/s end-to-end)")
+          f"({n_frames / max(elapsed, 1e-9):.0f} poses/s end-to-end"
+          f"{pad_note})")
 
     out_dir = os.path.dirname(os.path.abspath(args.output))
     os.makedirs(out_dir, exist_ok=True)
