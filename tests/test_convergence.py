@@ -204,6 +204,7 @@ def _int8_vs_f32_mm(cfg, params, state, eval_2d, eval_3d, pad):
     return float(np.mean(dev_mm)), abs(e1_int8 - e1_f32), e1_f32
 
 
+@pytest.mark.slow
 def test_int8_serving_submm_on_converged_weights():
     """VERDICT r2 item 3: the int8 engine's accuracy claim on TRAINED weights,
     measured instead of hypothesized.  On the converged 256-channel solvable
@@ -224,6 +225,7 @@ def test_int8_serving_submm_on_converged_weights():
     assert dev_mm < 10.0, (dev_mm, e1_f32)
 
 
+@pytest.mark.slow
 def test_int8_serving_accuracy_flagship_channels():
     """The same measurement at the flagship channel width (1024): briefly
     trained (structured weights/activations rather than the random-init worst

@@ -60,6 +60,7 @@ def _assert_trees_close(a, b, atol):
         lambda x, y: np.testing.assert_allclose(x, y, atol=atol), a, b)
 
 
+@pytest.mark.slow
 def test_two_process_matches_single_process(tmp_path):
     from videopose3d_tpu.parallel import make_mesh
     from dist_scenario import (run_scenario, run_scenario_scan,

@@ -24,6 +24,8 @@ distributional claim, hardware generator active only on TPU runs).
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute; full tier only (--run-slow)
 import torch
 
 import jax

@@ -8,6 +8,8 @@ BITWISE equal to the plain single-device loop.
 """
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -60,6 +62,7 @@ def test_predict_async_matches_predict():
         np.testing.assert_array_equal(np.asarray(handle), ref)
 
 
+@pytest.mark.slow
 def test_evaluate_multi_device_bitwise_equal():
     assert jax.device_count() == 8
     cfg, pad, params, state, poses_2d, poses_3d, cams, perm = _fixture()
@@ -74,6 +77,7 @@ def test_evaluate_multi_device_bitwise_equal():
         assert got == ref  # bitwise: same program, same inputs
 
 
+@pytest.mark.slow
 def test_epoch_eval_losses_multi_device_bitwise_equal():
     """The runner's per-epoch eval helper, including the trajectory-model +
     2D-reconstruction branch, over all 8 virtual devices."""

@@ -73,6 +73,7 @@ def test_resume_is_bit_exact(data_dir, tmp_path, capsys):
         assert s_valid == pytest.approx(r_valid, abs=1e-6), epoch
 
 
+@pytest.mark.slow
 def test_semi_supervised_resume_is_continuation_exact(data_dir, tmp_path,
                                                       capsys):
     """Semi-supervised resume replays the interrupted run exactly — including

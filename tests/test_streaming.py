@@ -157,6 +157,7 @@ def test_multi_frame_k_mismatch_that_divides_caps_raises():
                               np.float32))
 
 
+@pytest.mark.slow
 def test_multi_device_lifter_matches_single():
     """MultiDeviceStreamingLifter: independent stream groups pinned to the 8
     virtual devices must reproduce the single-device lifter exactly (streams

@@ -311,6 +311,7 @@ class TestSemiSupervised:
                 assert np.isfinite(float(loss_recon))
                 assert float(loss_recon) > 0.0
 
+    @pytest.mark.slow
     def test_semi_scan_chunking_is_bit_identical(self):
         """Chunked semi-supervised epoch scan == one long scan, bitwise
         (params of both models, BN states, all four per-step loss vectors)."""
@@ -376,6 +377,7 @@ class TestSemiSupervised:
                         jax.tree_util.tree_leaves(tree)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_semi_multichip_mesh(self):
         """Semi-supervised DP step (pose + trajectory models, in-graph
         projection loss) over the virtual 8-device CPU mesh."""
@@ -519,6 +521,7 @@ def test_mesh_equals_single_device():
                  s_mesh, s_one)
 
 
+@pytest.mark.slow
 def test_semi_mesh_equals_single_device():
     """Mesh-vs-unsharded equivalence for the semi-supervised trainer: both
     models' parameters and all loss components agree to float tolerance

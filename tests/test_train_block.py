@@ -39,6 +39,7 @@ def _run(cfg, params, state, x, key):
     ((3, 3, 3, 3), 16, 0.25, True),
     ((5, 5), 32, 0.25, False),
 ])
+@pytest.mark.slow
 def test_fused_block_matches_xla(fw, channels, dropout, causal):
     cfg_x = _cfg(fw, channels, dropout, causal, "xla")
     cfg_p = _cfg(fw, channels, dropout, causal, "pallas")
