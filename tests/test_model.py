@@ -23,11 +23,12 @@ from videopose3d_tpu.models.convert import (
 )
 
 
-def _config(fw=(3, 3, 3), causal=False, channels=32, dense=False):
+def _config(fw=(3, 3, 3), causal=False, channels=32, dense=False,
+            compute_dtype="float32"):
     return TemporalModelConfig(
         num_joints_in=17, in_features=2, num_joints_out=17,
         filter_widths=fw, causal=causal, dropout=0.25, channels=channels,
-        dense=dense,
+        dense=dense, compute_dtype=compute_dtype,
     )
 
 
@@ -159,6 +160,43 @@ class TestInterchangeability:
         assert strided.shape == (3, 1, 17, 3)
         np.testing.assert_allclose(
             np.asarray(strided), np.asarray(dilated), atol=1e-5)
+
+
+class TestMixedPrecision:
+    """``compute_dtype="mixed"``: bf16 MXU operand casts, f32 activations/BN
+    normalize/residual/dropout (the metric-grade fast config)."""
+
+    def test_mixed_closer_to_f32_than_bf16(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((2, 60, 17, 2)).astype(np.float32)
+        outs = {}
+        for dt in ("float32", "bfloat16", "mixed"):
+            cfg = _config((3, 3), compute_dtype=dt)
+            params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
+            y, new_state = forward_dilated(cfg, params, state, x, train=True,
+                                           rng=None, momentum=0.1)
+            outs[dt] = (np.asarray(y), new_state)
+        err_mixed = np.abs(outs["mixed"][0] - outs["float32"][0]).max()
+        err_bf16 = np.abs(outs["bfloat16"][0] - outs["float32"][0]).max()
+        assert err_mixed <= err_bf16, (err_mixed, err_bf16)
+        assert err_mixed < 0.05, err_mixed
+        # BN running stats stay float32 in every mode.
+        for dt, (_, st) in outs.items():
+            assert st["expand_bn"]["mean"].dtype == np.float32, dt
+
+    def test_mixed_strided_equals_dilated_center(self):
+        cfg = _config((3, 3, 3), compute_dtype="mixed")
+        params, state = init_temporal_model(cfg, jax.random.PRNGKey(42))
+        x = np.random.default_rng(3).standard_normal(
+            (3, receptive_field(cfg), 17, 2)).astype(np.float32)
+        dilated, _ = forward_dilated(cfg, params, state, x, train=False)
+        strided, _ = forward_strided(cfg, params, state, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(strided), np.asarray(dilated), atol=1e-5)
+
+    def test_unknown_dtype_rejected(self):
+        with pytest.raises((TypeError, ValueError)):
+            _config((3, 3), compute_dtype="float17")
 
 
 class TestThreeFeatureInput:

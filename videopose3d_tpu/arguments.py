@@ -120,8 +120,12 @@ def parse_args(argv=None):
     parser.add_argument("--data-dir", default="data", type=str, metavar="PATH",
                         help="directory holding data_3d_*.npz / data_2d_*.npz archives")
     parser.add_argument("--compute-dtype", default="float32", type=str,
-                        choices=["float32", "bfloat16"],
-                        help="MXU compute precision (params stay float32)")
+                        choices=["float32", "bfloat16", "mixed"],
+                        help="MXU compute precision (params/optimizer/BN "
+                             "stats/loss stay float32 in every mode); "
+                             "'mixed' = bf16 matmul operands with f32 "
+                             "activations — f32-grade convergence at near-"
+                             "bf16 speed (tests/test_bf16_parity.py)")
     parser.add_argument("--eval-bucket", default=128, type=int, metavar="N",
                         help="bucket whole-video eval lengths to multiples of N frames")
     parser.add_argument("--eval-bucket-pow2", action="store_true",

@@ -64,8 +64,17 @@ class TemporalModelConfig:
     dropout: float = 0.25
     channels: int = 1024
     dense: bool = False
-    # TPU knob (no reference equivalent): compute in bfloat16 on the MXU while
-    # keeping parameters and BN statistics in float32.
+    # TPU knob (no reference equivalent): MXU / activation precision.
+    #   "float32"  — reference numerics (run.py:200-202 trains f32 throughout).
+    #   "bfloat16" — bf16 MXU operands AND bf16 stored activations (BN
+    #                normalize, residual adds, dropout in bf16); params, BN
+    #                statistics, matmul accumulation, output, loss, optimizer
+    #                all stay f32.  Fastest; measured ~+1.8% relative eval
+    #                degradation on the paired-seed harness
+    #                (tests/test_bf16_parity.py).
+    #   "mixed"    — bf16 MXU operand casts ONLY; every activation, BN
+    #                normalize, residual add, and dropout mask stays f32.
+    #                MXU speed on the matmuls with f32 elementwise numerics.
     compute_dtype: str = "float32"
     # TPU knob: rematerialize residual blocks in the backward pass (saves the
     # HBM traffic of stored intermediates at the cost of one extra forward
@@ -95,6 +104,22 @@ class TemporalModelConfig:
                 raise ValueError("Only odd filter widths are supported")
         if not 0.0 <= self.dropout <= 1.0:
             raise ValueError(f"dropout must be in [0, 1], got {self.dropout}")
+        if self.compute_dtype != "mixed":
+            jnp.dtype(self.compute_dtype)  # raises on unknown names
+
+    # --- precision scheme (see compute_dtype docs above) ---
+
+    @property
+    def matmul_dtype(self):
+        """dtype the MXU matmul *operands* are cast to."""
+        return (jnp.dtype(jnp.bfloat16) if self.compute_dtype == "mixed"
+                else jnp.dtype(self.compute_dtype))
+
+    @property
+    def activation_dtype(self):
+        """dtype activations are stored/processed in between matmuls."""
+        return (jnp.dtype(jnp.float32) if self.compute_dtype == "mixed"
+                else jnp.dtype(self.compute_dtype))
 
     # --- derived static geometry (parity: model.py:31, :107-121) ---
 
@@ -340,11 +365,15 @@ def _dropout(x, rate: float, rng):
     return x if mask is None else x * mask
 
 
-def _conv_matmul(x, weight, dilation: int = 1, compute_dtype=jnp.float32):
+def _conv_matmul(x, weight, dilation: int = 1, compute_dtype=jnp.float32,
+                 out_dtype=None):
     """Valid temporal conv as one MXU matmul over stacked shifted slices.
 
     x: (B, T, C_in); weight: (k, C_in, C_out).
     Output: (B, T - (k-1)*dilation, C_out).
+    ``compute_dtype`` is the MXU operand dtype; ``out_dtype`` (default: the
+    same) the dtype the f32-accumulated result is cast back to — the "mixed"
+    scheme passes bf16 operands / f32 out.
     """
     k = weight.shape[0]
     t_out = x.shape[1] - (k - 1) * dilation
@@ -355,19 +384,19 @@ def _conv_matmul(x, weight, dilation: int = 1, compute_dtype=jnp.float32):
             [x[:, j * dilation: j * dilation + t_out] for j in range(k)], axis=-1
         )
     w = weight.reshape(k * weight.shape[1], weight.shape[2])
-    # bf16 operands, f32 accumulation (MXU-native); cast back to the compute dtype.
+    # bf16 operands, f32 accumulation (MXU-native); cast back to out dtype.
     return jnp.dot(
         taps.astype(compute_dtype),
         w.astype(compute_dtype),
         preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+    ).astype(out_dtype or compute_dtype)
 
 
-def _conv_strided(x, weight, compute_dtype=jnp.float32):
+def _conv_strided(x, weight, compute_dtype=jnp.float32, out_dtype=None):
     """Stride == width conv as reshape + matmul (zero-waste training form).
 
     x: (B, T, C_in) with T divisible by k; weight: (k, C_in, C_out).
-    Output: (B, T/k, C_out).
+    Output: (B, T/k, C_out).  Dtypes as in :func:`_conv_matmul`.
     """
     k = weight.shape[0]
     b, t, c_in = x.shape
@@ -378,7 +407,7 @@ def _conv_strided(x, weight, compute_dtype=jnp.float32):
         taps.astype(compute_dtype),
         w.astype(compute_dtype),
         preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+    ).astype(out_dtype or compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -425,13 +454,15 @@ def forward_dilated(
     Returns:
       ((B, T_out, J_out, 3) poses, new BN state).
     """
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    compute_dtype = config.matmul_dtype
+    act_dtype = config.activation_dtype
     x = _prep_input(config, x)
     n_blocks = len(config.filter_widths) - 1
     rngs = _split_rngs(rng if train else None, 2 * n_blocks + 1)
     new_state: State = {"layers_bn": [None] * (2 * n_blocks)}
 
-    x = _conv_matmul(x, params["expand_conv"]["weight"], 1, compute_dtype)
+    x = _conv_matmul(x, params["expand_conv"]["weight"], 1, compute_dtype,
+                     act_dtype)
     x, new_state["expand_bn"] = _batchnorm(
         x, params["expand_bn"], state["expand_bn"], train=train, momentum=momentum)
     x = _dropout(jax.nn.relu(x), config.dropout if train else 0.0, rngs[0])
@@ -442,20 +473,23 @@ def forward_dilated(
         res = x[:, pad + shift: x.shape[1] - pad + shift]
 
         dilation = 1 if config.dense else config.dilations[i + 1]
-        y = _conv_matmul(x, params["layers_conv"][2 * i]["weight"], dilation, compute_dtype)
+        y = _conv_matmul(x, params["layers_conv"][2 * i]["weight"], dilation,
+                         compute_dtype, act_dtype)
         y, new_state["layers_bn"][2 * i] = _batchnorm(
             y, params["layers_bn"][2 * i], state["layers_bn"][2 * i],
             train=train, momentum=momentum)
         y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 1])
 
-        y = _conv_matmul(y, params["layers_conv"][2 * i + 1]["weight"], 1, compute_dtype)
+        y = _conv_matmul(y, params["layers_conv"][2 * i + 1]["weight"], 1,
+                         compute_dtype, act_dtype)
         y, new_state["layers_bn"][2 * i + 1] = _batchnorm(
             y, params["layers_bn"][2 * i + 1], state["layers_bn"][2 * i + 1],
             train=train, momentum=momentum)
         y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rngs[2 * i + 2])
         x = res + y
 
-    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
+    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype,
+                     act_dtype)
     x = x + params["shrink"]["bias"].astype(x.dtype)
     return _finish_output(config, x.astype(jnp.float32)), new_state
 
@@ -477,7 +511,8 @@ def forward_strided(
     """
     if config.dense:
         raise ValueError("strided form is incompatible with dense convolutions")
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    compute_dtype = config.matmul_dtype
+    act_dtype = config.activation_dtype
     x = _prep_input(config, x)
     assert x.shape[1] == receptive_field(config), (
         f"strided form expects input length == receptive field "
@@ -488,7 +523,7 @@ def forward_strided(
     new_state: State = {"layers_bn": [None] * (2 * n_blocks)}
 
     def prologue(p_expand, p_bn, s_bn, x, rng0):
-        u = _conv_strided(x, p_expand["weight"], compute_dtype)
+        u = _conv_strided(x, p_expand["weight"], compute_dtype, act_dtype)
         u, new_bn = _batchnorm(u, p_bn, s_bn, train=train, momentum=momentum)
         return _dropout(jax.nn.relu(u), config.dropout if train else 0.0,
                         rng0), new_bn
@@ -518,12 +553,13 @@ def forward_strided(
         w_a = block_params["conv_a"]["weight"]
         y = jnp.dot(taps.astype(compute_dtype),
                     w_a.reshape(fw * c, w_a.shape[2]).astype(compute_dtype),
-                    preferred_element_type=jnp.float32).astype(compute_dtype)
+                    preferred_element_type=jnp.float32).astype(act_dtype)
         y, bn_a = _batchnorm(y, block_params["bn_a"], block_state["bn_a"],
                              train=train, momentum=momentum)
         y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rng_a)
 
-        y = _conv_matmul(y, block_params["conv_b"]["weight"], 1, compute_dtype)
+        y = _conv_matmul(y, block_params["conv_b"]["weight"], 1,
+                         compute_dtype, act_dtype)
         y, bn_b = _batchnorm(y, block_params["bn_b"], block_state["bn_b"],
                              train=train, momentum=momentum)
         y = _dropout(jax.nn.relu(y), config.dropout if train else 0.0, rng_b)
@@ -582,9 +618,12 @@ def forward_strided(
 
     if config.train_engine not in ("xla", "pallas"):
         raise ValueError(f"unknown train_engine {config.train_engine!r}")
+    # The fused kernels run one homogeneous dtype; "mixed" (bf16 operands /
+    # f32 activations) is an XLA-engine scheme.
     use_fused = (train and config.train_engine == "pallas"
                  and not config.dense and not config.remat_blocks
-                 and config.remat_policy == "none")
+                 and config.remat_policy == "none"
+                 and config.compute_dtype != "mixed")
 
     for i in range(n_blocks):
         block_params = {"conv_a": params["layers_conv"][2 * i],
@@ -605,7 +644,8 @@ def forward_strided(
         new_state["layers_bn"][2 * i] = bn_a
         new_state["layers_bn"][2 * i + 1] = bn_b
 
-    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype)
+    x = _conv_matmul(x, params["shrink"]["weight"], 1, compute_dtype,
+                     act_dtype)
     x = x + params["shrink"]["bias"].astype(x.dtype)
     return _finish_output(config, x.astype(jnp.float32)), new_state
 
@@ -636,7 +676,9 @@ def forward_dilated_fused(
     # CPU (tests / local runs) automatically.
     interpret = interpret or jax.default_backend() == "cpu"
 
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    # "mixed" has no distinct meaning for the homogeneous-dtype serving
+    # kernel; it runs at the matmul dtype (bf16), same as a bf16 config.
+    compute_dtype = config.matmul_dtype
     x = _prep_input(config, x)
     n_blocks = len(config.filter_widths) - 1
 
