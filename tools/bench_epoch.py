@@ -26,6 +26,33 @@ import jax.numpy as jnp
 jax.config.update("jax_default_prng_impl", "rbg")
 
 
+def _print_trace_breakdown(logdir, steps, top):
+    """Parse the profiler trace at ``logdir`` and print the summed per-op
+    device time divided by ``steps`` (TPU device PIDs only — host/pjrt rows
+    excluded)."""
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    files = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
+    ev = json.loads(gzip.open(files[-1]).read())["traceEvents"]
+    device_pids = {
+        e["pid"] for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+        and "pjrt" not in str(e["args"]["name"]).lower()}
+    tot = defaultdict(float)
+    for e in ev:
+        if (e.get("ph") == "X" and "dur" in e
+                and e.get("pid") in device_pids):
+            tot[e.get("name", "")] += e["dur"]
+    total_us = sum(tot.values())
+    print(f"device op total {total_us / steps / 1e3:.2f} ms/step")
+    for name, us in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {us / steps:9.1f} us/step  {name[:110]}")
+
+
 def _semi_epochs(args, cfg, loop, pad):
     """Semi-supervised epoch at scale: LABELED set sized by --n-seqs/
     --seq-len, UNLABELED endless stream over a full 600-seq corpus (the
@@ -87,6 +114,11 @@ def _semi_epochs(args, cfg, loop, pad):
     semi_iter = sampler_semi.next_epoch()
 
     for epoch in range(args.epochs):
+        tracing = args.profile and epoch == args.epochs - 1
+        if tracing:
+            import tempfile
+            logdir = tempfile.mkdtemp(prefix="semi_epoch_prof_")
+            jax.profiler.start_trace(logdir)
         momentum = bn_momentum_for_epoch(loop, epoch - 1)
         th0 = time.perf_counter()
         metas, n_valids, metas_semi, n_valids_semi = [], [], [], []
@@ -119,6 +151,9 @@ def _semi_epochs(args, cfg, loop, pad):
               f"{dev_s:.2f} s ({steps} steps, {dev_s / steps * 1e3:.2f} "
               f"ms/step, {frames / dev_s / 1e3:.0f}k frames/s) "
               f"loss {final:.4f}", flush=True)
+        if tracing:
+            jax.profiler.stop_trace()
+            _print_trace_breakdown(logdir, steps, args.top)
 
 
 def main():
@@ -223,29 +258,8 @@ def main():
               f"{int(n_valids.sum()) / dev_s / 1e3:.0f}k frames/s) "
               f"loss {final:.4f}", flush=True)
         if tracing:
-            import glob
-            import gzip
-            import json
-            from collections import defaultdict
             jax.profiler.stop_trace()
-            files = sorted(glob.glob(logdir + "/**/*.trace.json.gz",
-                                     recursive=True))
-            ev = json.loads(gzip.open(files[-1]).read())["traceEvents"]
-            device_pids = {
-                e["pid"] for e in ev
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in str(e.get("args", {}).get("name", ""))
-                and "pjrt" not in str(e["args"]["name"]).lower()}
-            tot = defaultdict(float)
-            for e in ev:
-                if (e.get("ph") == "X" and "dur" in e
-                        and e.get("pid") in device_pids):
-                    tot[e.get("name", "")] += e["dur"]
-            total_us = sum(tot.values())
-            print(f"device op total {total_us / steps / 1e3:.2f} ms/step")
-            for name, us in sorted(tot.items(), key=lambda kv: -kv[1]
-                                   )[:args.top]:
-                print(f"  {us / steps:9.1f} us/step  {name[:110]}")
+            _print_trace_breakdown(logdir, steps, args.top)
 
 
 if __name__ == "__main__":
