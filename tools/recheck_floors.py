@@ -64,9 +64,15 @@ def check_realign(quick):
     if quick:
         argv += ["--iters", "8"]
     status, out, secs = _run(argv, timeout=2400)
-    # exp_realign prints "<label>: X ms/call" lines and a final dict.
-    per = dict(re.findall(r"^(\S+): ([\d.]+) ms/call", out, re.M))
-    summary = {k: float(v) for k, v in per.items()}
+    # exp_realign's summary is its final python-dict line {'base_d9': ...}.
+    summary = {}
+    for line in out.splitlines():
+        if line.startswith("{'"):
+            import ast
+            try:
+                summary = ast.literal_eval(line)
+            except (ValueError, SyntaxError):
+                pass
     return {"status": status, "secs": secs, "ms_per_call": summary,
             "tail": out.strip().splitlines()[-3:]}
 
@@ -86,9 +92,13 @@ def check_stream_fused(quick):
     argv = ["tools/exp_stream_ab.py", "--engines", "bf16,bf16_fused",
             "--reps", "2" if quick else "4"]
     status, out, secs = _run(argv, timeout=2400)
-    means = dict(re.findall(r"^(\S+)\s+mean ([\d.]+)", out, re.M))
-    return {"status": status, "secs": secs,
-            "ms_per_frame_mean": {k: float(v) for k, v in means.items()},
+    # exp_stream_ab prints per-rep lines only; average them per engine.
+    reps = {}
+    for name, ms in re.findall(r"^rep \d+ (\S+)\s+([\d.]+) ms/frame",
+                               out, re.M):
+        reps.setdefault(name, []).append(float(ms))
+    means = {k: round(sum(v) / len(v), 4) for k, v in reps.items()}
+    return {"status": status, "secs": secs, "ms_per_frame_mean": means,
             "tail": out.strip().splitlines()[-4:]}
 
 

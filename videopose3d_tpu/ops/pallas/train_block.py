@@ -168,7 +168,11 @@ def _relu_mask_bn_sums_kernel(g_ref, z_ref, mask_ref, mean_ref, inv_ref,
     i = pl.program_id(0)
     zd = z_ref[:, :]
     yg = (zd - gate_ref[0, :]) * gate_ref[1, :] + gate_ref[2, :]
-    keep = (yg > 0).astype(jnp.float32)
+    # Compare in f32: bf16->f32 upcast is exact, so the gate is bit-identical
+    # to a bf16 compare — and current Mosaic rejects arith.cmpf on packed
+    # bf16 vectors ("Target does not support this comparison", caught by
+    # tools/recheck_floors.py round 5; the kernel compiled in round 2).
+    keep = (yg.astype(jnp.float32) > 0).astype(jnp.float32)
     gz = (g_ref[:, :].astype(jnp.float32)
           * mask_ref[:, :].astype(jnp.float32) * keep)
     gz_ref[:, :] = gz.astype(gz_ref.dtype)
