@@ -295,3 +295,48 @@ def test_unchunked_augment_requires_perms():
     b = UnchunkedBatcher(None, None, seqs)
     with pytest.raises(ValueError, match="flip_perm"):
         b.set_augment(True)
+
+
+@pytest.mark.parametrize("pad,causal_shift,chunk", [(3, 0, 1), (4, 0, 5)])
+def test_to_device_dtype_2d_bf16_equals_cast_after_assembly(
+        pad, causal_shift, chunk):
+    """`to_device(dtype_2d=bf16)` (the dataset-HBM memory knob) is
+    bit-identical, for a bf16-compute consumer, to assembling from f32
+    storage and casting the assembled batch: every op between storage and
+    the model's first-matmul cast — the dynamic_slice windows and the baked
+    pre-flipped copy's x negation — is exact in bf16, so quantizing at
+    upload equals quantizing at the cast.  Backs the PARITY.md row; the
+    real-TPU loss-trajectory + perf A/B is tools/exp_data_dtype_ab.py."""
+    import jax.numpy as jnp
+    from videopose3d_tpu.data.generators import (
+        FlatSequenceDataset, assemble_chunked_batch_contiguous)
+    poses_2d, poses_3d, cams = _make_data(seed=13)
+    margins = FlatSequenceDataset.training_margins(pad, causal_shift, chunk)
+    perm = tuple(_flip_perm().tolist())
+    ds = FlatSequenceDataset(poses_2d, poses_3d, cams, margins=margins,
+                             flip_perms=(perm, perm))
+    dev = ds.to_device()
+    dev_b = ds.to_device(dtype_2d=jnp.bfloat16)
+    assert dev_b.flat_2d_padded.dtype == jnp.bfloat16
+    assert dev_b.flat_3d_padded.dtype == dev.flat_3d_padded.dtype  # 3D stays f32
+
+    sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, chunk,
+                                 augment=True)
+    for meta, n_valid in sampler.next_epoch():
+        meta = np.asarray(meta)
+        kw = dict(pad=pad, causal_shift=causal_shift, chunk_length=chunk,
+                  kps_flip_perm=perm, joints_flip_perm=perm,
+                  with_3d=True, with_cameras=True,
+                  aug_offset_2d=dev.aug_offset_2d,
+                  aug_offset_3d=dev.aug_offset_3d)
+        _, w3, w2 = assemble_chunked_batch_contiguous(
+            dev.flat_2d_padded, dev.flat_3d_padded, dev.cameras,
+            dev.base_2d, dev.base_3d, meta, **kw)
+        _, g3, g2 = assemble_chunked_batch_contiguous(
+            dev_b.flat_2d_padded, dev_b.flat_3d_padded, dev_b.cameras,
+            dev_b.base_2d, dev_b.base_3d, meta, **kw)
+        assert g2.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(g2, np.float32),
+            np.asarray(jnp.asarray(w2).astype(jnp.bfloat16), np.float32))
+        np.testing.assert_array_equal(np.asarray(g3), np.asarray(w3))

@@ -137,7 +137,8 @@ class FlatSequenceDataset:
     def num_frames(self) -> int:
         return int(self.lengths.sum())
 
-    def to_device(self, sharding=None, include_unpadded: bool = False):
+    def to_device(self, sharding=None, include_unpadded: bool = False,
+                  dtype_2d=None):
         """Upload the flat arrays once (optionally with an explicit sharding —
         replicated for data-parallel training).
 
@@ -145,17 +146,30 @@ class FlatSequenceDataset:
         flat arrays on device, so their upload is skipped by default (they
         would otherwise duplicate the whole dataset in HBM on every device);
         pass ``include_unpadded=True`` to upload both representations (the
-        gather-path parity tests do)."""
+        gather-path parity tests do).
+
+        ``dtype_2d`` stores the padded 2D stream in that dtype (bf16 halves
+        the assembly-gather HBM traffic AND the dataset's device footprint).
+        Bit-identical for ``compute_dtype="bfloat16"`` training — the first
+        matmul casts its operand to bf16 anyway, and every op between the
+        stored array and that cast (dynamic_slice windows, the baked
+        pre-flipped copy's x negation) is exact in bf16 — so quantizing at
+        upload equals quantizing at the cast.  Do NOT use for f32/mixed
+        compute (there the cast after BN-free ops would change numerics) or
+        for semi-supervised UNLABELED data (its keypoints are also the f32
+        reprojection-loss target)."""
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
         maybe = lambda x: put(x) if x is not None else None
+        cast2 = (lambda x: x if x is None or dtype_2d is None
+                 else x.astype(dtype_2d))
         skip = self.flat_2d_padded is not None and not include_unpadded
         return DeviceArrays(
-            flat_2d=None if skip else put(self.flat_2d),
+            flat_2d=None if skip else put(cast2(self.flat_2d)),
             flat_3d=None if skip else maybe(self.flat_3d),
             cameras=maybe(self.cameras),
             seq_bounds=put(self.seq_bounds),
-            flat_2d_padded=maybe(self.flat_2d_padded),
+            flat_2d_padded=maybe(cast2(self.flat_2d_padded)),
             flat_3d_padded=maybe(self.flat_3d_padded),
             base_2d=maybe(self.base_2d),
             base_3d=maybe(self.base_3d),
