@@ -49,7 +49,9 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--run-slow") or os.environ.get("VP3D_RUN_SLOW"):
+    run_slow_env = os.environ.get("VP3D_RUN_SLOW", "")
+    if config.getoption("--run-slow") or run_slow_env.lower() not in (
+            "", "0", "false", "no"):
         return
     skip = pytest.mark.skip(
         reason="slow tier: pass --run-slow (or VP3D_RUN_SLOW=1) to run")

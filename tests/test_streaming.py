@@ -204,3 +204,19 @@ def test_multi_device_lifter_uneven_split_raises():
                                        devices=jax.local_devices()[:3])
     with pytest.raises(ValueError, match="split evenly"):
         multi.reset(rng.standard_normal((8, 17, 2)).astype(np.float32))
+
+
+def test_mixed_compute_dtype_rejected_with_guidance():
+    """'mixed' is a training-only scheme (bf16 operands over f32 activations);
+    streaming engines run one concrete dtype.  The guard must raise a clear
+    ValueError (jnp.dtype('mixed') used to surface an opaque TypeError)."""
+    import dataclasses
+    cfg = dataclasses.replace(_cfg(), compute_dtype="mixed")
+    params, state = init_temporal_model(
+        dataclasses.replace(cfg, compute_dtype="float32"),
+        jax.random.PRNGKey(0))
+    frame = np.zeros((2, 17, 2), np.float32)
+    with pytest.raises(ValueError, match="mixed"):
+        init_stream_state(cfg, params, state, frame)
+    with pytest.raises(ValueError, match="mixed"):
+        StreamingCausalLifter(cfg, params, state)

@@ -34,14 +34,14 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_default_prng_impl", "rbg")
+
+import _bench_common as bc
 
 
 def step_matmul_flops(cfg, batch):
@@ -84,19 +84,9 @@ def main():
     ap.add_argument("--matmul-n", type=int, default=8192)
     args = ap.parse_args()
 
-    from videopose3d_tpu.data.generators import (
-        FlatSequenceDataset, assemble_chunked_batch_contiguous)
-    from videopose3d_tpu.models.temporal import (TemporalModelConfig,
-                                                 forward_strided,
-                                                 init_temporal_model,
-                                                 receptive_field)
-    from videopose3d_tpu.train import fused_optimizer_apply, make_optimizer
-
     dtypes = [s.strip() for s in args.dtype.split(",")]
-    cfgs = {dt: TemporalModelConfig(
-        num_joints_in=17, in_features=2, num_joints_out=17,
-        filter_widths=(3, 3, 3, 3, 3), causal=False, dropout=args.dropout,
-        channels=1024, compute_dtype=dt) for dt in dtypes}
+    cfgs = {dt: bc.flagship_cfg(compute_dtype=dt, dropout=args.dropout)
+            for dt in dtypes}
     cfg = cfgs[dtypes[0]]
     B = args.batch
     fwd_f, bwd_f = step_matmul_flops(cfg, B)
@@ -131,93 +121,21 @@ def main():
     print(f"roofline (bf16 {n}^3): {roofline:.1f} TFLOP/s", flush=True)
 
     # --- production step graph (bench_step "step" stage) ---
-    rf = receptive_field(cfg)
-    pad = (rf - 1) // 2
-    rng = np.random.default_rng(0)
-    n_seqs, seq_len = 4, 3000
-    poses_2d = [rng.standard_normal((seq_len, 17, 2)).astype(np.float32)
-                for _ in range(n_seqs)]
-    poses_3d = [rng.standard_normal((seq_len, 17, 3)).astype(np.float32)
-                for _ in range(n_seqs)]
-    perm17 = tuple(range(17))
-    ds = FlatSequenceDataset(
-        poses_2d, poses_3d,
-        margins=FlatSequenceDataset.training_margins(pad, 0, 1),
-        flip_perms=(perm17, perm17))
-    dev = ds.to_device()
-    meta = np.stack([
-        rng.integers(0, n_seqs, B),
-        rng.integers(0, seq_len - 1, B),
-        np.zeros(B, np.int64),
-        rng.integers(0, 2, B)], axis=1).astype(np.int32)
-    meta[:, 2] = meta[:, 1] + 1
-    meta = jnp.asarray(meta)
-
-    params, state = init_temporal_model(cfg, jax.random.PRNGKey(0))
-    optimizer = make_optimizer(1e-3)
-    opt_state = optimizer.init(params)
-    key = jax.random.PRNGKey(1)
-    momentum = jnp.float32(0.1)
-    assemble = functools.partial(
-        assemble_chunked_batch_contiguous,
-        pad=pad, causal_shift=0, chunk_length=1,
-        kps_flip_perm=perm17, joints_flip_perm=perm17,
-        with_3d=True, with_cameras=False)
-    data = (dev.flat_2d_padded, dev.flat_3d_padded, dev.base_2d, dev.base_3d)
-
-    def make_stage(cfg_d, stage):
-        def loss_of(p, b2, b3, k):
-            pred, new_state = forward_strided(cfg_d, p, state, b2, train=True,
-                                              momentum=momentum, rng=k)
-            return jnp.mean(jnp.linalg.norm(pred - b3, axis=-1)), new_state
-
-        @functools.partial(jax.jit, static_argnums=(5,))
-        def run(params, opt_state, data, meta, key, iters):
-            def body(i, carry):
-                params, opt_state, acc = carry
-                meta_i = meta + (acc * 0).astype(jnp.int32)
-                flat_2d, flat_3d, base_2d, base_3d = data
-                _, b3, b2 = assemble(flat_2d, flat_3d, None, base_2d,
-                                     base_3d, meta_i,
-                                     aug_offset_2d=dev.aug_offset_2d,
-                                     aug_offset_3d=dev.aug_offset_3d)
-                k = jax.random.fold_in(key, i)
-                if stage == "fwd":
-                    loss, _ = loss_of(params, b2, b3, k)
-                    return params, opt_state, loss * 1e-30
-                (loss, _), grads = jax.value_and_grad(
-                    loss_of, has_aux=True)(params, b2, b3, k)
-                if stage == "fwdbwd":
-                    gsum = sum(jnp.sum(g) for g in
-                               jax.tree_util.tree_leaves(grads))
-                    return params, opt_state, loss * 1e-30 + gsum * 1e-30
-                params, opt_state = fused_optimizer_apply(
-                    optimizer, grads, opt_state, params)
-                return params, opt_state, loss * 1e-30
-            params, opt_state, acc = jax.lax.fori_loop(
-                0, iters, body, (params, opt_state, jnp.float32(0.0)))
-            return acc
-        return run
+    fx = bc.train_fixture(cfg, B)
+    dev = fx.ds.to_device()
 
     stages = ("fwd", "fwdbwd", "step")
-    graphs = {(dt, st): make_stage(cfgs[dt], st)
+    graphs = {(dt, st): bc.step_graph(cfgs[dt], fx, stage=st)
               for dt in dtypes for st in stages}
     for key_g, g in graphs.items():
-        float(g(params, opt_state, data, meta, key, 1))
-        float(g(params, opt_state, data, meta, key, args.iters))
+        bc.warm(g, fx, dev, args.iters)
         print(f"compiled {key_g}", flush=True)
 
     # Interleaved reps across configs: best-of per (dtype, stage).
     results = {k: float("inf") for k in graphs}
     for rep in range(3):
         for key_g, g in graphs.items():
-            t0 = time.perf_counter()
-            float(g(params, opt_state, data, meta, key, 1))
-            tt1 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(g(params, opt_state, data, meta, key, args.iters))
-            ttn = time.perf_counter() - t0
-            per = (ttn - tt1) / (args.iters - 1)
+            per = bc.timed_ms_per_step(g, fx, dev, args.iters) / 1e3
             results[key_g] = min(results[key_g], per)
     for dt in dtypes:
         print(f"{dt:9s}: " + "  ".join(

@@ -124,8 +124,11 @@ def parse_args(argv=None):
                         help="MXU compute precision (params/optimizer/BN "
                              "stats/loss stay float32 in every mode); "
                              "'mixed' = bf16 matmul operands with f32 "
-                             "activations — f32-grade convergence at near-"
-                             "bf16 speed (tests/test_bf16_parity.py)")
+                             "activations — f32-grade convergence "
+                             "(tests/test_bf16_parity.py) at ~f32 speed on "
+                             "TPU (which runs f32 dots with bf16 operands "
+                             "anyway); it buys numerics portability, "
+                             "'bfloat16' buys the ~1.7x speed")
     parser.add_argument("--eval-bucket", default=128, type=int, metavar="N",
                         help="bucket whole-video eval lengths to multiples of N frames")
     parser.add_argument("--eval-bucket-pow2", action="store_true",

@@ -140,6 +140,19 @@ def _advance_ptrs(ptrs, caps):
     return jnp.mod(ptrs + 1, jnp.asarray(caps, jnp.int32))
 
 
+def _stream_dtype(config: TemporalModelConfig):
+    """The activation dtype streaming engines run at.  ``"mixed"`` is a
+    TRAINING-only scheme (bf16 matmul operands over f32 activations,
+    models/temporal.py) with no streaming meaning — fail with guidance
+    instead of jnp.dtype's opaque ``TypeError: data type 'mixed'``."""
+    if config.compute_dtype == "mixed":
+        raise ValueError(
+            "streaming engines need a concrete compute_dtype; 'mixed' is a "
+            "training scheme — serve with compute_dtype='bfloat16' (same MXU "
+            "operand rounding as 'mixed') or 'float32'")
+    return jnp.dtype(config.compute_dtype)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
                       first_frame) -> Dict[str, Any]:
@@ -164,7 +177,7 @@ def init_stream_state(config: TemporalModelConfig, params: Params, state: State,
     b = x.shape[0]
     x = x.reshape(b, -1)
     caps = _buffer_capacities(config)
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    compute_dtype = _stream_dtype(config)
 
     # Steady-state activations shared with the micro-batched engine's init
     # (one implementation of the warm-up algebra, see _steady_acts_bf16).
@@ -196,7 +209,7 @@ def stream_step(config: TemporalModelConfig, params: Params, state: State,
       ((B, J_out, 3) poses for this frame, new stream state).
     """
     push = _ring_push if _ring_impl == "dus" else _ring_push_dma
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    compute_dtype = _stream_dtype(config)
     caps = _buffer_capacities(config)
     bufs = list(stream_state["bufs"])
     _check_per_frame_caps(bufs, caps)
@@ -264,7 +277,7 @@ def prepare_bf16_fused(config: TemporalModelConfig, params: Params,
     step would copy ~25 MB of weights per frame at the flagship config.
     Build this pytree once per weight set and pass it to every step.
     """
-    if jnp.dtype(config.compute_dtype) != jnp.bfloat16:
+    if _stream_dtype(config) != jnp.bfloat16:
         raise ValueError("the fused bf16 engine requires "
                          "compute_dtype='bfloat16'")
     n_blocks = len(config.filter_widths) - 1
@@ -626,7 +639,7 @@ def _steady_acts_bf16(config, params, state, x):
     """Per-layer steady-state activations under a constant input ``x``
     (B, C_in): [expand output, block 0 output, ...] — the analytic warm-up
     values (a constant input is a fixed point of every layer)."""
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    compute_dtype = _stream_dtype(config)
     w0 = params["expand_conv"]["weight"]
     act = jnp.dot(x.astype(compute_dtype),
                   jnp.sum(w0, axis=0).astype(compute_dtype),
@@ -686,7 +699,7 @@ def init_stream_state_multi(config: TemporalModelConfig, params: Params,
         raise ValueError("streaming inference requires a causal model")
     if config.dense:
         raise ValueError("streaming inference does not support dense convs")
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    compute_dtype = _stream_dtype(config)
     x = jnp.asarray(first_frame)
     x = x.reshape(x.shape[0], -1)
     acts = [a.astype(compute_dtype)
@@ -707,7 +720,7 @@ def stream_step_multi(config: TemporalModelConfig, params: Params,
     Returns:
       ((B, k, J_out, 3) poses, new stream state).
     """
-    compute_dtype = jnp.dtype(config.compute_dtype)
+    compute_dtype = _stream_dtype(config)
     bufs = list(stream_state["bufs"])
     ptr = stream_state["ptr"]
     caps = [buf.shape[0] // 2 for buf in bufs]
@@ -988,8 +1001,10 @@ class StreamingCausalLifter:
             raise ValueError(f"engine={engine!r} requires params and state")
         if frames_per_step < 1:
             raise ValueError("frames_per_step must be >= 1")
+        if engine in ("bf16", "bf16_fused"):
+            _stream_dtype(config)  # reject 'mixed' with guidance up front
         if (engine == "bf16_fused"
-                and jnp.dtype(config.compute_dtype) != jnp.bfloat16):
+                and _stream_dtype(config) != jnp.bfloat16):
             raise ValueError("engine='bf16_fused' requires "
                              "compute_dtype='bfloat16'")
         if engine.endswith("_fused") and mesh is not None:
