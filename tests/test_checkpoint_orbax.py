@@ -177,3 +177,36 @@ def test_fresh_save_after_interrupted_swap_not_shadowed(tmp_path):
     save_checkpoint_orbax(path, dict(_payload(), epoch=9))       # next epoch
     assert load_checkpoint_orbax(path)["epoch"] == 9
     assert not os.path.exists(path + ".new")
+
+
+def test_crashed_write_after_interrupted_swap_keeps_newest(
+        tmp_path, monkeypatch):
+    """Review r5: a crash AFTER ``ckptr.save(new)`` finalizes but BEFORE
+    ``rename(path, old)`` leaves BOTH ``path`` (older) and ``.new`` (newest,
+    the state load restores).  The next save used to reap ``.new`` as stale
+    before its own multi-second tensorstore write — crashing inside that
+    write then regressed durable state a generation behind what the crashed
+    run had resumed from.  The swap is now completed first."""
+    import os
+
+    from videopose3d_tpu import checkpoint as ckpt
+
+    path = str(tmp_path / "ck")
+    save_checkpoint_orbax(path, _payload())                      # epoch 7
+    save_checkpoint_orbax(path + ".new", dict(_payload(), epoch=8))
+    # Crash window: both path (7) and .new (8) on disk; load restores 8.
+    assert load_checkpoint_orbax(path)["epoch"] == 8
+
+    class ExplodingCheckpointer:
+        def save(self, *a, **k):
+            raise RuntimeError("simulated crash mid-tensorstore-write")
+
+    monkeypatch.setattr(ckpt, "_local_pytree_checkpointer",
+                        lambda: ExplodingCheckpointer())
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        save_checkpoint_orbax(path, dict(_payload(), epoch=9))
+    monkeypatch.undo()
+
+    # The newest pre-crash state must still be the one restored.
+    assert load_checkpoint_orbax(path)["epoch"] == 8
+    assert not os.path.exists(path + ".new")

@@ -61,3 +61,34 @@ def test_sampler_native_resume_parity():
     d.set_random_state(saved)
     for (mc, _), (md, _) in zip(c.next_epoch(), d.next_epoch()):
         np.testing.assert_array_equal(mc, md)
+
+
+def test_reaper_spares_other_users_live_tmp(tmp_path, monkeypatch):
+    """Review r5: ``os.kill(pid, 0)`` raises PermissionError for a LIVE
+    process owned by another user; the orphan reaper used to catch it under
+    the bare ``except OSError`` and delete that builder's in-progress tmp
+    mid-g++.  Only ProcessLookupError means the pid is gone."""
+    import os
+
+    build = tmp_path / "build"
+    build.mkdir()
+    monkeypatch.setattr(native, "_BUILD_DIR", str(build))
+    monkeypatch.setattr(native, "_LIB_PATH", str(build / "libsampler.so"))
+    live = build / "libsampler.so.424242.tmp"
+    dead = build / "libsampler.so.424243.tmp"
+    live.write_text("in-progress g++ output of another user's builder")
+    dead.write_text("orphan from a killed builder")
+
+    real_kill = os.kill
+
+    def fake_kill(pid, sig):
+        if pid == 424242:
+            raise PermissionError("alive, owned by another user")
+        if pid == 424243:
+            raise ProcessLookupError("no such process")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+    assert native._build() == str(build / "libsampler.so")
+    assert live.exists(), "live builder's tmp must survive the reaper"
+    assert not dead.exists(), "dead builder's orphan must be reaped"

@@ -94,18 +94,23 @@ def save_checkpoint_orbax(path: str, payload: Dict[str, Any]) -> None:
     path = os.path.abspath(path)
     new, old = path + ".new", path + ".old"
     ckptr = _local_pytree_checkpointer()
-    if not os.path.exists(path) and os.path.isdir(new):
-        # A previous run crashed mid-swap: ``.new`` holds the newest state
-        # (what load_checkpoint_orbax has been restoring).  Complete the swap
-        # BEFORE cleaning stale dirs — deleting it as "stale" while writing
-        # this save fresh at ``path`` would leave every later load preferring
-        # nothing, but keeping it would shadow the newer save we are about to
-        # write (load prefers .new).  If .new was a partial write, the
-        # overwrite branch below replaces it atomically anyway.
+    if os.path.isdir(new):
+        # A previous run crashed mid-swap.  ``.new`` is complete whenever the
+        # directory exists (orbax finalizes into place by rename) and holds
+        # the NEWEST state — the one load_checkpoint_orbax has been
+        # restoring.  Complete the swap instead of deleting it as stale:
+        # reaping it and then crashing inside the multi-second tensorstore
+        # write below would regress durable state a full generation behind
+        # the crashed run's own resume point.  This covers both crash
+        # windows — after ``rename(path, old)`` (path missing) and before it
+        # (path still the older generation).
+        if os.path.exists(path):
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
         os.rename(new, path)
-    for stale in (new, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if not os.path.exists(path):
         ckptr.save(path, payload)
         return

@@ -50,8 +50,11 @@ def _build() -> Optional[str]:
             os.kill(pid, 0)          # raises if no such process
         except ValueError:
             pass                     # unparsable name: treat as orphan
-        except OSError:
+        except ProcessLookupError:
             pass                     # no such pid: orphan, reap below
+        except OSError:
+            continue                 # EPERM etc.: alive but owned by another
+                                     # user — a live builder, leave its tmp
         else:
             continue                 # live builder, leave its tmp alone
         try:

@@ -312,7 +312,11 @@ def render_animation(keypoints, keypoints_metadata, poses, skeleton, fps,
         anim.save(output, writer=writers["ffmpeg"](
             fps=fps, metadata={}, bitrate=bitrate))
     elif output.endswith(".gif"):
-        anim.save(output, dpi=80, writer="pillow", fps=int(round(fps)))
+        # Heavy downsampling can push the effective rate under 0.5 fps;
+        # int(round(...)) would hand PillowWriter fps=0 and its 1000/fps
+        # frame-duration math would ZeroDivisionError AFTER the full render.
+        anim.save(output, dpi=80, writer="pillow",
+                  fps=max(1, int(round(fps))))
     else:
         raise ValueError("unsupported output extension "
                          f"'{output}' (expected .mp4 or .gif)")
