@@ -248,6 +248,33 @@ def test_render_with_video_overlay_and_skip(h36m_dir, tmp_path, capsys):
         assert im.n_frames == 6
 
 
+def test_export_training_curves(h36m_dir, tmp_path, capsys):
+    """--export-training-curves writes loss-curve PNGs from epoch 4 on
+    (reference run.py:608-649: the export is gated on `epoch > 3` and plots
+    the series from index 3).  Supervised writes loss_3d.png only; the
+    semi-supervised branch adds loss_traj.png and loss_2d.png."""
+    ckpt = str(tmp_path / "c_curves")
+    runner.main(["-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt,
+                 "-arc", "3,3", "-ch", "16", "-b", "32", "--eval-bucket", "16",
+                 "--checkpoint-frequency", "100", "-e", "4",
+                 "--export-training-curves"])
+    out = capsys.readouterr().out
+    assert "[4] time" in out
+    assert os.path.getsize(os.path.join(ckpt, "loss_3d.png")) > 0
+    assert not os.path.exists(os.path.join(ckpt, "loss_traj.png"))
+
+    ckpt2 = str(tmp_path / "c_curves_semi")
+    runner.main(["-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt2,
+                 "-arc", "3,3", "-ch", "16", "-b", "32", "--eval-bucket", "16",
+                 "--checkpoint-frequency", "100", "-e", "4",
+                 "-str", "S1", "-sun", "S5,S6", "--warmup", "0",
+                 "--export-training-curves"])
+    out = capsys.readouterr().out
+    assert "[4] time" in out
+    for name in ("loss_3d.png", "loss_traj.png", "loss_2d.png"):
+        assert os.path.getsize(os.path.join(ckpt2, name)) > 0
+
+
 def test_resumed_metrics_log(h36m_dir, tmp_path, capsys):
     """Resuming from a pickle checkpoint with --metrics-log serializes
     cleanly: the checkpoint payload stores epoch/lr as 0-d numpy arrays,
