@@ -248,6 +248,31 @@ def test_render_with_video_overlay_and_skip(h36m_dir, tmp_path, capsys):
         assert im.n_frames == 6
 
 
+def test_remaining_cli_flag_wiring(h36m_dir, tmp_path, capsys):
+    """argparse→runner wiring for the flags whose behavior is tested at the
+    API level but whose CLI spelling was never driven: --no-scan-epoch
+    (stepwise trainer branch), --scan-chunk (bounded scan programs),
+    --eval-bucket-pow2, --train-engine pallas (interpret on CPU), and
+    --no-bone-length in semi mode (reference -no-bone-length,
+    /root/reference/run.py:366-379)."""
+    ckpt = str(tmp_path / "c_wire1")
+    runner.main(_args(h36m_dir, ckpt, ["--no-scan-epoch",
+                                       "--train-engine", "pallas"]))
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+
+    ckpt = str(tmp_path / "c_wire2")
+    runner.main(["-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt,
+                 "-arc", "3,3", "-ch", "16", "-b", "32",
+                 "--eval-bucket", "16", "--eval-bucket-pow2",
+                 "--checkpoint-frequency", "100", "-e", "1",
+                 "--scan-chunk", "2",
+                 "-str", "S1", "-sun", "S5,S6", "--warmup", "0",
+                 "--no-bone-length"])
+    out = capsys.readouterr().out
+    assert "Semi-supervision" in out and "[1] time" in out
+
+
 def test_export_training_curves(h36m_dir, tmp_path, capsys):
     """--export-training-curves writes loss-curve PNGs from epoch 4 on
     (reference run.py:608-649: the export is gated on `epoch > 3` and plots
