@@ -160,6 +160,59 @@ class TestSupervised:
         assert np.isfinite(np.asarray(losses)).all()
 
 
+class TestFlatten2D:
+    def test_bitwise_equal_and_guards(self):
+        """to_device(flatten_2d=True) stores the padded 2D stream as
+        (rows, J*F); the training trajectory is bitwise identical to the
+        (rows, J, 2) layout (values untouched — only the gather output shape
+        changes; models/temporal.py::_prep_input accepts both)."""
+        rng = np.random.default_rng(11)
+        poses_2d, poses_3d, _ = _toy_data(rng)
+        cfg = _model_cfg()
+        pad = (receptive_field(cfg) - 1) // 2
+        loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                               causal_shift=0)
+        perm = tuple(_perm().tolist())
+        ds = FlatSequenceDataset(
+            poses_2d, poses_3d,
+            margins=FlatSequenceDataset.training_margins(pad, 0, 1),
+            flip_perms=(perm, perm))
+        dev_a = ds.to_device()
+        dev_b = ds.to_device(flatten_2d=True)
+        assert dev_b.flat_2d_padded.ndim == 2
+        assert dev_b.flat_2d_padded.shape[1] == J * 2
+
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1,
+                                     augment=True)
+        metas, n_valids = zip(*sampler.next_epoch())
+        trainer = SupervisedTrainer(cfg, loop, _perm(), _perm())
+        params0, state0 = init_temporal_model(cfg, jax.random.PRNGKey(0))
+        opt0 = trainer.init_optimizer(params0)
+
+        results = []
+        for dev in (dev_a, dev_b):
+            p, s, o = jax.tree_util.tree_map(jnp.copy, (params0, state0, opt0))
+            k = jax.random.PRNGKey(1)
+            losses = []
+            for meta, n_valid in zip(metas, n_valids):
+                p, s, o, k, loss = trainer.step(p, s, o, k, dev, meta,
+                                                n_valid, 0.1)
+                losses.append(float(loss))
+            results.append((losses, p))
+        assert results[0][0] == results[1][0]
+        for a, b in zip(jax.tree_util.tree_leaves(results[0][1]),
+                        jax.tree_util.tree_leaves(results[1][1])):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+        # Guards: the on-device flip permutation needs the joint axis, so
+        # flatten requires baked flip copies and forbids the unpadded path.
+        plain = FlatSequenceDataset(poses_2d, poses_3d)
+        with pytest.raises(ValueError, match="baked flip"):
+            plain.to_device(flatten_2d=True)
+        with pytest.raises(ValueError, match="include_unpadded"):
+            ds.to_device(flatten_2d=True, include_unpadded=True)
+
+
 class TestEpochScan:
     def test_scan_epoch_equals_stepwise(self):
         """run_epoch (one fused XLA scan) produces bit-identical params, state,

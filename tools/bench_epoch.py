@@ -216,7 +216,7 @@ def main():
         poses_2d, poses_3d,
         margins=FlatSequenceDataset.training_margins(pad, 0, 1),
         flip_perms=(perm, perm))
-    dev = ds.to_device()
+    dev = ds.to_device(flatten_2d=True)  # production supervised layout
     jax.block_until_ready((dev.flat_2d_padded, dev.flat_3d_padded))
     print(f"[{time.perf_counter() - t0:6.1f}s] data built + uploaded "
           f"({ds.num_frames} frames x2 flip)", flush=True)

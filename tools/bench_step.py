@@ -82,7 +82,9 @@ def main():
     mark(f"host data built: flat_2d_padded {ds.flat_2d_padded.shape} "
          f"({ds.flat_2d_padded.nbytes / 1e6:.0f} MB), flat_3d_padded "
          f"{ds.flat_3d_padded.nbytes / 1e6:.0f} MB")
-    dev = ds.to_device()
+    # Production supervised layout: pre-flattened (rows, 34) 2D stream
+    # (runner.py wires flatten_2d for the supervised trainer).
+    dev = ds.to_device(flatten_2d=not args.no_baked_flip)
     jax.block_until_ready((dev.flat_2d_padded, dev.flat_3d_padded))
     mark("device upload done")
 

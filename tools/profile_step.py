@@ -69,7 +69,7 @@ def main():
         poses_2d, poses_3d,
         margins=FlatSequenceDataset.training_margins(pad, 0, 1),
         flip_perms=(perm17, perm17))
-    dev = ds.to_device()
+    dev = ds.to_device(flatten_2d=True)  # production supervised layout
 
     meta = np.stack([
         rng.integers(0, n_seqs, B),

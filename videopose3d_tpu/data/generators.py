@@ -138,7 +138,7 @@ class FlatSequenceDataset:
         return int(self.lengths.sum())
 
     def to_device(self, sharding=None, include_unpadded: bool = False,
-                  dtype_2d=None):
+                  dtype_2d=None, flatten_2d: bool = False):
         """Upload the flat arrays once (optionally with an explicit sharding —
         replicated for data-parallel training).
 
@@ -157,19 +157,42 @@ class FlatSequenceDataset:
         upload equals quantizing at the cast.  Do NOT use for f32/mixed
         compute (there the cast after BN-free ops would change numerics) or
         for semi-supervised UNLABELED data (its keypoints are also the f32
-        reprojection-loss target)."""
+        reprojection-loss target).
+
+        ``flatten_2d`` stores the padded 2D stream as ``(rows, J*F)`` instead
+        of ``(rows, J, F)``: values identical (the model flattens its input
+        anyway, ``models/temporal.py::_prep_input``), but the batch gather's
+        output drops its minor-dim-2 tiling and the layout copy XLA inserts
+        before the first conv (measured -1.3%/step at the flagship shape,
+        5/5 interleaved reps, bitwise-equal losses — tools/exp_gather_flat.py).
+        Requires baked flip copies (``flip_perms``): without them the flip
+        permutation runs on the gathered batch and needs the joint axis.
+        Not for semi-supervised unlabeled data (reprojection target needs
+        ``(B, T, J, 2)``)."""
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
         maybe = lambda x: put(x) if x is not None else None
         cast2 = (lambda x: x if x is None or dtype_2d is None
                  else x.astype(dtype_2d))
         skip = self.flat_2d_padded is not None and not include_unpadded
+        flat2p = self.flat_2d_padded
+        if flatten_2d:
+            if flat2p is None or self.aug_offset_2d == 0:
+                raise ValueError(
+                    "flatten_2d requires the contiguous fast path with baked "
+                    "flip copies (margins= + flip_perms=): the on-device flip "
+                    "permutation needs the joint axis")
+            if include_unpadded:
+                raise ValueError(
+                    "flatten_2d is incompatible with include_unpadded (the "
+                    "unpadded gather path flips on the joint axis)")
+            flat2p = flat2p.reshape(flat2p.shape[0], -1)
         return DeviceArrays(
             flat_2d=None if skip else put(cast2(self.flat_2d)),
             flat_3d=None if skip else maybe(self.flat_3d),
             cameras=maybe(self.cameras),
             seq_bounds=put(self.seq_bounds),
-            flat_2d_padded=maybe(cast2(self.flat_2d_padded)),
+            flat_2d_padded=maybe(cast2(flat2p)),
             flat_3d_padded=maybe(self.flat_3d_padded),
             base_2d=maybe(self.base_2d),
             base_3d=maybe(self.base_3d),

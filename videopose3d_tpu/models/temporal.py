@@ -416,6 +416,13 @@ def _conv_strided(x, weight, compute_dtype=jnp.float32, out_dtype=None):
 
 
 def _prep_input(config: TemporalModelConfig, x):
+    if x.ndim == 3:
+        # Pre-flattened (B, T, J*F) input: the caller already merged the
+        # joint/feature axes (e.g. a gather over a (rows, J*F)-stored flat
+        # dataset, which XLA tiles better than minor-dim-2 (rows, J, 2)).
+        assert x.shape[-1] == config.num_joints_in * config.in_features, (
+            x.shape, config.num_joints_in, config.in_features)
+        return x
     assert x.ndim == 4, f"expected (B, T, J, F), got {x.shape}"
     assert x.shape[-2] == config.num_joints_in, (x.shape, config.num_joints_in)
     assert x.shape[-1] == config.in_features, (x.shape, config.in_features)

@@ -548,9 +548,17 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
     margins = FlatSequenceDataset.training_margins(
         pad, causal_shift, loop_cfg.chunk_length)
     flip_perms = (kps_perm, joints_perm) if args.data_augmentation else None
+    # Supervised batches feed the 2D stream only into the model, which
+    # flattens (B, T, J, F) -> (B, T, J*F) anyway; storing it pre-flattened
+    # removes a gather-output layout copy (see to_device docstring).  The
+    # semi-supervised trainer keeps the joint axis: its labeled batch is
+    # concatenated with the unlabeled one, whose keypoints double as the
+    # reprojection-loss target.
+    flatten_2d = not semi_supervised and flip_perms is not None
     dev = FlatSequenceDataset(
         poses_train_2d, poses_train, cameras_train,
-        margins=margins, flip_perms=flip_perms).to_device(rep_sharding)
+        margins=margins, flip_perms=flip_perms).to_device(
+            rep_sharding, flatten_2d=flatten_2d)
     sampler = ChunkedPairSampler(
         [p.shape[0] for p in poses_train_2d], loop_cfg.batch_size,
         loop_cfg.chunk_length, shuffle=True, augment=args.data_augmentation)
