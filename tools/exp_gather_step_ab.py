@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Interleaved full-train-step A/B: XLA batch-assembly gather vs the Pallas
+DMA-ring gather (ops/pallas/gather_rows.py) on the lane-padded stream.
+
+Variants (bitwise-identical loss trajectories by construction):
+  xla    — production-to-date: (rows, 34) flattened stream, vmap(dynamic_slice)
+  pallas — (rows, 128) lane-padded stream, DMA-ring gather, in-kernel
+           slice back to 34 columns
+
+The micro A/B (tools/exp_pallas_gather.py --lane-pad) reads 1.60 vs 0.28 ms
+per gather; this tool decides whether the win survives inside the real step
+(pallas_call boundaries can force operand/output relayouts that eat kernel
+wins — see the train_block and ring-push negative results).
+
+Usage: python tools/exp_gather_step_ab.py [--batch 1024] [--reps 5]
+         [--dtype bfloat16] [--stage step]
+"""
+
+import argparse
+import functools
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
+import _bench_common as bc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "mixed"])
+    ap.add_argument("--stage", default="step",
+                    choices=["fwd", "fwdbwd", "step"])
+    ap.add_argument("--nbuf", type=int, default=8)
+    args = ap.parse_args()
+
+    from videopose3d_tpu.data.generators import (
+        assemble_chunked_batch_contiguous)
+
+    cfg = bc.flagship_cfg(compute_dtype=args.dtype)
+    fx = bc.train_fixture(cfg, args.batch)
+    base_assemble = fx.assemble
+    devs = {
+        "xla": (fx.ds.to_device(flatten_2d=True), "xla"),
+        "pallas": (fx.ds.to_device(flatten_2d=True, lane_pad_2d=True),
+                   "pallas"),
+    }
+    jax.block_until_ready(tuple(d.flat_2d_padded for d, _ in devs.values()))
+
+    runs, vals = {}, {}
+    for name, (dev, impl) in devs.items():
+        fx.assemble = functools.partial(
+            base_assemble, gather_impl=impl, cols_2d=int(dev.cols_2d or 0))
+        runs[name] = bc.step_graph(cfg, fx, stage=args.stage)
+        vals[name] = bc.run_graph(runs[name], fx, dev, 4)
+        print(f"compiled {name}; loss after 4 steps {vals[name]:.9f}",
+              flush=True)
+    print(f"bitwise loss equality: {vals['xla'] == vals['pallas']}",
+          flush=True)
+
+    for name, (dev, _) in devs.items():
+        bc.warm(runs[name], fx, dev, args.iters)
+
+    results = {name: [] for name in devs}
+    for rep in range(args.reps):
+        for name, (dev, _) in devs.items():
+            ms = bc.timed_ms_per_step(runs[name], fx, dev, args.iters)
+            results[name].append(ms)
+            print(f"rep {rep} {name:7s} {ms:.3f} ms/step", flush=True)
+
+    print()
+    means = {}
+    for name, ms in results.items():
+        means[name] = float(np.mean(ms))
+        print(f"{name:7s} mean {means[name]:.3f} min {np.min(ms):.3f} "
+              f"ms/step", flush=True)
+    print(f"pallas/xla ratio {means['pallas'] / means['xla']:.3f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

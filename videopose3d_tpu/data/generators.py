@@ -138,7 +138,8 @@ class FlatSequenceDataset:
         return int(self.lengths.sum())
 
     def to_device(self, sharding=None, include_unpadded: bool = False,
-                  dtype_2d=None, flatten_2d: bool = False):
+                  dtype_2d=None, flatten_2d: bool = False,
+                  lane_pad_2d: bool = False):
         """Upload the flat arrays once (optionally with an explicit sharding —
         replicated for data-parallel training).
 
@@ -168,7 +169,16 @@ class FlatSequenceDataset:
         Requires baked flip copies (``flip_perms``): without them the flip
         permutation runs on the gathered batch and needs the joint axis.
         Not for semi-supervised unlabeled data (reprojection target needs
-        ``(B, T, J, 2)``)."""
+        ``(B, T, J, 2)``).
+
+        ``lane_pad_2d`` (requires ``flatten_2d``) additionally zero-pads the
+        flattened width to a multiple of 128 lanes, which is what the Pallas
+        DMA gather needs to compile on TPU (Mosaic only DMAs whole 128-lane
+        tiles).  Values are untouched — the pad columns are sliced off again
+        inside the batch assembly (``cols_2d`` records the logical width) —
+        but the stream's HBM footprint grows to the padded width, so the
+        runner only turns this on where the DMA gather will actually run
+        (single-device TPU training)."""
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
         maybe = lambda x: put(x) if x is not None else None
@@ -187,6 +197,28 @@ class FlatSequenceDataset:
                     "flatten_2d is incompatible with include_unpadded (the "
                     "unpadded gather path flips on the joint axis)")
             flat2p = flat2p.reshape(flat2p.shape[0], -1)
+            # Tail margin for the Pallas DMA gather (gather_rows.py): its
+            # aligned-floor window DMA may read up to sublanes-1 rows past
+            # the last window row.  Values are never used — the rows only
+            # keep the read in bounds.
+            from videopose3d_tpu.ops.pallas.gather_rows import (
+                GATHER_TAIL_MARGIN)
+            flat2p = np.concatenate(
+                [flat2p,
+                 np.zeros((GATHER_TAIL_MARGIN, flat2p.shape[1]),
+                          flat2p.dtype)], axis=0)
+            gather_margin = GATHER_TAIL_MARGIN
+            cols_2d = flat2p.shape[1]
+            if lane_pad_2d and flat2p.shape[1] % 128:
+                flat2p = np.concatenate(
+                    [flat2p,
+                     np.zeros((flat2p.shape[0], -flat2p.shape[1] % 128),
+                              flat2p.dtype)], axis=1)
+        else:
+            if lane_pad_2d:
+                raise ValueError("lane_pad_2d requires flatten_2d=True")
+            gather_margin = 0
+            cols_2d = None
         return DeviceArrays(
             flat_2d=None if skip else put(cast2(self.flat_2d)),
             flat_3d=None if skip else maybe(self.flat_3d),
@@ -199,6 +231,8 @@ class FlatSequenceDataset:
             aug_offset_2d=self.aug_offset_2d,
             aug_offset_3d=self.aug_offset_3d,
             margins=self.margins,
+            gather_margin_2d=gather_margin,
+            cols_2d=cols_2d,
         )
 
 
@@ -208,7 +242,8 @@ class DeviceArrays:
     def __init__(self, flat_2d, flat_3d, cameras, seq_bounds,
                  flat_2d_padded=None, flat_3d_padded=None,
                  base_2d=None, base_3d=None,
-                 aug_offset_2d=0, aug_offset_3d=0, margins=None):
+                 aug_offset_2d=0, aug_offset_3d=0, margins=None,
+                 gather_margin_2d=0, cols_2d=None):
         self.flat_2d = flat_2d
         self.flat_3d = flat_3d
         self.cameras = cameras
@@ -220,6 +255,13 @@ class DeviceArrays:
         self.aug_offset_2d = aug_offset_2d
         self.aug_offset_3d = aug_offset_3d
         self.margins = margins
+        # Rows of zero tail margin past the last addressable 2D window row
+        # (to_device(flatten_2d=True) appends GATHER_TAIL_MARGIN); > 0 makes
+        # the stream eligible for the Pallas DMA gather (gather_rows.py).
+        self.gather_margin_2d = gather_margin_2d
+        # Logical flattened 2D width (J*F) when the stream is flattened; the
+        # physical width may exceed it under lane_pad_2d.
+        self.cols_2d = cols_2d
 
     @property
     def has_contiguous(self) -> bool:
@@ -451,7 +493,8 @@ def assemble_chunked_batch(
     jax.jit,
     static_argnames=("pad", "causal_shift", "chunk_length", "kps_flip_perm",
                      "joints_flip_perm", "with_3d", "with_cameras",
-                     "aug_offset_2d", "aug_offset_3d"),
+                     "aug_offset_2d", "aug_offset_3d", "gather_impl",
+                     "cols_2d"),
 )
 def assemble_chunked_batch_contiguous(
     flat_2d_padded, flat_3d_padded, cameras, base_2d, base_3d, meta, *,
@@ -459,6 +502,7 @@ def assemble_chunked_batch_contiguous(
     kps_flip_perm: Tuple[int, ...], joints_flip_perm: Tuple[int, ...],
     with_3d: bool = True, with_cameras: bool = False,
     aug_offset_2d: int = 0, aug_offset_3d: int = 0,
+    gather_impl: str = "xla", cols_2d: int = 0,
 ):
     """Fast-path batch assembly over margin-padded flat arrays: every window is
     one contiguous ``dynamic_slice`` (requires ``FlatSequenceDataset(...,
@@ -469,7 +513,13 @@ def assemble_chunked_batch_contiguous(
     With ``aug_offset_*`` > 0 (``FlatSequenceDataset(..., flip_perms=...)``),
     the flat arrays carry a pre-flipped copy and horizontal flip reduces to
     adding the offset to the window start — no permutation gather, no sign
-    scatter in the step."""
+    scatter in the step.
+
+    ``gather_impl`` selects how the 2D windows are copied: ``"xla"`` (the
+    vmap(dynamic_slice) row gather), ``"pallas"`` (the DMA-ring kernel in
+    ``ops/pallas/gather_rows.py`` — requires the rank-2 ``flatten_2d``
+    stream with its tail margin; bitwise-equal output), or
+    ``"pallas_interpret"`` (the same kernel interpreted, for CPU tests)."""
     seq = meta[:, 0]
     start_3d = meta[:, 1]
     flip = meta[:, 3].astype(bool)
@@ -485,7 +535,22 @@ def assemble_chunked_batch_contiguous(
                 flat, (r,) + (0,) * (flat.ndim - 1), (length,) + flat.shape[1:])
         return jax.vmap(one)
 
-    batch_2d = slice_window(flat_2d_padded, win_2d)(row0_2d)
+    # Physical width may exceed the logical one under lane_pad_2d; both
+    # impls emit the logical width (the Pallas kernel slices in-kernel).
+    pad_cols = (flat_2d_padded.ndim == 2 and cols_2d
+                and flat_2d_padded.shape[1] != cols_2d)
+    if gather_impl in ("pallas", "pallas_interpret"):
+        from videopose3d_tpu.ops.pallas.gather_rows import gather_windows
+        batch_2d = gather_windows(
+            flat_2d_padded, row0_2d, window=win_2d,
+            out_cols=cols_2d if pad_cols else None,
+            interpret=(gather_impl == "pallas_interpret"))
+    elif gather_impl == "xla":
+        batch_2d = slice_window(flat_2d_padded, win_2d)(row0_2d)
+        if pad_cols:
+            batch_2d = batch_2d[..., :cols_2d]
+    else:
+        raise ValueError(f"unknown gather_impl {gather_impl!r}")
     batch_3d = None
     if with_3d:
         row0_3d = base_3d[seq] + start_3d

@@ -63,8 +63,18 @@ class TrainLoopConfig:
     bone_length_term: bool = True
     no_proj: bool = False
     linear_projection: bool = False
+    # 2D-window batch-assembly copy engine: "auto" uses the Pallas DMA-ring
+    # gather (ops/pallas/gather_rows.py, bitwise-equal) when the dataset was
+    # uploaded with to_device(flatten_2d=True) on a single TPU device, and
+    # the XLA row gather otherwise.  "pallas_interpret" is for CPU tests.
+    gather_impl: str = "auto"
 
     def __post_init__(self):
+        if self.gather_impl not in ("auto", "xla", "pallas",
+                                    "pallas_interpret"):
+            raise ValueError(
+                f"gather_impl={self.gather_impl!r}: must be one of "
+                "'auto', 'xla', 'pallas', 'pallas_interpret'")
         if self.use_strided and self.chunk_length != 1:
             # The strided form computes exactly one output frame per chunk
             # (run.py:172-175 only selects TemporalModelOptimized1f at
@@ -292,7 +302,8 @@ def _device_data_dict(dev, with_cameras=False):
 
 
 def _assemble_batch(loop, kps_flip_perm, joints_flip_perm, data, meta, *,
-                    with_3d=True, with_cameras=False, aug=(0, 0)):
+                    with_3d=True, with_cameras=False, aug=(0, 0),
+                    gather="xla"):
     """On-device chunked-batch assembly from descriptors.  Shared by both
     trainers (the semi-supervised one assembles labeled and unlabeled halves
     with the same geometry)."""
@@ -301,13 +312,18 @@ def _assemble_batch(loop, kps_flip_perm, joints_flip_perm, data, meta, *,
                   kps_flip_perm=kps_flip_perm,
                   joints_flip_perm=joints_flip_perm,
                   with_3d=with_3d, with_cameras=with_cameras)
+    if isinstance(gather, tuple):
+        gather, cols_2d = gather
+    else:
+        cols_2d = 0
     if "base_2d" in data:
         from videopose3d_tpu.data.generators import (
             assemble_chunked_batch_contiguous)
         return assemble_chunked_batch_contiguous(
             data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
             data["base_2d"], data.get("base_3d"), meta,
-            aug_offset_2d=aug[0], aug_offset_3d=aug[1], **common)
+            aug_offset_2d=aug[0], aug_offset_3d=aug[1], gather_impl=gather,
+            cols_2d=cols_2d, **common)
     return assemble_chunked_batch(
         data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
         data["seq_bounds"], meta, **common)
@@ -329,8 +345,10 @@ class SupervisedTrainer:
         self.optimizer = make_optimizer(loop_cfg.learning_rate)
         self.mesh = mesh
 
-        jit_kwargs = {"donate_argnums": (0, 1, 2, 3), "static_argnums": (8,)}
-        epoch_kwargs = {"donate_argnums": (0, 1, 2, 3), "static_argnums": (8,)}
+        jit_kwargs = {"donate_argnums": (0, 1, 2, 3),
+                      "static_argnums": (8, 9)}
+        epoch_kwargs = {"donate_argnums": (0, 1, 2, 3),
+                        "static_argnums": (8, 9)}
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -354,11 +372,47 @@ class SupervisedTrainer:
     def init_optimizer(self, params):
         return self.optimizer.init(params)
 
+    def _gather_for(self, dev):
+        """Resolve the configured ``gather_impl`` against an uploaded dataset
+        into the static ``(impl, logical_cols)`` pair the step graphs key on.
+
+        The Pallas DMA gather needs the rank-2 ``flatten_2d`` stream, its DMA
+        tail margin, and an unsharded (mesh-free) step; on real TPU hardware
+        it additionally needs the 128-lane-padded stream
+        (``to_device(lane_pad_2d=True)`` — Mosaic only DMAs whole lane
+        tiles).  "auto" falls back to "xla" when any of that is missing."""
+        req = self.loop_cfg.gather_impl
+        cols = int(getattr(dev, "cols_2d", None) or 0)
+        if req == "xla":
+            return ("xla", cols)
+        flat = getattr(dev, "flat_2d_padded", None)
+        eligible = (flat is not None and flat.ndim == 2
+                    and getattr(dev, "gather_margin_2d", 0) >= 16
+                    and self.mesh is None)
+        lane_ok = eligible and flat.shape[1] % 128 == 0
+        if req in ("pallas", "pallas_interpret"):
+            if not eligible or (req == "pallas" and not lane_ok):
+                raise ValueError(
+                    f"gather_impl={req!r} needs the flattened contiguous "
+                    "stream (FlatSequenceDataset.to_device(flatten_2d=True"
+                    + (", lane_pad_2d=True)" if req == "pallas" else ")")
+                    + ", which carries the DMA tail margin) and mesh=None")
+            return (req, cols)
+        if lane_ok:
+            try:
+                platform = next(iter(flat.devices())).platform
+            except (AttributeError, TypeError):
+                platform = None
+            if platform == "tpu":
+                return ("pallas", cols)
+        return ("xla", cols)
+
     def _step_core(self, params, state, opt_state, rng, data, meta, n_valid,
-                   momentum, aug=(0, 0)):
+                   momentum, aug=(0, 0), gather="xla"):
         cfg, loop = self.model_cfg, self.loop_cfg
         _, batch_3d, batch_2d = _assemble_batch(self.loop_cfg, self.kps_flip_perm,
-                                        self.joints_flip_perm, data, meta, aug=aug)
+                                        self.joints_flip_perm, data, meta, aug=aug,
+                                        gather=gather)
 
         # Root-center: zero the hip, trajectory handled separately (run.py:407).
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -379,12 +433,12 @@ class SupervisedTrainer:
         return new_params, new_state, new_opt_state, rng, loss
 
     def _step_impl(self, params, state, opt_state, rng, data, meta, n_valid,
-                   momentum, aug):
+                   momentum, aug, gather="xla"):
         return self._step_core(params, state, opt_state, rng, data, meta,
-                               n_valid, momentum, aug)
+                               n_valid, momentum, aug, gather)
 
     def _epoch_impl(self, params, state, opt_state, rng, data, metas, n_valids,
-                    momentum, aug):
+                    momentum, aug, gather="xla"):
         """A whole epoch as one XLA program: lax.scan over the per-step chunk
         descriptors.  Removes all per-step host dispatch (the TPU-native answer
         to the reference's Python hot loop, run.py:401-420)."""
@@ -394,7 +448,7 @@ class SupervisedTrainer:
             meta, n_valid = xs
             params, state, opt_state, rng, loss = self._step_core(
                 params, state, opt_state, rng, data, meta, n_valid, momentum,
-                aug)
+                aug, gather)
             return (params, state, opt_state, rng), loss
 
         (params, state, opt_state, rng), losses = jax.lax.scan(
@@ -421,6 +475,7 @@ class SupervisedTrainer:
         _check_margins(dev, self.loop_cfg)
         data = _device_data_dict(dev)
         aug = (dev.aug_offset_2d, dev.aug_offset_3d)
+        gather = self._gather_for(dev)
         n_valids = np.asarray(n_valids, np.int32)
         losses = []
         for lo, hi in _scan_segments(metas.shape[0], scan_chunk):
@@ -428,7 +483,7 @@ class SupervisedTrainer:
                 params, state, opt_state, rng, data,
                 _feed(self.mesh, metas[lo:hi], batch_axis=1),
                 _feed(self.mesh, n_valids[lo:hi]),
-                _feed(self.mesh, np.float32(momentum)), aug)
+                _feed(self.mesh, np.float32(momentum)), aug, gather)
             losses.append(seg_losses)
         return (params, state, opt_state, rng,
                 losses[0] if len(losses) == 1 else jnp.concatenate(losses))
@@ -440,7 +495,8 @@ class SupervisedTrainer:
                           _feed(self.mesh, meta, batch_axis=0),
                           _feed(self.mesh, np.asarray(n_valid, np.int32)),
                           _feed(self.mesh, np.float32(momentum)),
-                          (dev.aug_offset_2d, dev.aug_offset_3d))
+                          (dev.aug_offset_2d, dev.aug_offset_3d),
+                          self._gather_for(dev))
 
 
 class SemiSupervisedTrainer:
