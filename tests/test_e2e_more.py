@@ -261,6 +261,13 @@ def test_remaining_cli_flag_wiring(h36m_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[1] time" in out
 
+    # --gather-impl: 'xla' forced must run (and skip the lane-padded
+    # upload); 'auto' on CPU resolves to the XLA gather.
+    ckpt = str(tmp_path / "c_wire_gx")
+    runner.main(_args(h36m_dir, ckpt, ["--gather-impl", "xla"]))
+    out = capsys.readouterr().out
+    assert "[1] time" in out
+
     ckpt = str(tmp_path / "c_wire2")
     runner.main(["-d", "h36m", "-k", "gt", "--data-dir", h36m_dir, "-c", ckpt,
                  "-arc", "3,3", "-ch", "16", "-b", "32",

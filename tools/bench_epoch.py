@@ -173,6 +173,10 @@ def main():
                     help="split the epoch scan into device programs of at "
                          "most this many steps (bit-identical; the f32 "
                          "workaround for the ~3000-step tunnel fault)")
+    ap.add_argument("--gather-impl", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="batch-assembly copy engine (supervised path; "
+                         "mirrors run.py --gather-impl)")
     ap.add_argument("--semi", action="store_true",
                     help="semi-supervised epoch at scale: --n-seqs/--seq-len "
                          "size the LABELED set (e.g. --n-seqs 60 for the "
@@ -199,7 +203,8 @@ def main():
     pad = (receptive_field(cfg) - 1) // 2
     B = args.batch
     loop = TrainLoopConfig(batch_size=B, chunk_length=1, pad=pad,
-                           causal_shift=0, epochs=args.epochs)
+                           causal_shift=0, epochs=args.epochs,
+                           gather_impl=args.gather_impl)
 
     if args.semi:
         return _semi_epochs(args, cfg, loop, pad)
@@ -216,7 +221,11 @@ def main():
         poses_2d, poses_3d,
         margins=FlatSequenceDataset.training_margins(pad, 0, 1),
         flip_perms=(perm, perm))
-    dev = ds.to_device(flatten_2d=True)  # production supervised layout
+    # Production supervised layout; lane_pad mirrors the runner's auto gate
+    # (Pallas DMA gather on a single TPU device unless --gather-impl xla).
+    lane_pad = (args.gather_impl != "xla"
+                and jax.default_backend() == "tpu")
+    dev = ds.to_device(flatten_2d=True, lane_pad_2d=lane_pad)
     jax.block_until_ready((dev.flat_2d_padded, dev.flat_3d_padded))
     print(f"[{time.perf_counter() - t0:6.1f}s] data built + uploaded "
           f"({ds.num_frames} frames x2 flip)", flush=True)

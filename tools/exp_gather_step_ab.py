@@ -42,13 +42,18 @@ def main():
     ap.add_argument("--stage", default="step",
                     choices=["fwd", "fwdbwd", "step"])
     ap.add_argument("--nbuf", type=int, default=8)
+    ap.add_argument("--n-seqs", type=int, default=4,
+                    help="600 with --seq-len 2600 reproduces the H36M-scale "
+                         "fixture of tools/bench_step.py")
+    ap.add_argument("--seq-len", type=int, default=3000)
     args = ap.parse_args()
 
     from videopose3d_tpu.data.generators import (
         assemble_chunked_batch_contiguous)
 
     cfg = bc.flagship_cfg(compute_dtype=args.dtype)
-    fx = bc.train_fixture(cfg, args.batch)
+    fx = bc.train_fixture(cfg, args.batch, n_seqs=args.n_seqs,
+                          seq_len=args.seq_len)
     base_assemble = fx.assemble
     devs = {
         "xla": (fx.ds.to_device(flatten_2d=True), "xla"),
@@ -57,24 +62,30 @@ def main():
     }
     jax.block_until_ready(tuple(d.flat_2d_padded for d, _ in devs.values()))
 
-    runs, vals = {}, {}
+    # step_graph reads fx.assemble at TRACE time (warm() traces the n=1 and
+    # n=iters graphs after this loop) — give each variant its own fixture
+    # view so late tracing can't pick up the other variant's assembler.
+    import copy as _copy
+    runs, vals, fxs = {}, {}, {}
     for name, (dev, impl) in devs.items():
-        fx.assemble = functools.partial(
+        fxv = _copy.copy(fx)
+        fxv.assemble = functools.partial(
             base_assemble, gather_impl=impl, cols_2d=int(dev.cols_2d or 0))
-        runs[name] = bc.step_graph(cfg, fx, stage=args.stage)
-        vals[name] = bc.run_graph(runs[name], fx, dev, 4)
+        fxs[name] = fxv
+        runs[name] = bc.step_graph(cfg, fxv, stage=args.stage)
+        vals[name] = bc.run_graph(runs[name], fxv, dev, 4)
         print(f"compiled {name}; loss after 4 steps {vals[name]:.9f}",
               flush=True)
     print(f"bitwise loss equality: {vals['xla'] == vals['pallas']}",
           flush=True)
 
     for name, (dev, _) in devs.items():
-        bc.warm(runs[name], fx, dev, args.iters)
+        bc.warm(runs[name], fxs[name], dev, args.iters)
 
     results = {name: [] for name in devs}
     for rep in range(args.reps):
         for name, (dev, _) in devs.items():
-            ms = bc.timed_ms_per_step(runs[name], fx, dev, args.iters)
+            ms = bc.timed_ms_per_step(runs[name], fxs[name], dev, args.iters)
             results[name].append(ms)
             print(f"rep {rep} {name:7s} {ms:.3f} ms/step", flush=True)
 

@@ -13,6 +13,10 @@ properties of the current jaxlib/Mosaic, not of the hardware:
      the single-kernel engine is ~15%% slower than XLA's per-layer fusions.
   4. fused-Pallas train engine (``tools/exp_train_engine_ab.py``):
      pallas_call boundary relayouts exceed the fusion gains.
+  5. Pallas DMA-ring batch-assembly gather (``tools/exp_gather_step_ab.py``):
+     faster than the XLA row gather inside the supervised step (gates the
+     ``--gather-impl auto`` default the OTHER way — this one must stay a
+     WIN, and the lane-padded-stream requirement must keep compiling).
 
 Each claim gates a default (XLA engines / dus lowering stay default), so the
 A/Bs must be re-run whenever the toolchain updates.  This driver runs all
@@ -114,11 +118,27 @@ def check_train_engine(quick):
             "tail": out.strip().splitlines()[-4:]}
 
 
+def check_gather(quick):
+    """Pallas DMA-ring batch-assembly gather vs the XLA gather, full train
+    step ms (gates the --gather-impl auto default)."""
+    argv = ["tools/exp_gather_step_ab.py", "--reps", "2" if quick else "5"]
+    status, out, secs = _run(argv, timeout=2400)
+    means = dict(re.findall(r"^(\S+)\s+mean ([\d.]+)", out, re.M))
+    ratios = _floats(r"pallas/xla ratio ([\d.]+)", out)
+    bits = re.findall(r"bitwise loss equality: (\w+)", out)
+    return {"status": status, "secs": secs,
+            "ms_per_step_mean": {k: float(v) for k, v in means.items()},
+            "pallas_over_xla": ratios[-1] if ratios else None,
+            "bitwise": bits[-1] if bits else None,
+            "tail": out.strip().splitlines()[-4:]}
+
+
 CHECKS = {
     "realign": check_realign,
     "ring_push": check_ring_push,
     "stream_fused": check_stream_fused,
     "train_engine": check_train_engine,
+    "gather": check_gather,
 }
 
 

@@ -159,6 +159,15 @@ def parse_args(argv=None):
                              "measured slower than 'xla' at B=1024 on v5e "
                              "because pallas_call boundaries force operand "
                              "relayouts — kept as experimental infrastructure)")
+    parser.add_argument("--gather-impl", default="auto", type=str,
+                        choices=["auto", "xla", "pallas"],
+                        help="batch-assembly window-copy engine. 'auto' "
+                             "(default) uses the Pallas DMA-ring gather "
+                             "(bitwise-equal, measured faster) for "
+                             "single-device TPU supervised training and the "
+                             "XLA gather everywhere else; 'xla' forces the "
+                             "XLA gather (also skips the lane-padded 2D "
+                             "stream upload)")
     parser.add_argument("--checkpoint-format", default="pickle", type=str,
                         choices=("pickle", "orbax"), metavar="FMT",
                         help="checkpoint storage backend: single-file pickle "

@@ -17,13 +17,17 @@ stream is written through the ordinary Pallas output pipeline (also double
 buffered).  Pure data movement — the output is bitwise-equal to the XLA
 gather by construction.
 
-Alignment: Mosaic requires HBM DMA offsets to be sublane-aligned
-((8, 128) f32 tiling -> row offsets multiples of 8; (16, 128) bf16 -> 16;
-see CLAUDE.md "Kernel boundary conditions").  Window starts are arbitrary
-frame indices, so each DMA starts at the aligned floor of the requested row
-and the kernel slices the sub-sublane phase off in VMEM (an unaligned VMEM
-slice — compiles for f32/bf16; the int8 realignment tax does not apply at
-these dtypes).
+Alignment (measured on the round-5 Mosaic): a ``pl.ANY`` operand maps to a
+``(1, 128)``-tiled memref, so the binding constraint is the LANE tile — the
+DMA only compiles when the stream's column count is a multiple of 128
+("Slice shape along dimension 1 must be aligned to tiling (128)").  Callers
+therefore hand this kernel a lane-padded stream
+(``to_device(lane_pad_2d=True)``) and get the logical columns back via
+``out_cols``.  Row offsets are tile-free under (1, 128), but the kernel
+still DMAs from the sublane-aligned floor and phase-slices in VMEM — a few
+extra rows per window buys robustness against Mosaic ever mapping the
+operand with (8, 128)/(16, 128) tiling, where unaligned row DMAs are
+rejected (CLAUDE.md "Kernel boundary conditions").
 
 Contract: ``flat`` must carry at least ``sublanes(dtype) - 1`` rows of
 readable tail margin past the last addressable window row, i.e.

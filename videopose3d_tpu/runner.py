@@ -532,7 +532,8 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
         pad=pad, causal_shift=causal_shift, learning_rate=lr,
         lr_decay=args.lr_decay, epochs=args.epochs, use_strided=use_strided,
         warmup=args.warmup, bone_length_term=args.bone_length_term,
-        no_proj=args.no_proj, linear_projection=args.linear_projection)
+        no_proj=args.no_proj, linear_projection=args.linear_projection,
+        gather_impl=args.gather_impl)
 
     rep_sharding = None
     if mesh is not None:
@@ -555,10 +556,16 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
     # concatenated with the unlabeled one, whose keypoints double as the
     # reprojection-loss target.
     flatten_2d = not semi_supervised and flip_perms is not None
+    # Lane-pad the flattened stream only where the Pallas DMA gather can run
+    # (single-device TPU, not forced off): the pad quadruples the 2D
+    # stream's HBM footprint, so it is not uploaded when the XLA gather
+    # would be used anyway.
+    lane_pad_2d = (flatten_2d and args.gather_impl != "xla"
+                   and mesh is None and jax.default_backend() == "tpu")
     dev = FlatSequenceDataset(
         poses_train_2d, poses_train, cameras_train,
         margins=margins, flip_perms=flip_perms).to_device(
-            rep_sharding, flatten_2d=flatten_2d)
+            rep_sharding, flatten_2d=flatten_2d, lane_pad_2d=lane_pad_2d)
     sampler = ChunkedPairSampler(
         [p.shape[0] for p in poses_train_2d], loop_cfg.batch_size,
         loop_cfg.chunk_length, shuffle=True, augment=args.data_augmentation)
