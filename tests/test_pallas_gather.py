@@ -50,6 +50,17 @@ def test_out_cols_lane_pad_slice():
     assert bool((out == ref).all())
 
 
+def test_window_one_rows():
+    # The 3D-target stream gathers window=chunk_length (default 1) rows —
+    # the smallest window the DMA form ever issues.
+    rng = np.random.default_rng(4)
+    flat = jnp.asarray(rng.standard_normal((2048, 128)).astype(np.float32))
+    row0 = jnp.asarray(rng.integers(0, 2048 - 1 - 7, 64).astype(np.int32))
+    out = gather_windows(flat, row0, window=1, out_cols=51, interpret=True)
+    assert out.shape == (64, 1, 51)
+    assert bool((out == _ref(flat, row0, 1)[:, :, :51]).all())
+
+
 def test_small_batch_below_nbuf():
     rng = np.random.default_rng(1)
     flat = jnp.asarray(rng.standard_normal((1024, 16)).astype(np.float32))
@@ -120,21 +131,27 @@ class TestTrainerGather:
                 TrainLoopConfig, SupervisedTrainer, init_temporal_model)
 
     def test_trainer_bitwise_equal(self):
-        """Four variants, one loss/params trajectory: XLA on the compact
-        stream, interpreted Pallas on it, and both impls on the lane-padded
-        stream (the TPU production form — the pad columns must be invisible).
+        """Five variants, one loss/params trajectory: XLA on the compact
+        stream, interpreted Pallas on it, both impls on the lane-padded
+        stream (the TPU production form — the pad columns must be invisible),
+        and interpreted Pallas with the 3D target stream flattened too.
         """
         (cfg, pad, perm, ds, metas, n_valids, TrainLoopConfig,
          SupervisedTrainer, init_temporal_model) = self._fixture()
         dev = ds.to_device(flatten_2d=True)
         dev_pad = ds.to_device(flatten_2d=True, lane_pad_2d=True)
+        dev_3d = ds.to_device(flatten_2d=True, lane_pad_2d=True,
+                              flatten_3d=True, lane_pad_3d=True)
         assert dev.gather_margin_2d >= 16
         assert dev_pad.flat_2d_padded.shape[1] == 128
         assert dev_pad.cols_2d == 34
+        assert dev_3d.flat_3d_padded.shape[1] == 128
+        assert dev_3d.cols_3d == 51 and dev_3d.gather_margin_3d >= 16
 
         results = []
         for impl, d in (("xla", dev), ("pallas_interpret", dev),
-                        ("xla", dev_pad), ("pallas_interpret", dev_pad)):
+                        ("xla", dev_pad), ("pallas_interpret", dev_pad),
+                        ("pallas_interpret", dev_3d)):
             loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
                                    causal_shift=0, gather_impl=impl)
             trainer = SupervisedTrainer(cfg, loop, np.asarray(perm),
@@ -174,3 +191,105 @@ class TestTrainerGather:
         with pytest.raises(ValueError, match="gather_impl"):
             TrainLoopConfig(batch_size=16, chunk_length=1, pad=4,
                             causal_shift=0, gather_impl="dma")
+
+
+class TestSemiTrainerGather:
+    """The semi-supervised trainer gathers flattened streams and restores the
+    joint axis in-assembly (its unlabeled keypoints double as the
+    reprojection target): three variants must share one bitwise loss/params
+    trajectory — the unflattened XLA baseline, the flattened+lane-padded
+    XLA form, and the interpreted Pallas DMA form on the same upload."""
+
+    def test_semi_trainer_bitwise_equal(self):
+        from videopose3d_tpu.data import (ChunkedPairSampler,
+                                          FlatSequenceDataset)
+        from videopose3d_tpu.models import (TemporalModelConfig,
+                                            init_temporal_model,
+                                            receptive_field)
+        from videopose3d_tpu.train import (SemiSupervisedTrainer,
+                                           TrainLoopConfig)
+
+        rng = np.random.default_rng(7)
+        j = 17
+        cams, poses_2d, poses_3d = [], [], []
+        for n in (60, 81):
+            p3 = (0.1 * rng.standard_normal((n, j, 3))
+                  + np.array([0, 0, 4.0])).astype(np.float32)
+            poses_3d.append(p3)
+            poses_2d.append(p3[..., :2].astype(np.float32))
+            cams.append(np.array([1.1, 1.1, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                  0.0], np.float32))
+        poses_2d_semi = [p + 0.01 for p in poses_2d]
+        cfg = TemporalModelConfig(num_joints_in=j, in_features=2,
+                                  num_joints_out=j, filter_widths=(3, 3),
+                                  dropout=0.25, channels=16)
+        traj_cfg = TemporalModelConfig(num_joints_in=j, in_features=2,
+                                       num_joints_out=1, filter_widths=(3, 3),
+                                       dropout=0.25, channels=16)
+        pad = (receptive_field(cfg) - 1) // 2
+        perm = tuple(range(j))
+        margins = FlatSequenceDataset.training_margins(pad, 0, 1)
+
+        ds = FlatSequenceDataset(poses_2d, poses_3d, cams, margins=margins,
+                                 flip_perms=(perm, perm))
+        ds_semi = FlatSequenceDataset(poses_2d_semi, None, cams,
+                                      margins=margins,
+                                      flip_perms=(perm, perm))
+        sampler = ChunkedPairSampler([p.shape[0] for p in poses_2d], 16, 1,
+                                     augment=True)
+        sampler_semi = ChunkedPairSampler(
+            [p.shape[0] for p in poses_2d_semi], 16, 1, random_seed=4321,
+            augment=True, endless=True)
+        metas, n_valids = zip(*sampler.next_epoch())
+        semi_iter = sampler_semi.next_epoch()
+        metas_semi, n_valids_semi = zip(*(next(semi_iter) for _ in metas))
+
+        variants = {
+            "xla_rank4": ("xla", ds.to_device(), ds_semi.to_device()),
+            "xla_flat": ("xla",
+                         ds.to_device(flatten_2d=True, lane_pad_2d=True,
+                                      flatten_3d=True, lane_pad_3d=True),
+                         ds_semi.to_device(flatten_2d=True,
+                                           lane_pad_2d=True)),
+            "pallas_flat": ("pallas_interpret",
+                            ds.to_device(flatten_2d=True, lane_pad_2d=True,
+                                         flatten_3d=True, lane_pad_3d=True),
+                            ds_semi.to_device(flatten_2d=True,
+                                              lane_pad_2d=True)),
+        }
+        results = {}
+        for name, (impl, dev, dev_semi) in variants.items():
+            loop = TrainLoopConfig(batch_size=16, chunk_length=1, pad=pad,
+                                   causal_shift=0, warmup=0,
+                                   gather_impl=impl)
+            trainer = SemiSupervisedTrainer(cfg, traj_cfg, loop,
+                                            np.asarray(perm),
+                                            np.asarray(perm),
+                                            np.array([-1] + list(range(j - 1))))
+            params = {}
+            params["pos"], s_pos = init_temporal_model(
+                cfg, jax.random.PRNGKey(0))
+            params["traj"], s_traj = init_temporal_model(
+                traj_cfg, jax.random.PRNGKey(1))
+            states = {"pos": s_pos, "traj": s_traj}
+            opt = trainer.init_optimizer(params)
+            key = jax.random.PRNGKey(2)
+            losses = []
+            for meta, n_valid, meta_semi, n_valid_semi in zip(
+                    metas, n_valids, metas_semi, n_valids_semi):
+                (params, states, opt, key, loss_pos, loss_traj, loss_recon,
+                 loss_total) = trainer.step(
+                    params, states, opt, key, dev, dev_semi, meta, n_valid,
+                    meta_semi, n_valid_semi, 0.1, False)
+                losses.append((float(loss_pos), float(loss_traj),
+                               float(loss_recon), float(loss_total)))
+            results[name] = (losses, params)
+
+        ref_losses, ref_params = results["xla_rank4"]
+        assert ref_losses[0][2] > 0.0  # reconstruction loss active
+        for name in ("xla_flat", "pallas_flat"):
+            losses, params = results[name]
+            assert losses == ref_losses, name
+            for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                            jax.tree_util.tree_leaves(params)):
+                assert np.array_equal(np.asarray(a), np.asarray(b))

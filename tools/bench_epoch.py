@@ -78,6 +78,11 @@ def _semi_epochs(args, cfg, loop, pad):
     cam = np.array([2.29, 2.28, 0.04, 0.0, -0.21, 0.24, -0.003, 0.0, 0.0],
                    np.float32)
 
+    # Production layout mirror: flatten + lane-pad where the Pallas DMA
+    # gather can run (single TPU device, not forced off) — runner parity.
+    lane_pad = (args.gather_impl != "xla"
+                and jax.default_backend() == "tpu")
+
     def build(ls, with_3d):
         p2 = [rng.standard_normal((n, 17, 2)).astype(np.float32) * 0.3
               for n in ls]
@@ -85,7 +90,8 @@ def _semi_epochs(args, cfg, loop, pad):
                 np.array([0, 0, 4])).astype(np.float32) for n in ls]
               if with_3d else None)
         return FlatSequenceDataset(p2, p3, [cam] * len(ls), margins=margins,
-                                   flip_perms=(perm, perm)).to_device()
+                                   flip_perms=(perm, perm)).to_device(
+            flatten_2d=lane_pad, lane_pad_2d=lane_pad)
 
     dev = build(lengths, True)
     dev_semi = build(lengths_semi, False)

@@ -139,7 +139,8 @@ class FlatSequenceDataset:
 
     def to_device(self, sharding=None, include_unpadded: bool = False,
                   dtype_2d=None, flatten_2d: bool = False,
-                  lane_pad_2d: bool = False):
+                  lane_pad_2d: bool = False, flatten_3d: bool = False,
+                  lane_pad_3d: bool = False):
         """Upload the flat arrays once (optionally with an explicit sharding —
         replicated for data-parallel training).
 
@@ -178,54 +179,70 @@ class FlatSequenceDataset:
         inside the batch assembly (``cols_2d`` records the logical width) —
         but the stream's HBM footprint grows to the padded width, so the
         runner only turns this on where the DMA gather will actually run
-        (single-device TPU training)."""
+        (single-device TPU training).
+
+        ``flatten_3d`` / ``lane_pad_3d`` are the same treatment for the 3D
+        target stream (``(rows, J, 3)`` -> ``(rows, J*3)``), making it
+        eligible for the Pallas DMA gather too.  Unlike the 2D case the
+        batch assembly always reshapes the gathered 3D windows back to the
+        joint axis (losses need ``(B, T, J, 3)``) — flattening here is purely
+        a gather-engine enabler, values bitwise-identical."""
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
         maybe = lambda x: put(x) if x is not None else None
         cast2 = (lambda x: x if x is None or dtype_2d is None
                  else x.astype(dtype_2d))
         skip = self.flat_2d_padded is not None and not include_unpadded
-        flat2p = self.flat_2d_padded
-        if flatten_2d:
-            if flat2p is None or self.aug_offset_2d == 0:
+
+        def flatten_stream(flat, aug_offset, lane_pad, what):
+            """(rows, J, F) -> (rows, J*F) + DMA tail margin + lane pad."""
+            if flat is None or aug_offset == 0:
                 raise ValueError(
-                    "flatten_2d requires the contiguous fast path with baked "
-                    "flip copies (margins= + flip_perms=): the on-device flip "
-                    "permutation needs the joint axis")
+                    f"flatten_{what} requires the contiguous fast path with "
+                    "baked flip copies (margins= + flip_perms=): the "
+                    "on-device flip permutation needs the joint axis")
             if include_unpadded:
                 raise ValueError(
-                    "flatten_2d is incompatible with include_unpadded (the "
-                    "unpadded gather path flips on the joint axis)")
-            flat2p = flat2p.reshape(flat2p.shape[0], -1)
+                    f"flatten_{what} is incompatible with include_unpadded "
+                    "(the unpadded gather path flips on the joint axis)")
+            flat = flat.reshape(flat.shape[0], -1)
             # Tail margin for the Pallas DMA gather (gather_rows.py): its
             # aligned-floor window DMA may read up to sublanes-1 rows past
             # the last window row.  Values are never used — the rows only
             # keep the read in bounds.
             from videopose3d_tpu.ops.pallas.gather_rows import (
                 GATHER_TAIL_MARGIN)
-            flat2p = np.concatenate(
-                [flat2p,
-                 np.zeros((GATHER_TAIL_MARGIN, flat2p.shape[1]),
-                          flat2p.dtype)], axis=0)
-            gather_margin = GATHER_TAIL_MARGIN
-            cols_2d = flat2p.shape[1]
-            if lane_pad_2d and flat2p.shape[1] % 128:
-                flat2p = np.concatenate(
-                    [flat2p,
-                     np.zeros((flat2p.shape[0], -flat2p.shape[1] % 128),
-                              flat2p.dtype)], axis=1)
-        else:
-            if lane_pad_2d:
-                raise ValueError("lane_pad_2d requires flatten_2d=True")
-            gather_margin = 0
-            cols_2d = None
+            flat = np.concatenate(
+                [flat,
+                 np.zeros((GATHER_TAIL_MARGIN, flat.shape[1]), flat.dtype)],
+                axis=0)
+            cols = flat.shape[1]
+            if lane_pad and flat.shape[1] % 128:
+                flat = np.concatenate(
+                    [flat,
+                     np.zeros((flat.shape[0], -flat.shape[1] % 128),
+                              flat.dtype)], axis=1)
+            return flat, GATHER_TAIL_MARGIN, cols
+
+        flat2p, gather_margin, cols_2d = self.flat_2d_padded, 0, None
+        if flatten_2d:
+            flat2p, gather_margin, cols_2d = flatten_stream(
+                flat2p, self.aug_offset_2d, lane_pad_2d, "2d")
+        elif lane_pad_2d:
+            raise ValueError("lane_pad_2d requires flatten_2d=True")
+        flat3p, gather_margin_3d, cols_3d = self.flat_3d_padded, 0, None
+        if flatten_3d:
+            flat3p, gather_margin_3d, cols_3d = flatten_stream(
+                flat3p, self.aug_offset_3d, lane_pad_3d, "3d")
+        elif lane_pad_3d:
+            raise ValueError("lane_pad_3d requires flatten_3d=True")
         return DeviceArrays(
             flat_2d=None if skip else put(cast2(self.flat_2d)),
             flat_3d=None if skip else maybe(self.flat_3d),
             cameras=maybe(self.cameras),
             seq_bounds=put(self.seq_bounds),
             flat_2d_padded=maybe(cast2(flat2p)),
-            flat_3d_padded=maybe(self.flat_3d_padded),
+            flat_3d_padded=maybe(flat3p),
             base_2d=maybe(self.base_2d),
             base_3d=maybe(self.base_3d),
             aug_offset_2d=self.aug_offset_2d,
@@ -233,6 +250,8 @@ class FlatSequenceDataset:
             margins=self.margins,
             gather_margin_2d=gather_margin,
             cols_2d=cols_2d,
+            gather_margin_3d=gather_margin_3d,
+            cols_3d=cols_3d,
         )
 
 
@@ -243,7 +262,8 @@ class DeviceArrays:
                  flat_2d_padded=None, flat_3d_padded=None,
                  base_2d=None, base_3d=None,
                  aug_offset_2d=0, aug_offset_3d=0, margins=None,
-                 gather_margin_2d=0, cols_2d=None):
+                 gather_margin_2d=0, cols_2d=None,
+                 gather_margin_3d=0, cols_3d=None):
         self.flat_2d = flat_2d
         self.flat_3d = flat_3d
         self.cameras = cameras
@@ -262,6 +282,9 @@ class DeviceArrays:
         # Logical flattened 2D width (J*F) when the stream is flattened; the
         # physical width may exceed it under lane_pad_2d.
         self.cols_2d = cols_2d
+        # Same pair for the 3D target stream (flatten_3d / lane_pad_3d).
+        self.gather_margin_3d = gather_margin_3d
+        self.cols_3d = cols_3d
 
     @property
     def has_contiguous(self) -> bool:
@@ -494,7 +517,7 @@ def assemble_chunked_batch(
     static_argnames=("pad", "causal_shift", "chunk_length", "kps_flip_perm",
                      "joints_flip_perm", "with_3d", "with_cameras",
                      "aug_offset_2d", "aug_offset_3d", "gather_impl",
-                     "cols_2d"),
+                     "cols_2d", "gather_impl_3d", "cols_3d", "joint_axis_2d"),
 )
 def assemble_chunked_batch_contiguous(
     flat_2d_padded, flat_3d_padded, cameras, base_2d, base_3d, meta, *,
@@ -503,6 +526,8 @@ def assemble_chunked_batch_contiguous(
     with_3d: bool = True, with_cameras: bool = False,
     aug_offset_2d: int = 0, aug_offset_3d: int = 0,
     gather_impl: str = "xla", cols_2d: int = 0,
+    gather_impl_3d: str = "xla", cols_3d: int = 0,
+    joint_axis_2d: bool = False,
 ):
     """Fast-path batch assembly over margin-padded flat arrays: every window is
     one contiguous ``dynamic_slice`` (requires ``FlatSequenceDataset(...,
@@ -519,7 +544,14 @@ def assemble_chunked_batch_contiguous(
     vmap(dynamic_slice) row gather), ``"pallas"`` (the DMA-ring kernel in
     ``ops/pallas/gather_rows.py`` — requires the rank-2 ``flatten_2d``
     stream with its tail margin; bitwise-equal output), or
-    ``"pallas_interpret"`` (the same kernel interpreted, for CPU tests)."""
+    ``"pallas_interpret"`` (the same kernel interpreted, for CPU tests).
+    ``gather_impl_3d`` is the same choice for the 3D target windows when the
+    stream is rank-2 (``flatten_3d``); the gathered windows are always
+    reshaped back to ``(B, chunk, J, 3)`` (losses need the joint axis), so
+    the flattening is invisible downstream.  ``joint_axis_2d`` reshapes the
+    gathered 2D windows back to ``(B, win, J, F)`` when the stream is
+    rank-2 — the semi-supervised trainer needs the joint axis (its unlabeled
+    keypoints double as the reprojection target); bitwise-equal values."""
     seq = meta[:, 0]
     start_3d = meta[:, 1]
     flip = meta[:, 3].astype(bool)
@@ -535,28 +567,38 @@ def assemble_chunked_batch_contiguous(
                 flat, (r,) + (0,) * (flat.ndim - 1), (length,) + flat.shape[1:])
         return jax.vmap(one)
 
-    # Physical width may exceed the logical one under lane_pad_2d; both
-    # impls emit the logical width (the Pallas kernel slices in-kernel).
-    pad_cols = (flat_2d_padded.ndim == 2 and cols_2d
-                and flat_2d_padded.shape[1] != cols_2d)
-    if gather_impl in ("pallas", "pallas_interpret"):
-        from videopose3d_tpu.ops.pallas.gather_rows import gather_windows
-        batch_2d = gather_windows(
-            flat_2d_padded, row0_2d, window=win_2d,
-            out_cols=cols_2d if pad_cols else None,
-            interpret=(gather_impl == "pallas_interpret"))
-    elif gather_impl == "xla":
-        batch_2d = slice_window(flat_2d_padded, win_2d)(row0_2d)
-        if pad_cols:
-            batch_2d = batch_2d[..., :cols_2d]
-    else:
-        raise ValueError(f"unknown gather_impl {gather_impl!r}")
+    def gather_stream(flat, row0, window, impl, cols):
+        """One window copy over a flat stream.  The physical width may exceed
+        the logical ``cols`` under lane_pad_*; both impls emit the logical
+        width (the Pallas kernel slices in-kernel)."""
+        pad_cols = flat.ndim == 2 and cols and flat.shape[1] != cols
+        if impl in ("pallas", "pallas_interpret"):
+            from videopose3d_tpu.ops.pallas.gather_rows import gather_windows
+            return gather_windows(
+                flat, row0, window=window,
+                out_cols=cols if pad_cols else None,
+                interpret=(impl == "pallas_interpret"))
+        if impl == "xla":
+            out = slice_window(flat, window)(row0)
+            return out[..., :cols] if pad_cols else out
+        raise ValueError(f"unknown gather_impl {impl!r}")
+
+    batch_2d = gather_stream(flat_2d_padded, row0_2d, win_2d, gather_impl,
+                             cols_2d)
+    if joint_axis_2d and batch_2d.ndim == 3:
+        j = len(kps_flip_perm)
+        batch_2d = batch_2d.reshape(batch_2d.shape[0], win_2d, j, -1)
     batch_3d = None
     if with_3d:
         row0_3d = base_3d[seq] + start_3d
         if aug_offset_3d:
             row0_3d = row0_3d + meta[:, 3] * aug_offset_3d
-        batch_3d = slice_window(flat_3d_padded, chunk_length)(row0_3d)
+        batch_3d = gather_stream(flat_3d_padded, row0_3d, chunk_length,
+                                 gather_impl_3d, cols_3d)
+        if batch_3d.ndim == 3:  # flattened stream -> restore the joint axis
+            j3 = len(joints_flip_perm)
+            batch_3d = batch_3d.reshape(
+                batch_3d.shape[0], chunk_length, j3, -1)
     cam = cameras[seq] if with_cameras else None
 
     batch_2d_flip = None if aug_offset_2d else batch_2d

@@ -552,20 +552,27 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
     # Supervised batches feed the 2D stream only into the model, which
     # flattens (B, T, J, F) -> (B, T, J*F) anyway; storing it pre-flattened
     # removes a gather-output layout copy (see to_device docstring).  The
-    # semi-supervised trainer keeps the joint axis: its labeled batch is
-    # concatenated with the unlabeled one, whose keypoints double as the
-    # reprojection-loss target.
-    flatten_2d = not semi_supervised and flip_perms is not None
-    # Lane-pad the flattened stream only where the Pallas DMA gather can run
-    # (single-device TPU, not forced off): the pad quadruples the 2D
-    # stream's HBM footprint, so it is not uploaded when the XLA gather
-    # would be used anyway.
-    lane_pad_2d = (flatten_2d and args.gather_impl != "xla"
-                   and mesh is None and jax.default_backend() == "tpu")
+    # semi-supervised trainer restores the joint axis after the gather (its
+    # unlabeled keypoints double as the reprojection-loss target), so its
+    # streams are flattened only where that buys the Pallas DMA gather.
+    # Lane-pad the flattened streams only where the DMA gather can actually
+    # run (single-device TPU, not forced off): the pad grows the streams'
+    # HBM footprints (34 -> 128 / 51 -> 128 lanes), so it is not uploaded
+    # when the XLA gather would be used anyway.
+    pallas_gather = (flip_perms is not None and args.gather_impl != "xla"
+                     and mesh is None and jax.default_backend() == "tpu")
+    flatten_2d = ((not semi_supervised and flip_perms is not None)
+                  or pallas_gather)
+    # The 3D target stream stays rank-3 / XLA-gathered: flattening it too
+    # (to_device(flatten_3d=True) + gather_impl_3d) measured perf-NEUTRAL
+    # (12.15 vs 12.25 ms/step, within same-day jitter) and NOT bitwise on
+    # hardware — the relaid-out targets shift the loss-reduce tiling
+    # (tools/exp_gather_step_ab.py pallas3d leg; same class as the taps-2d
+    # negative result).  Single-row windows are already noise-level in XLA.
     dev = FlatSequenceDataset(
         poses_train_2d, poses_train, cameras_train,
         margins=margins, flip_perms=flip_perms).to_device(
-            rep_sharding, flatten_2d=flatten_2d, lane_pad_2d=lane_pad_2d)
+            rep_sharding, flatten_2d=flatten_2d, lane_pad_2d=pallas_gather)
     sampler = ChunkedPairSampler(
         [p.shape[0] for p in poses_train_2d], loop_cfg.batch_size,
         loop_cfg.chunk_length, shuffle=True, augment=args.data_augmentation)
@@ -583,7 +590,9 @@ def _train(args, dataset, keypoints, subjects_train, subjects_semi, action_filte
             parse_3d_poses=False)
         dev_semi = FlatSequenceDataset(
             poses_semi_2d, None, cameras_semi,
-            margins=margins, flip_perms=flip_perms).to_device(rep_sharding)
+            margins=margins, flip_perms=flip_perms).to_device(
+                rep_sharding, flatten_2d=pallas_gather,
+                lane_pad_2d=pallas_gather)
         sampler_semi = ChunkedPairSampler(
             [p.shape[0] for p in poses_semi_2d], loop_cfg.batch_size,
             loop_cfg.chunk_length, shuffle=True, random_seed=4321,

@@ -303,7 +303,7 @@ def _device_data_dict(dev, with_cameras=False):
 
 def _assemble_batch(loop, kps_flip_perm, joints_flip_perm, data, meta, *,
                     with_3d=True, with_cameras=False, aug=(0, 0),
-                    gather="xla"):
+                    gather="xla", joint_axis_2d=False):
     """On-device chunked-batch assembly from descriptors.  Shared by both
     trainers (the semi-supervised one assembles labeled and unlabeled halves
     with the same geometry)."""
@@ -313,9 +313,9 @@ def _assemble_batch(loop, kps_flip_perm, joints_flip_perm, data, meta, *,
                   joints_flip_perm=joints_flip_perm,
                   with_3d=with_3d, with_cameras=with_cameras)
     if isinstance(gather, tuple):
-        gather, cols_2d = gather
+        gather, cols_2d, gather_3d, cols_3d = gather
     else:
-        cols_2d = 0
+        cols_2d, gather_3d, cols_3d = 0, "xla", 0
     if "base_2d" in data:
         from videopose3d_tpu.data.generators import (
             assemble_chunked_batch_contiguous)
@@ -323,10 +323,67 @@ def _assemble_batch(loop, kps_flip_perm, joints_flip_perm, data, meta, *,
             data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
             data["base_2d"], data.get("base_3d"), meta,
             aug_offset_2d=aug[0], aug_offset_3d=aug[1], gather_impl=gather,
-            cols_2d=cols_2d, **common)
+            cols_2d=cols_2d, gather_impl_3d=gather_3d, cols_3d=cols_3d,
+            joint_axis_2d=joint_axis_2d, **common)
     return assemble_chunked_batch(
         data["flat_2d"], data.get("flat_3d"), data.get("cameras"),
         data["seq_bounds"], meta, **common)
+
+
+def _resolve_gather(loop_cfg, mesh, dev):
+    """Resolve the configured ``gather_impl`` against an uploaded dataset into
+    the static ``(impl_2d, cols_2d, impl_3d, cols_3d)`` spec the step graphs
+    key on.
+
+    The Pallas DMA gather needs a rank-2 flattened stream with its DMA tail
+    margin and an unsharded (mesh-free) step; on real TPU hardware it
+    additionally needs the 128-lane-padded stream (``lane_pad_*`` — Mosaic
+    only DMAs whole lane tiles).  "auto" falls back to "xla" per stream when
+    any of that is missing.  The 2D side keeps strict forced semantics
+    (forcing pallas on an ineligible 2D stream raises); the 3D side is
+    opt-in via ``to_device(flatten_3d=True)`` and silently stays on "xla"
+    otherwise, so forcing pallas on the common 2D-only-flattened datasets
+    keeps working."""
+    req = loop_cfg.gather_impl
+    cols2 = int(getattr(dev, "cols_2d", None) or 0)
+    cols3 = int(getattr(dev, "cols_3d", None) or 0)
+    if req == "xla":
+        return ("xla", cols2, "xla", cols3)
+
+    def eligible(flat, margin):
+        return (flat is not None and flat.ndim == 2 and margin >= 16
+                and mesh is None)
+
+    def on_tpu(flat):
+        try:
+            return next(iter(flat.devices())).platform == "tpu"
+        except (AttributeError, TypeError):
+            return False
+
+    flat2 = getattr(dev, "flat_2d_padded", None)
+    el2 = eligible(flat2, getattr(dev, "gather_margin_2d", 0))
+    ln2 = el2 and flat2.shape[1] % 128 == 0
+    if req in ("pallas", "pallas_interpret"):
+        if not el2 or (req == "pallas" and not ln2):
+            raise ValueError(
+                f"gather_impl={req!r} needs the flattened contiguous "
+                "stream (FlatSequenceDataset.to_device(flatten_2d=True"
+                + (", lane_pad_2d=True)" if req == "pallas" else ")")
+                + ", which carries the DMA tail margin) and mesh=None")
+        impl2 = req
+    else:
+        impl2 = "pallas" if ln2 and on_tpu(flat2) else "xla"
+
+    flat3 = getattr(dev, "flat_3d_padded", None)
+    el3 = eligible(flat3, getattr(dev, "gather_margin_3d", 0))
+    ln3 = el3 and flat3.shape[1] % 128 == 0
+    if req == "pallas_interpret" and el3:
+        impl3 = "pallas_interpret"
+    elif ln3 and (req == "pallas" or on_tpu(flat3)):
+        impl3 = "pallas"
+    else:
+        impl3 = "xla"
+    return (impl2, cols2, impl3, cols3)
 
 
 class SupervisedTrainer:
@@ -373,39 +430,7 @@ class SupervisedTrainer:
         return self.optimizer.init(params)
 
     def _gather_for(self, dev):
-        """Resolve the configured ``gather_impl`` against an uploaded dataset
-        into the static ``(impl, logical_cols)`` pair the step graphs key on.
-
-        The Pallas DMA gather needs the rank-2 ``flatten_2d`` stream, its DMA
-        tail margin, and an unsharded (mesh-free) step; on real TPU hardware
-        it additionally needs the 128-lane-padded stream
-        (``to_device(lane_pad_2d=True)`` — Mosaic only DMAs whole lane
-        tiles).  "auto" falls back to "xla" when any of that is missing."""
-        req = self.loop_cfg.gather_impl
-        cols = int(getattr(dev, "cols_2d", None) or 0)
-        if req == "xla":
-            return ("xla", cols)
-        flat = getattr(dev, "flat_2d_padded", None)
-        eligible = (flat is not None and flat.ndim == 2
-                    and getattr(dev, "gather_margin_2d", 0) >= 16
-                    and self.mesh is None)
-        lane_ok = eligible and flat.shape[1] % 128 == 0
-        if req in ("pallas", "pallas_interpret"):
-            if not eligible or (req == "pallas" and not lane_ok):
-                raise ValueError(
-                    f"gather_impl={req!r} needs the flattened contiguous "
-                    "stream (FlatSequenceDataset.to_device(flatten_2d=True"
-                    + (", lane_pad_2d=True)" if req == "pallas" else ")")
-                    + ", which carries the DMA tail margin) and mesh=None")
-            return (req, cols)
-        if lane_ok:
-            try:
-                platform = next(iter(flat.devices())).platform
-            except (AttributeError, TypeError):
-                platform = None
-            if platform == "tpu":
-                return ("pallas", cols)
-        return ("xla", cols)
+        return _resolve_gather(self.loop_cfg, self.mesh, dev)
 
     def _step_core(self, params, state, opt_state, rng, data, meta, n_valid,
                    momentum, aug=(0, 0), gather="xla"):
@@ -526,8 +551,10 @@ class SemiSupervisedTrainer:
         self.optimizer = make_optimizer(loop_cfg.learning_rate)
         self.mesh = mesh
 
-        jit_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11, 12)}
-        epoch_kwargs = {"donate_argnums": (0, 1, 2), "static_argnums": (11, 12)}
+        jit_kwargs = {"donate_argnums": (0, 1, 2),
+                      "static_argnums": (11, 12, 13)}
+        epoch_kwargs = {"donate_argnums": (0, 1, 2),
+                        "static_argnums": (11, 12, 13)}
         if mesh is not None:
             from videopose3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -554,12 +581,15 @@ class SemiSupervisedTrainer:
 
     def _step_impl(self, params, states, opt_state, rng, data, data_semi,
                    meta, n_valid, meta_semi, n_valid_semi, momentum, skip: bool,
-                   augs=((0, 0), (0, 0))):
+                   augs=((0, 0), (0, 0)), gathers=("xla", "xla")):
         cfg, tcfg, loop = self.model_cfg, self.traj_cfg, self.loop_cfg
 
+        # joint_axis_2d: both halves of the 2D concat must keep (B, T, J, F)
+        # — the unlabeled keypoints double as the reprojection-loss target.
         _, batch_3d, batch_2d = _assemble_batch(self.loop_cfg, self.kps_flip_perm,
                                         self.joints_flip_perm, data, meta,
-                                        aug=augs[0])
+                                        aug=augs[0], gather=gathers[0],
+                                        joint_axis_2d=True)
 
         inputs_traj = batch_3d[:, :, :1]                      # before root-zeroing
         batch_3d = batch_3d.at[:, :, 0].set(0.0)
@@ -570,7 +600,7 @@ class SemiSupervisedTrainer:
             cam_semi, _, batch_2d_semi = _assemble_batch(
                 self.loop_cfg, self.kps_flip_perm, self.joints_flip_perm,
                 data_semi, meta_semi, with_3d=False, with_cameras=True,
-                aug=augs[1])
+                aug=augs[1], gather=gathers[1], joint_axis_2d=True)
             inputs_2d_cat = jnp.concatenate([batch_2d, batch_2d_semi], axis=0)
             mask_u = (jnp.arange(meta_semi.shape[0]) < n_valid_semi).astype(jnp.float32)
         else:
@@ -650,11 +680,14 @@ class SemiSupervisedTrainer:
             _feed(self.mesh, np.asarray(n_valid_semi, np.int32)),
             _feed(self.mesh, np.float32(momentum)), bool(skip),
             ((dev.aug_offset_2d, dev.aug_offset_3d),
-             (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d)))
+             (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d)),
+            (_resolve_gather(self.loop_cfg, self.mesh, dev),
+             _resolve_gather(self.loop_cfg, self.mesh, dev_semi)))
 
     def _epoch_impl(self, params, states, opt_state, rng, data, data_semi,
                     metas, n_valids, metas_semi, n_valids_semi, momentum,
-                    skip: bool, augs=((0, 0), (0, 0))):
+                    skip: bool, augs=((0, 0), (0, 0)),
+                    gathers=("xla", "xla")):
         """Whole semi-supervised epoch as one XLA scan (see
         SupervisedTrainer._epoch_impl)."""
 
@@ -664,7 +697,8 @@ class SemiSupervisedTrainer:
             (params, states, opt_state, rng,
              loss_pos, loss_traj, loss_recon, loss_total) = self._step_impl(
                 params, states, opt_state, rng, data, data_semi,
-                meta, n_valid, meta_semi, n_valid_semi, momentum, skip, augs)
+                meta, n_valid, meta_semi, n_valid_semi, momentum, skip, augs,
+                gathers)
             return ((params, states, opt_state, rng),
                     (loss_pos, loss_traj, loss_recon, loss_total))
 
@@ -689,6 +723,8 @@ class SemiSupervisedTrainer:
         data_semi = _device_data_dict(dev_semi, with_cameras=True)
         aug = ((dev.aug_offset_2d, dev.aug_offset_3d),
                (dev_semi.aug_offset_2d, dev_semi.aug_offset_3d))
+        gathers = (_resolve_gather(self.loop_cfg, self.mesh, dev),
+                   _resolve_gather(self.loop_cfg, self.mesh, dev_semi))
         n_valids = np.asarray(n_valids, np.int32)
         n_valids_semi = np.asarray(n_valids_semi, np.int32)
         seg_losses = []
@@ -699,7 +735,8 @@ class SemiSupervisedTrainer:
                 _feed(self.mesh, n_valids[lo:hi]),
                 _feed(self.mesh, metas_semi[lo:hi], batch_axis=1),
                 _feed(self.mesh, n_valids_semi[lo:hi]),
-                _feed(self.mesh, np.float32(momentum)), bool(skip), aug)
+                _feed(self.mesh, np.float32(momentum)), bool(skip), aug,
+                gathers)
             seg_losses.append(losses)
         if len(seg_losses) == 1:
             return params, states, opt_state, rng, seg_losses[0]
